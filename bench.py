@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = every registry entry flagged bench=True (flagship
+scoring pipeline, the shuffling joins/aggs/windows, minhash-LSH
+dedup, ANN top-k, text quality).  Each query is fully materialized
+via a count-style action so the measured time includes the whole
+plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY  # noqa: E402
+from damg7245_casestudy_03_ai_scoring_engine_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=min(32, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_specs = {n: s for n, s in sorted(REGISTRY.items()) if s.bench}
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # query, not session startup.
+    next(iter(bench_specs.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Core scalar column helpers (SURVEY.md §2.8 F9–F13).
+
+The reference defines ``clamp`` five separate times
+(app/scoring_engine/vr_model.py:23-24, composite.py:13-14,
+synergy.py:42-43, app/scoring/utils.py:4-5,
+scripts/run_scoring_engine.py:33-34) and ``safe_div`` once
+(app/scoring/utils.py:7-9).  Here each is a single column-expression
+helper: pure JVM-side `Column` math, whole-stage-codegen friendly, no
+Python UDFs.
+
+All helpers are ANSI-safe: guarded denominators, no implicit casts
+that can raise under `spark.sql.ansi.enabled=true`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def clamp(col: Column | str, lo: float, hi: float) -> Column:
+    """clamp(x, lo, hi) — reference app/scoring/utils.py:4-5."""
+    return F.least(F.greatest(_col(col), F.lit(float(lo))), F.lit(float(hi)))
+
+
+def safe_div(num: Column | str, den: Column | str, default: float = 0.0) -> Column:
+    """num/den with a default when den is 0 or NULL — reference
+    app/scoring/utils.py:7-9.  Guarded so ANSI mode never raises."""
+    den = _col(den)
+    return F.when(den.isNotNull() & (den != 0), _col(num) / den).otherwise(
+        F.lit(float(default))
+    )
+
+
+def blend(col: Column | str, target: Column | str | float, weight: Column | float) -> Column:
+    """Prior blending `(1-w)*x + w*target` — reference
+    scripts/run_scoring_engine.py:47-49."""
+    t = F.lit(float(target)) if isinstance(target, (int, float)) else _col(target)
+    w = F.lit(float(weight)) if isinstance(weight, (int, float)) else weight
+    return (F.lit(1.0) - w) * _col(col) + w * t
+
+
+def conf_floor(col: Column | str, floor: float = 0.20) -> Column:
+    """Effective confidence max(conf, floor) — reference
+    app/scoring_engine/vr_model.py:58-61."""
+    return F.greatest(F.coalesce(_col(col), F.lit(0.0)), F.lit(float(floor)))
+
+
+def score_band(col: Column | str) -> Column:
+    """Maturity band ladder at <=20/40/60/80 →
+    Nascent/Developing/Progressing/Advanced/Leading — reference
+    app/scoring_engine/composite.py:17-34."""
+    c = _col(col)
+    return (
+        F.when(c <= 20, F.lit("Nascent"))
+        .when(c <= 40, F.lit("Developing"))
+        .when(c <= 60, F.lit("Progressing"))
+        .when(c <= 80, F.lit("Advanced"))
+        .otherwise(F.lit("Leading"))
+    )

@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines —
+the LLM-data extension set (BASELINE.json north star), over the
+`documents` table.
+
+Four families, all engine-agnostic in their hashing (md5 hex strings
+/ md5-derived 32-bit ints) so the DuckDB oracle replays them exactly:
+
+- exact dedup on canonicalized content (bag-of-words hash),
+- MinHash + LSH banding (shingle → k minhashes → bands → bucket
+  join → verified jaccard),
+- n-gram jaccard brute force (blocked by lang),
+- SimHash (32-bit) with hamming-distance pairing.
+
+Scale posture: minhash/LSH is the 100 TB path — the candidate join is
+on (band_idx, band_hash), so cost is proportional to true collisions,
+not n².  The brute-force variants are oracle anchors and work within
+blocking partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+from .registry import register
+
+# --- shared token/shingle derivations (mirrored in oracle SQL) -------------
+
+
+def _tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def _word_shingles3(ws):
+    """Distinct word-3-gram shingles; whole text if fewer than 3 tokens."""
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", ws))
+    )
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    return d.select("doc_id", _word_shingles3(_tokens(F.col("text"))).alias("shingles"))
+
+
+_SHINGLES_SQL = r"""
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                ELSE [array_to_string(ws, ' ')] END AS shingles
+    FROM toks
+)"""
+
+
+# --- 1. exact dedup --------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    survey="S18,U3,F5",
+    oracle=r"""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' '))
+           AS bow_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_members
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonicalized content: hash of the sorted
+    distinct token set (catches word-reordered copies).  One
+    hash-groupBy — the distributed form of the reference's
+    content_hash existence probe (signal_store.py:21-28)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    )
+    return (
+        d.select(bow.alias("bow_hash"), "doc_id")
+        .groupBy("bow_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+# --- 2. MinHash + LSH ------------------------------------------------------
+
+_K = 9  # minhashes
+_BANDS = 3  # bands of 3 rows each
+_P = 4294967311  # smallest prime > 2^32 — modulus for the hash permutations
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey="S18,F5 (extension)",
+    bench=True,
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()},
+hashed AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_P}) AS hs
+    FROM sh
+),
+mh AS (
+    SELECT doc_id,
+           list_transform(range(0, {_K}),
+               s -> list_min(list_transform(hs, h -> ((2*s + 1) * h + (17*s + 7)) % {_P})))
+               AS sig
+    FROM hashed
+),
+bands AS (
+    SELECT doc_id, b,
+           CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+               || '|' || CAST(sig[b*3+3] AS VARCHAR) AS band_hash
+    FROM mh, (SELECT unnest(range(0, {_BANDS})) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM verified
+WHERE round(jaccard, 6) >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: word-3-gram shingles → k=9
+    md5-minhashes → 3 bands of 3 → band-bucket join → jaccard-verified
+    pairs ≥ 0.5.
+
+    Hashing is one md5 per shingle mapped to a 32-bit int, with the
+    k minhashes as cheap integer permutations `(a·h + b) mod p` of
+    that base hash (engine-agnostic arithmetic the oracle replays
+    exactly).  The LSH join cost scales with bucket collisions, not
+    n² — this is the operator you run at 100 TB, with the band join
+    shuffling only (band_idx, band_hash, doc_id)."""
+    sh = _shingled_docs(spark, sf_dir)
+    base = F.transform(
+        F.col("shingles"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % _P,
+    )
+    hashed = sh.select("doc_id", "shingles", base.alias("hs"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_K - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: ((2 * s + 1) * h + (17 * s + 7)) % _P,
+            )
+        ),
+    )
+    mh = hashed.select("doc_id", sig.alias("sig"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
+    bands = mh.select("doc_id", b, "sig").select(
+        "doc_id",
+        "b",
+        F.concat_ws(
+            "|",
+            F.element_at("sig", F.col("b") * 3 + 1).cast("string"),
+            F.element_at("sig", F.col("b") * 3 + 2).cast("string"),
+            F.element_at("sig", F.col("b") * 3 + 3).cast("string"),
+        ).alias("band_hash"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "b", "band_hash")
+    cand = (
+        left.join(right, ["b", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5)
+
+
+# --- 3. n-gram jaccard brute force (blocked) -------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey="S18 (extension)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.ws, b.ws))::DOUBLE
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+FROM toks a
+JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.95
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set jaccard near-dup pairs ≥ 0.95, blocked by lang (the
+    blocking key stands in for the length/prefix blocking you'd use at
+    scale to avoid the full n² self-join)."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("ws").alias("ws_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))).cast(
+        "double"
+    )
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.95)
+    )
+
+
+# --- 4. SimHash ------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+@register(
+    "dedup_simhash",
+    survey="S18,F5 (extension)",
+    oracle=rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+    FROM documents
+),
+wh AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM wh, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b)
+    GROUP BY doc_id, b
+),
+sim AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens (word hash = first 8 md5
+    hex digits as int32) with hamming ≤ 3 pairing.  At scale the pair
+    join is blocked by simhash bit-bands (pigeonhole); here the n²
+    join over 500 docs is the oracle-checkable baseline."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("w"))
+    wh = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        wh.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

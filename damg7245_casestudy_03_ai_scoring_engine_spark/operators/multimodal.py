@@ -1,0 +1,174 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode/feature-extract step is a Pandas-UDF pipeline over
+`mapInPandas`: the Spark-side plumbing (schema, batch iteration,
+partition-parallel decode) is real and tested; the actual codec call
+is stubbed (`NotImplementedError`) because media libraries aren't in
+this container, with a deterministic fake-decode path for tests.
+
+This is the S5/S6 pattern from the reference (HTML/PDF parsing via
+external libs inside a pandas_udf — SURVEY.md §2.11) generalized to
+media: the only Python-touching operator family in the engine, and it
+is Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.catalog import load
+from .registry import register
+
+# Typed metadata schema for a media asset column.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video | text
+        StructField("content", BinaryType(), True),  # opaque bytes
+        StructField("mime", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("checksum_prefix", StringType(), True),
+        StructField("width", IntegerType(), True),  # real decode only
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def real_decode(content: bytes, kind: str) -> dict:
+    """Placeholder for the actual codec call (PIL / librosa / pyav).
+
+    STUB: media codecs are not available in this environment.  The
+    surrounding Spark plumbing (Arrow batches, schema, partition
+    parallelism) is the deliverable; swap this function for the real
+    decoder in production."""
+    raise NotImplementedError(
+        "media codecs not available in this environment; use fake_decode for tests"
+    )
+
+
+def fake_decode(content: bytes, kind: str) -> dict:
+    """Deterministic fake decode used by tests: derives pseudo
+    width/height/frames from the byte length so pipelines downstream
+    of decode are exercised end-to-end."""
+    n = len(content or b"")
+    return {
+        "width": (n % 640) + 1 if kind == "image" else None,
+        "height": (n % 480) + 1 if kind == "image" else None,
+        "n_frames": (n % 24) + 1 if kind == "video" else None,
+    }
+
+
+def extract_media_features(assets: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over a MEDIA_SCHEMA DataFrame.
+
+    Arrow-batched: each partition streams pandas batches through the
+    decoder — the 100 TB pattern for binary columns (decode cost
+    scales out with partitions, bytes never hit the driver)."""
+    import hashlib
+
+    decoder = fake_decode if use_fake_decoder else real_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                d = decoder(content, row["kind"])
+                feats.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "kind": row["kind"],
+                        "byte_len": len(content),
+                        "checksum_prefix": hashlib.md5(content).hexdigest()[:12],
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "n_frames": d.get("n_frames"),
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media assets
+    (kind cycles image/audio/video/text deterministically)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    kind = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("audio"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("video"))
+        .otherwise(F.lit("text"))
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    survey="multimodal (extension)",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'image'
+            WHEN doc_id % 4 = 1 THEN 'audio'
+            WHEN doc_id % 4 = 2 THEN 'video'
+            ELSE 'text' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       substr(md5(text), 1, 12) AS checksum_prefix
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary media columns — byte length +
+    checksum prefix, computed natively (no decode needed).  The
+    decode-requiring features go through extract_media_features."""
+    assets = documents_as_assets(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.octet_length("content").cast("bigint").alias("byte_len"),
+        F.substring(F.md5(F.col("content").cast("string")), 1, 12).alias("checksum_prefix"),
+    )
+
+
+@register(
+    "multimodal_decode_pipeline",
+    survey="multimodal (extension)",
+    oracle=None,  # mapInPandas decode pipeline — rows-only check
+)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary→decode→feature rollup via mapInPandas (fake
+    decoder): per kind, count + avg byte_len + avg pseudo-width."""
+    feats = extract_media_features(documents_as_assets(spark, sf_dir))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.round(F.avg("byte_len"), 4).alias("avg_byte_len"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("n_frames"), 4).alias("avg_frames"),
+    )

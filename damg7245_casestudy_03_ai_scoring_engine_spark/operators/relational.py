@@ -1,0 +1,936 @@
+"""Generic relational operator inventory (SURVEY.md §2.1–§2.8) over
+the driver's TPC-H-ish tables.
+
+Each query is the Spark-first expression of one (or a few) reference
+operator rows — reference citations in the docstrings point at the
+construct being reproduced.  Scale notes:
+
+- Dim tables (region/nation/supplier/part) are explicitly
+  `broadcast()` — at 100 TB the fact side never shuffles for these
+  joins.
+- Aggregations use built-in functions only → map-side partial
+  aggregation + whole-stage codegen for free.
+- Filters/projections precede joins so Catalyst pushes them into the
+  parquet scan (verify with plans.assert_pushed_filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import clamp, conf_floor, safe_div
+from ..sources.catalog import load, ns
+from .registry import register
+
+
+def _tlit(df: DataFrame, colname: str, s: str):
+    """Timestamp literal cast to the column's actual timestamp type.
+    The test tables carry naive (NTZ) timestamps; if a session reads
+    them as TIMESTAMP_NTZ (inferTimestampNTZ on, the default) the
+    literal must be NTZ too, else Spark inserts a session-timezone
+    cast and the semantics drift from the (naive) DuckDB oracle."""
+    t = dict(df.dtypes)[colname]
+    return F.lit(s).cast("timestamp_ntz" if t == "timestamp_ntz" else "timestamp")
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pred_pushdown_revenue",
+    survey="P1,P3,P5",
+    bench=True,
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+""",
+)
+def pred_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan: range + between predicates feeding a
+    single aggregate.  Mirrors the reference's SQL-pushed filters
+    (date windows, app/scoring_engine/talent_penalty.py:101-110);
+    every predicate lands in the parquet scan's PushedFilters."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _tlit(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < _tlit(li, "l_shipdate", "1997-01-01"))
+            & (F.col("l_discount").between(0.02, 0.08))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "soft_delete_filter",
+    survey="P2,A1",
+    oracle="""
+SELECT o_orderstatus AS status, count(*) AS n
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus
+""",
+)
+def soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete style exclusion filter (reference `WHERE is_deleted
+    = FALSE`, scripts/run_scoring_engine.py:557-576)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "time_window_census",
+    survey="P5,A1",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+GROUP BY event_type
+""",
+)
+def time_window_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 7-day window census — the reference's DATEADD signal
+    window (app/routers/signal_summaries.py:82-93) with a literal
+    window so reruns are deterministic.  Partition-prunable if the
+    table is date-partitioned."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("ts") >= F.lit(ns("2024-01-10"))) & (F.col("ts") < F.lit(ns("2024-01-17"))))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "in_list_filter",
+    survey="P6,F1",
+    oracle="""
+SELECT c_mktsegment AS segment, count(*) AS n
+FROM customer
+WHERE upper(c_mktsegment) IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+GROUP BY c_mktsegment
+""",
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER(col) IN (...) predicate (reference
+    scripts/run_scoring_engine.py:557-567 ticker IN-list)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.upper("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "like_prefix_filter",
+    survey="P7",
+    oracle="""
+SELECT p_type, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+WHERE p_type LIKE 'S%'
+GROUP BY p_type
+""",
+)
+def like_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-prefix predicate (reference `model_version LIKE 'v1.0%'`,
+    app/scoring_engine/sem_confidence.py:284-297); StartsWith is
+    pushed to the parquet scan."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").startswith("S"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "keyword_regex_filter",
+    survey="P8,F2",
+    oracle=r"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '\bspark\b') AND regexp_matches(text, '\bquery\b')
+GROUP BY lang
+""",
+)
+def keyword_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary keyword predicate over document text (reference
+    `re.search(r'\\b'+kw+r'\\b')`, app/scoring_engine/rubric_scorer.py:154-159)
+    as a vectorized JVM rlike — no Python loop."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").rlike(r"\bspark\b") & F.col("text").rlike(r"\bquery\b"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_join_fallback",
+    survey="J1,J7,F13",
+    bench=True,
+    oracle="""
+SELECT coalesce(r.r_name, 'UNKNOWN') AS region_name,
+       count(*) AS n_customers,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY coalesce(r.r_name, 'UNKNOWN')
+""",
+)
+def dim_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-schema dim lookup with a default fallback — the
+    reference's companies⟕industries sector lookup with 'Services'
+    default (app/scoring_engine/sector_config.py:23-41).  Both dims
+    broadcast: zero shuffle on the customer side at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.coalesce("r_name", F.lit("UNKNOWN")).alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "fact_join_agg",
+    survey="J2,A1",
+    bench=True,
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderpriority
+""",
+)
+def fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (reference documents⋈document_chunks,
+    scripts/run_scoring_engine.py:753-773) with revenue rollup.  Both
+    sides shuffle on the join key once; AQE picks SMJ vs broadcast by
+    runtime stats."""
+    o = load(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderdate") >= _tlit(o, "o_orderdate", "1996-01-01"))
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "anti_join_dedup",
+    survey="J9,S18,U3",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment AS segment
+FROM customer c
+ANTI JOIN (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's dedup-before-insert existence
+    probe on content_hash (app/scoring_engine/signal_store.py:21-28)
+    as a set operation: customers with no recent orders."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    o = load(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= _tlit(o, "o_orderdate", "2000-01-01")).select(
+        "o_custkey"
+    )
+    return c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+
+
+@register(
+    "semi_join_exists",
+    survey="J9",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n_active
+FROM customer c
+SEMI JOIN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+) o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — customers with at least one large
+    order; complements anti_join_dedup."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_level_agg",
+    survey="A2",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT round(avg(n_orders), 6) AS avg_orders_per_customer,
+       count(*) AS n_customers
+FROM per_cust
+""",
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE-style two-level aggregate — reference portfolio mean jobs
+    intensity (app/scoring_engine/hr_baselines.py:76-99): COUNT per
+    company then AVG over companies."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.agg(
+        F.round(F.avg("n_orders"), 6).alias("avg_orders_per_customer"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "avg_fallback_chain",
+    survey="A3,F13,J1",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       round(coalesce(avg(CASE WHEN c.c_mktsegment = 'BUILDING' THEN c.c_acctbal END),
+                      75.0), 4) AS avg_building_bal
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def avg_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG with a literal fallback when the group is empty — the
+    reference's hr-baseline chain AVG(...) else 75.0
+    (app/scoring_engine/hr_baselines.py:22-53)."""
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.avg(F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal"))),
+                    F.lit(75.0),
+                ),
+                4,
+            ).alias("avg_building_bal")
+        )
+    )
+
+
+@register(
+    "manual_pivot",
+    survey="A4",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       count(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS seg_automobile,
+       count(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 END) AS seg_building,
+       count(CASE WHEN c.c_mktsegment = 'FURNITURE' THEN 1 END) AS seg_furniture,
+       count(CASE WHEN c.c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS seg_household,
+       count(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 END) AS seg_machinery
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def manual_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide per-key counts — the reference's SUM(CASE WHEN
+    signal_type=...) manual pivot (scripts/compute_summary_signals.py:36-61)
+    via `groupBy().pivot()` with an explicit value list (no extra
+    distinct-scan job)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .pivot("c_mktsegment", segs)
+        .count()
+        .na.fill(0, [s for s in segs])
+    )
+    for s in segs:
+        df = df.withColumnRenamed(s, f"seg_{s.lower()}")
+    return df
+
+
+@register(
+    "json_metric_rollup",
+    survey="A5,F8",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG over a JSON-extracted metric — the reference's
+    `AVG(TRY_TO_DOUBLE(metadata:score::string))`
+    (scripts/compute_company_signal_summaries.py:45-60).  try_cast
+    reproduces TRY_TO_DOUBLE's null-on-fail under ANSI mode."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")), 6
+        ).alias("avg_k"),
+    )
+
+
+@register(
+    "weighted_mean_vr",
+    survey="A6,M1,F9",
+    bench=True,
+    oracle="""
+WITH scored AS (
+    SELECT l_returnflag,
+           CAST((l_partkey * 7 + l_suppkey) % 101 AS DOUBLE) AS score,
+           l_quantity / 50.0 AS w,
+           greatest(CAST(l_orderkey % 10 AS DOUBLE) / 10.0, 0.2) AS conf_eff
+    FROM lineitem
+)
+SELECT l_returnflag AS group_key,
+       round(least(greatest(
+           CASE WHEN sum(w * conf_eff) <> 0
+                THEN sum(score * w * conf_eff) / sum(w * conf_eff)
+                ELSE 0.0 END,
+       0.0), 100.0), 6) AS vr_score,
+       count(*) AS n_items
+FROM scored
+GROUP BY l_returnflag
+""",
+)
+def weighted_mean_vr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VR weighted mean (reference app/scoring_engine/vr_model.py:50-96):
+    Σ(score·w·conf_eff)/Σ(w·conf_eff) with the 0.20 confidence floor
+    and [0,100] clamp — here over deterministic columns derived from
+    lineitem keys.  Pure partial-aggregatable column math."""
+    li = load(spark, sf_dir, "lineitem")
+    scored = li.select(
+        "l_returnflag",
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 101).cast("double").alias("score"),
+        (F.col("l_quantity") / 50.0).alias("w"),
+        conf_floor((F.col("l_orderkey") % 10).cast("double") / 10.0).alias("conf_eff"),
+    )
+    wc = F.sum(F.col("w") * F.col("conf_eff"))
+    num = F.sum(F.col("score") * F.col("w") * F.col("conf_eff"))
+    return scored.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.round(clamp(F.when(wc != 0, num / wc).otherwise(F.lit(0.0)), 0.0, 100.0), 6).alias(
+            "vr_score"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "hhi_concentration",
+    survey="A9,M10",
+    oracle="""
+WITH per_supp AS (
+    SELECT s.s_nationkey, l.l_suppkey, count(*) AS cnt
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+    SELECT s_nationkey, sum(cnt) AS total
+    FROM per_supp GROUP BY s_nationkey
+)
+SELECT p.s_nationkey AS nation_key,
+       round(sum((CAST(p.cnt AS DOUBLE) / t.total) ^ 2), 6) AS hhi,
+       CAST(sum(p.cnt) AS BIGINT) AS n_items
+FROM per_supp p
+JOIN tot t ON p.s_nationkey = t.s_nationkey
+GROUP BY p.s_nationkey
+""",
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl index over within-group shares — the reference's
+    HHI talent concentration (app/scoring_engine/talent_penalty.py:126-140).
+    Share denominator via a window sum to avoid a second shuffle."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    s = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    per_supp = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    share = F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    return (
+        per_supp.withColumn("share", share)
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(
+            F.round(F.sum(F.pow(F.col("share"), 2)), 6).alias("hhi"),
+            F.sum("cnt").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "cv_penalty",
+    survey="A10,M12",
+    oracle="""
+SELECT l_returnflag AS group_key,
+       round(CASE WHEN abs(avg(l_quantity)) > 0
+                  THEN stddev_pop(l_quantity) / abs(avg(l_quantity))
+                  ELSE 0.0 END, 6) AS cv,
+       round(least(greatest(1 - 0.25 * (CASE WHEN abs(avg(l_quantity)) > 0
+                  THEN stddev_pop(l_quantity) / abs(avg(l_quantity))
+                  ELSE 0.0 END), 0.0), 1.0), 6) AS cv_penalty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def cv_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation → penalty clamp(1−0.25·cv, 0, 1) —
+    reference scripts/run_scoring_engine.py:37-44 + app/scoring/utils.py:16-28."""
+    li = load(spark, sf_dir, "lineitem")
+    cv_expr = F.when(
+        F.abs(F.avg("l_quantity")) > 0,
+        F.stddev_pop("l_quantity") / F.abs(F.avg("l_quantity")),
+    ).otherwise(F.lit(0.0))
+    return li.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.round(cv_expr, 6).alias("cv"),
+        F.round(clamp(F.lit(1) - 0.25 * cv_expr, 0.0, 1.0), 6).alias("cv_penalty"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    survey="A15",
+    oracle="""
+SELECT DISTINCT c_nationkey AS nation_key, c_mktsegment AS segment
+FROM customer
+""",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (reference scripts/run_scoring_engine.py:557-576)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nation_key"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@register(
+    "approx_distinct",
+    survey="A16",
+    oracle=None,  # approximate by construction — rows-only check
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the scale path the reference
+    lacks (SURVEY.md §2.4 A16): exact countDistinct of o_custkey costs
+    a full shuffle at 100 TB; HLL sketches merge map-side."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rollup_cube",
+    survey="A17",
+    oracle="""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation_key,
+       count(*) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference, SURVEY.md §2.4
+    A17 — provided as the Spark-native capability)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nation_key"),
+            "n",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "corr_pairs",
+    survey="A18",
+    oracle="""
+SELECT l_returnflag AS group_key,
+       round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
+       round(corr(l_discount, l_tax), 6) AS r_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation aggregate — the reference's np.corrcoef
+    cross-dimension matrix (app/scoring_engine/sem_confidence.py:344-364)
+    as a distributed aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("r_disc_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions / §2.6 sorts & limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_per_key",
+    survey="W1,W2",
+    bench=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS total_price
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS rn
+    FROM orders
+)
+WHERE rn = 1
+""",
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-entity window dedup — the reference's
+    `ROW_NUMBER() OVER (PARTITION BY company_id ORDER BY scored_at
+    DESC) = 1` (app/routers/scoring.py:222-241).  One shuffle on the
+    partition key; deterministic tie-break on the unique key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "median_metric",
+    survey="W3",
+    oracle="""
+SELECT l_returnflag AS group_key,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def median_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / percentile (reference Python middle-element
+    median, app/pipelines/job_signals.py:119-124).  Exact `percentile`
+    here for oracle parity; at 100 TB swap to `percentile_approx`
+    (mergeable sketch, no global sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "topk_per_group",
+    survey="W4,O4",
+    bench=True,
+    oracle="""
+WITH supp_rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT s_nationkey AS nation_key, l_suppkey AS supp_key,
+       round(revenue, 2) AS revenue, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY s_nationkey ORDER BY revenue DESC, l_suppkey
+    ) AS rk
+    FROM supp_rev
+)
+WHERE rk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k within group — the reference's top-5 keywords per
+    dimension (app/scoring_engine/evidence_mapper.py:399-407)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp_rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    return (
+        supp_rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("l_suppkey").alias("supp_key"),
+            F.round("revenue", 2).alias("revenue"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "top_orders",
+    survey="O1,O2",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT leaderboard (reference app/routers/scoring.py:222-241)
+    — Spark plans TakeOrderedAndProject (distributed top-k, no global
+    sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "pagination",
+    survey="O3",
+    oracle="""
+SELECT c_custkey, c_name
+FROM (
+    SELECT c_custkey, c_name,
+           row_number() OVER (ORDER BY c_custkey) AS rn
+    FROM customer
+)
+WHERE rn BETWEEN 101 AND 150
+""",
+)
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination via a row_number window (reference
+    app/routers/companies.py:113-170).  Portable across Spark
+    deployments (OFFSET needs 3.4+/Connect)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.select("c_custkey", "c_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(101, 150))
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations / §2.8 scalar function suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_signals",
+    survey="U2",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey AS id, 'orders' AS source, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT event_id AS id, 'events' AS source, value
+    FROM events
+)
+SELECT source, count(*) AS n, round(sum(value), 2) AS total_value
+FROM unioned
+GROUP BY source
+""",
+)
+def union_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous union normalized to a common schema — the
+    reference's evidence union (chunks ∪ signals ∪ glassdoor ∪ board,
+    scripts/run_scoring_engine.py:753-796) via unionByName."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.lit("orders").alias("source"),
+        F.col("o_totalprice").alias("value"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), F.lit("events").alias("source"), F.col("value")
+    )
+    return (
+        o.unionByName(ev)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "content_hash_dedup",
+    survey="S18,F5,U3",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: keep the first row per hash — the
+    reference's sha256 content_hash uniqueness probe
+    (app/pipelines/external_signals.py:123-124 +
+    signal_store.py:21-28).  Aggregate form (min-id per hash) instead
+    of a self-join: one shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "scalar_function_suite",
+    survey="F1,F4,F5,F6,F9,F10,F11,F12",
+    oracle="""
+SELECT n_nationkey AS nation_key,
+       upper(n_name) AS name_upper,
+       lower(n_name) AS name_lower,
+       concat_ws('|', n_name, CAST(n_regionkey AS VARCHAR)) AS concatenated,
+       md5(n_name) AS name_md5,
+       sha256(n_name) AS name_sha256,
+       length(n_name) AS name_len,
+       substr(n_name, 1, 3) AS name_prefix,
+       round(least(greatest(CAST(n_nationkey AS DOUBLE) * 7.5, 10.0), 100.0), 2) AS clamped,
+       CASE WHEN n_regionkey <> 0 THEN round(CAST(n_nationkey AS DOUBLE) / n_regionkey, 4)
+            ELSE -1.0 END AS safe_ratio,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM nation
+""",
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection exercising the scalar-function families F1–F12
+    (case-norm, concat, hashing, clamp, safe division, conditional)
+    — reference citations in SURVEY.md §2.8."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.upper("n_name").alias("name_upper"),
+        F.lower("n_name").alias("name_lower"),
+        F.concat_ws("|", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "concatenated"
+        ),
+        F.md5("n_name").alias("name_md5"),
+        F.sha2(F.col("n_name"), 256).alias("name_sha256"),
+        F.length("n_name").alias("name_len"),
+        F.substring("n_name", 1, 3).alias("name_prefix"),
+        F.round(clamp(F.col("n_nationkey").cast("double") * 7.5, 10.0, 100.0), 2).alias(
+            "clamped"
+        ),
+        F.round(
+            safe_div(F.col("n_nationkey").cast("double"), F.col("n_regionkey"), -1.0), 4
+        ).alias("safe_ratio"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias(
+            "parity"
+        ),
+    )
+
+
+@register(
+    "date_arithmetic",
+    survey="F6,F7",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS n,
+       CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS min_age_days,
+       CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS max_age_days,
+       round(avg(CASE WHEN date_diff('day', DATE '1995-01-01', o_orderdate) / 365.0 <= 1.0
+                      THEN 1.0 - date_diff('day', DATE '1995-01-01', o_orderdate) / 365.0
+                      ELSE 0.0 END), 6) AS avg_recency_factor
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: day ages against a fixed anchor + the
+    reference's recency factor `1 − days/365` clamped at 0
+    (app/pipelines/patent_signals.py:128-143)."""
+    o = load(spark, sf_dir, "orders")
+    age = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    rec = F.when(age / 365.0 <= 1.0, F.lit(1.0) - age / 365.0).otherwise(F.lit(0.0))
+    return o.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(age).cast("bigint").alias("min_age_days"),
+        F.max(age).cast("bigint").alias("max_age_days"),
+        F.round(F.avg(rec), 6).alias("avg_recency_factor"),
+    )

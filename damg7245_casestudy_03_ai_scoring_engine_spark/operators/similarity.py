@@ -1,0 +1,262 @@
+"""Similarity search over the `embeddings` table (array<float> vecs).
+
+- brute-force cosine top-k: the correctness baseline; cross-join +
+  per-query top-k window.  Fine for small query sets; O(n·q).
+- IVF-lite top-k: the scale path — centroids (here: per-label mean,
+  i.e. a pre-trained coarse quantizer), assign query → nearest
+  centroid, search only that partition.  At 100 TB the data side is
+  bucketed by centroid id so a probe touches 1/nlist of the data.
+- embedding-cosine near-dup pairs: threshold self-join.
+
+All vector math is higher-order-function column math in double
+precision (functions/vectors.py) — identical arithmetic is replayed
+in the DuckDB oracle via DOUBLE[] casts, and every rank/filter uses
+the 6-dp *rounded* similarity so FP ordering can't diverge between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..sources.catalog import load
+from .registry import register
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+@register(
+    "ann_topk_bruteforce",
+    survey="similarity (extension)",
+    bench=True,
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS cand_id, label AS cand_label, embedding::DOUBLE[] AS cv
+    FROM embeddings
+),
+scored AS (
+    SELECT query_id, cand_id, cand_label,
+           round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                       AND sqrt(list_dot_product(cv, cv)) > 0
+                      THEN list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM q CROSS JOIN c
+    WHERE query_id <> cand_id
+)
+SELECT query_id, cand_id, cand_label, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {_TOP_K}
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors.
+    Ranking uses the rounded similarity + id tie-break so the result
+    set is engine-deterministic."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cand_label",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    survey="similarity (extension)",
+    oracle=f"""
+WITH cent_flat AS (
+    SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+    FROM (
+        SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
+),
+q_flat AS (
+    SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+q_cent AS (
+    SELECT q.query_id, c.label,
+           round(CASE WHEN sqrt(sum(q.x * q.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
+                      THEN sum(q.x * c.cx) / (sqrt(sum(q.x * q.x)) * sqrt(sum(c.cx * c.cx)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM q_flat q JOIN cent_flat c ON q.i = c.i
+    GROUP BY q.query_id, c.label
+),
+assign AS (
+    SELECT query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, label
+        ) AS rk
+        FROM q_cent
+    )
+    WHERE rk = 1
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                       AND sqrt(list_dot_product(e.cv, e.cv)) > 0
+                      THEN list_dot_product(q.qv, e.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.cv, e.cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM assign a
+    JOIN q ON a.query_id = q.query_id
+    JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings) e
+      ON e.label = a.probe_label AND e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {_TOP_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids as the coarse quantizer,
+    single-probe search within the assigned partition.  The centroid
+    build is a posexplode + groupBy (runs once, broadcastable); the
+    probe join touches only the matching label's rows — the bucketed
+    scale path vs the brute-force baseline."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+
+    cent_flat = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+    )
+    q_flat = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    q_cent = (
+        q_flat.join(F.broadcast(cent_flat), "i")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.when(
+                    (qn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
+    assign = (
+        q_cent.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("probe_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        assign.join(q, "query_id")
+        .join(cand, "probe_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
+@register(
+    "embedding_near_dup",
+    survey="S18,similarity (extension)",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       a.label AS label_a, b.label AS label_b,
+       round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                   AND sqrt(list_dot_product(b.v, b.v)) > 0
+                  THEN list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  ELSE 0.0 END, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                  AND sqrt(list_dot_product(b.v, b.v)) > 0
+                 THEN list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 ELSE 0.0 END, 6) >= 0.4
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 on this
+    synthetic corpus).  At scale this becomes an LSH/IVF-blocked join;
+    the all-pairs form is the oracle anchor."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = F.round(cosine_similarity("va", "vb"), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,0 +1,185 @@
+"""Text-analysis operators over the `documents` table — language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+The LLM-data-pipeline extension set; all native column expressions
+(JVM/codegen), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import clamp
+from ..functions.text import STOPWORDS_EN, stopword_ratio, token_count, word_tokens
+from ..sources.catalog import load
+from .registry import register
+
+_SW_SQL = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+
+
+@register(
+    "text_quality_scores",
+    survey="text-analysis (extension)",
+    bench=True,
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           string_split_regex(trim(text), '\s+') AS ws
+    FROM documents
+),
+m AS (
+    SELECT doc_id, lang, source,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_distinct,
+           CASE WHEN len(ws) > 0
+                THEN len(list_filter(ws, w -> lower(w) IN ({_SW_SQL})))::DOUBLE / len(ws)
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN len(ws) > 0
+                THEN list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+                ELSE 0.0 END AS avg_token_len
+    FROM toks
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS INT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0.0 END, 6)
+           AS distinct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(least(greatest(
+           0.25 * least(n_tokens / 100.0, 1.0)
+           + 0.25 * (1.0 - stop_ratio)
+           + 0.25 * (CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0.0 END)
+           + 0.25 * least(avg_token_len / 6.0, 1.0),
+       0.0), 1.0), 6) AS quality
+FROM m
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + blended quality score in [0,1]
+    (length, stopword ratio, type-token ratio, avg token length) —
+    the fixed-weight blend style of the reference's review-culture
+    scoring (glassdoor_collector.py:129-222) applied to corpus QA."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = word_tokens(F.col("text"))
+    n = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    stop = stopword_ratio(F.col("text"))
+    tok_len_sum = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    avg_len = F.when(n > 0, tok_len_sum.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    distinct_ratio = F.when(n > 0, n_distinct.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    quality = clamp(
+        0.25 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.25 * (F.lit(1.0) - stop)
+        + 0.25 * distinct_ratio
+        + 0.25 * F.least(avg_len / 6.0, F.lit(1.0)),
+        0.0,
+        1.0,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n.cast("int").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "token_stats_by_source",
+    survey="text-analysis (extension)",
+    oracle=r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+       CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count rollup per source — the whitespace tokenizer
+    (word_count analog, reference document_parser.py word_count
+    columns) as a groupBy aggregate."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n = token_count(F.col("text"))
+    return (
+        d.select("source", n.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    survey="text-analysis (extension)",
+    oracle=rf"""
+WITH m AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> lower(w) IN ({_SW_SQL})))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+'))
+                ELSE 0.0 END AS stop_ratio
+    FROM documents
+)
+SELECT lang AS actual_lang,
+       CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted,
+       count(*) AS n
+FROM m
+GROUP BY lang, CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic → confusion matrix
+    against the labeled lang column.  (The n-gram-profile version of
+    this operator slots in the same shape: per-doc feature → argmax
+    classify → rollup.)"""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    stop = stopword_ratio(F.col("text"))
+    pred = F.when(stop >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select(F.col("lang").alias("actual_lang"), pred.alias("predicted"))
+        .groupBy("actual_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    survey="text-analysis,F5 (extension)",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(
+           range(1, greatest(length(text) - 7, 1) + 1, 4),
+           i -> md5(substr(text, CAST(i AS INTEGER), 8))
+       )) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over 8-char shingles
+    at stride 4 (winnowing-style min-hash selection).  Content-defined
+    → robust to metadata changes, cheap to compare across corpora."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    text = F.col("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - 7, F.lit(1)), F.lit(4)
+    )
+    fp = F.array_min(
+        F.transform(starts, lambda i: F.md5(F.substr(text, i, F.lit(8))))
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

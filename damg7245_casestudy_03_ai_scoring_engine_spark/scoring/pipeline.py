@@ -1,0 +1,83 @@
+"""The flagship scoring DAG — per-company Org-AI-R composite from raw
+evidence in a single DataFrame plan (reference pipeline
+scripts/run_scoring_engine.py:286-554, steps traced in SURVEY.md §3.1).
+
+Where the reference loops companies serially and round-trips Snowflake
+per step, this is one declarative plan: Catalyst fuses the stages,
+reuses the company_id partitioning across VR/HHI/composite, and
+broadcasts every config table.  Scoring 10 companies or 10 million is
+the same code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import clamp
+from .composite import composite_score, with_score_band
+from .config import DEFAULT_HR_BASE, SECTOR_HR_BASE
+from .demo_domain import companies, dimension_scores, evidence_rows
+from .hr import hr_score
+from .synergy import formula_synergy
+from .talent import hhi, hhi_penalty_factor
+from .vr import vr_scores
+
+
+def _hr_base_expr(sector_col):
+    it = iter(SECTOR_HR_BASE.items())
+    s0, v0 = next(it)
+    expr = F.when(sector_col == s0, F.lit(v0))
+    for s, v in it:
+        expr = expr.when(sector_col == s, F.lit(v))
+    return expr.otherwise(F.lit(DEFAULT_HR_BASE))
+
+
+def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: evidence → dimension scores → VR (+CV penalty,
+    HHI penalty) → HR → formula synergy → composite + band.
+
+    Returns one row per company:
+      company_id, sector, vr_score, hr_score, synergy_score,
+      composite_score, score_band, hhi, hhi_factor, n_items
+    (floats rounded 4dp; hhi 6dp).
+    """
+    comp = companies(spark, sf_dir)
+    ds = dimension_scores(spark, sf_dir)
+
+    vr = vr_scores(ds)  # company_id, vr_raw, cv, cv_penalty, vr_score(=raw·pen)
+
+    supplier_hhi = hhi(
+        evidence_rows(spark, sf_dir).select("company_id", "supp_key"),
+        key="company_id",
+        category="supp_key",
+    )
+
+    scored = (
+        vr.join(supplier_hhi, "company_id")
+        .withColumn("hhi_factor", hhi_penalty_factor("hhi", "n_items"))
+        .withColumn(
+            "vr_final", clamp(F.col("vr_score") * F.col("hhi_factor"), 0.0, 100.0)
+        )
+        .join(comp, "company_id")
+        .withColumn("hr_base", _hr_base_expr(F.col("sector")))
+        .withColumn("hr_final", hr_score("hr_base", "position_factor"))
+        .withColumn("syn_final", formula_synergy("vr_final", "hr_final"))
+        .withColumn(
+            "composite_score",
+            F.round(composite_score("vr_final", "hr_final", "syn_final"), 4),
+        )
+    )
+    out = with_score_band(scored).select(
+        "company_id",
+        "sector",
+        F.round("vr_final", 4).alias("vr_score"),
+        F.round("hr_final", 4).alias("hr_score"),
+        F.round("syn_final", 4).alias("synergy_score"),
+        "composite_score",
+        "score_band",
+        F.round("hhi", 6).alias("hhi"),
+        F.col("hhi_factor"),
+        F.col("n_items"),
+    )
+    return out

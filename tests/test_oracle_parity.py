@@ -1,0 +1,68 @@
+"""Spark ↔ DuckDB oracle parity for every registered query — the
+local mirror of the driver's correctness gate (row count + sorted
+schema + order-insensitive value comparison) at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def _canon(rows, colnames):
+    """Order-insensitive canonical form: rows as tuples of columns
+    sorted by column name, floats rounded to 9 significant places."""
+    idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return bool(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return float(f"{v:.9g}")
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return float(f"{float(v):.9g}")
+        except Exception:
+            pass
+        return v
+
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+WEAK_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [f.lower() for f in sdf.columns]
+
+    res = duck.execute(spec.oracle)
+    drows = res.fetchall()
+    dcols = [d[0].lower() for d in res.description]
+
+    assert sorted(scols) == sorted(dcols), f"schema mismatch: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"row count {len(srows)} vs {len(drows)}"
+    assert _canon(srows, scols) == _canon(drows, dcols)
+
+
+@pytest.mark.parametrize("name", WEAK_QUERIES)
+def test_rows_only(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
