@@ -3,6 +3,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 # Importing the modules below populates REGISTRY via @register.
 from . import relational  # noqa: F401,E402
 from . import scoring_queries  # noqa: F401,E402
+from . import evidence_queries  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textops  # noqa: F401,E402

@@ -1,0 +1,269 @@
+"""Evidence-featurization queries (SURVEY.md §2.3 J5/J6, §2.4 A7/A8,
+§2.9 M17/M18) over a demo evidence corpus derived from the
+`documents` table.
+
+The taxonomy here uses the synthetic corpus vocabulary (the real
+SOURCE/DIMENSION keyword seeds live in scoring/config.py and the
+engine functions in scoring/evidence.py are taxonomy-agnostic); the
+oracle SQL replays the same containment-join + aggregates + rubric
+when-ladder in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..scoring.config import SOURCE_PROFILES
+from ..scoring.evidence import (
+    RUBRIC_LEVELS,
+    dimension_hits,
+    keyword_matches,
+    quant_metric,
+    rubric_confidence,
+    rubric_score,
+)
+from ..sources.catalog import load
+from .registry import register
+
+# Demo taxonomy over the synthetic corpus vocabulary.  'governance'
+# never occurs → exercises the no-match path.
+DEMO_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "data_infrastructure": ("data", "table", "column"),
+    "technology_stack": ("spark", "vector", "hash"),
+    "use_case_portfolio": ("query", "stream", "batch"),
+    "talent_skills": ("customer", "group"),
+    "leadership_vision": ("order", "sort"),
+    "ai_governance": ("filter", "scan", "governance"),
+    "culture_change": ("window", "merge"),
+}
+
+_SOURCES = list(SOURCE_PROFILES.keys())  # 9 canonical sources, stable order
+
+
+def _source_name_expr(src_col):
+    idx = F.substring(src_col, 4, 10).cast("int") % len(_SOURCES)
+    expr = F.when(idx == 0, F.lit(_SOURCES[0]))
+    for i in range(1, len(_SOURCES)):
+        expr = expr.when(idx == i, F.lit(_SOURCES[i]))
+    return expr.otherwise(F.lit(_SOURCES[0]))
+
+
+def _reliability_expr(name_col):
+    it = list(SOURCE_PROFILES.items())
+    expr = F.when(name_col == it[0][0], F.lit(it[0][1][0]))
+    for src, (rel, _w) in it[1:]:
+        expr = expr.when(name_col == src, F.lit(rel))
+    return expr.otherwise(F.lit(0.5))
+
+
+def demo_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → evidence rows: evidence_id, company_id, source
+    (canonical), reliability, confidence, text."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    src = _source_name_expr(F.col("source"))
+    return d.select(
+        F.col("doc_id").alias("evidence_id"),
+        (F.col("doc_id") % 50).alias("company_id"),
+        src.alias("source"),
+        _reliability_expr(src).alias("reliability"),
+        (F.lit(0.5) + (F.col("doc_id") % 5).cast("double") / 10.0).alias("confidence"),
+        "text",
+    )
+
+
+def demo_keywords_df(spark: SparkSession) -> DataFrame:
+    rows = [(d, k) for d, ks in DEMO_KEYWORDS.items() for k in ks]
+    return spark.createDataFrame(rows, "dimension string, keyword string")
+
+
+# --- shared oracle CTE fragments ------------------------------------------
+
+_SRC_CASE = "CASE (CAST(substr(source, 4, 10) AS INT) % 9)\n" + "\n".join(
+    f"             WHEN {i} THEN '{s}'" for i, s in enumerate(_SOURCES)
+) + "\n             ELSE '" + _SOURCES[0] + "' END"
+
+_REL_CASE = "CASE src\n" + "\n".join(
+    f"             WHEN '{s}' THEN {rel}" for s, (rel, _w) in SOURCE_PROFILES.items()
+) + "\n             ELSE 0.5 END"
+
+_KW_VALUES = ",\n           ".join(
+    f"('{d}', '{k}')" for d, ks in DEMO_KEYWORDS.items() for k in ks
+)
+
+_EVIDENCE_SQL = f"""
+ev_raw AS (
+    SELECT doc_id AS evidence_id,
+           doc_id % 50 AS company_id,
+           {_SRC_CASE} AS src,
+           0.5 + CAST(doc_id % 5 AS DOUBLE) / 10.0 AS confidence,
+           text
+    FROM documents
+),
+evd AS (
+    SELECT evidence_id, company_id, src AS source,
+           {_REL_CASE} AS reliability,
+           confidence, text
+    FROM ev_raw
+),
+kw(dimension, keyword) AS (
+    VALUES {_KW_VALUES}
+),
+matches AS (
+    SELECT e.*, k.dimension, k.keyword
+    FROM evd e JOIN kw k ON contains(e.text, k.keyword)
+)"""
+
+
+@register(
+    "keyword_taxonomy_match",
+    survey="J5,A8,F3",
+    bench=True,
+    oracle=f"""
+WITH {_EVIDENCE_SQL.lstrip()}
+SELECT company_id, dimension,
+       count(*) AS n_hits,
+       count(DISTINCT keyword) AS n_distinct_keywords,
+       count(DISTINCT evidence_id) AS n_evidence
+FROM matches
+GROUP BY company_id, dimension
+""",
+)
+def keyword_taxonomy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: evidence × taxonomy broadcast containment join (substring
+    semantics, reference evidence_mapper.py:283-299) rolled up per
+    (company, dimension)."""
+    ev = demo_evidence(spark, sf_dir)
+    return dimension_hits(ev, demo_keywords_df(spark))
+
+
+@register(
+    "source_payloads",
+    survey="A8,W4,J6",
+    oracle=f"""
+WITH {_EVIDENCE_SQL.lstrip()},
+freq AS (
+    SELECT source, keyword, count(*) AS cnt
+    FROM matches
+    GROUP BY source, keyword
+)
+SELECT source, keyword, cnt, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY cnt DESC, keyword
+    ) AS rk
+    FROM freq
+)
+WHERE rk <= 3
+""",
+)
+def source_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: keyword-frequency rollup per source bucket with top-3
+    keywords (reference evidence_mapper.py:360-407 build_source_payloads
+    + top-5 keyword maps)."""
+    from pyspark.sql import Window
+
+    ev = demo_evidence(spark, sf_dir)
+    m = keyword_matches(ev, demo_keywords_df(spark))
+    freq = m.groupBy("source", "keyword").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("keyword"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
+@register(
+    "evidence_dimension_features",
+    survey="A7,J6",
+    oracle=f"""
+WITH {_EVIDENCE_SQL.lstrip()}
+SELECT company_id, dimension,
+       round(CASE WHEN sum(confidence * reliability) <> 0
+                  THEN sum(100.0 * confidence * reliability) / sum(confidence * reliability)
+                  ELSE 50.0 END, 6) AS weighted_score,
+       round(CASE WHEN count(*) > 0
+                  THEN sum(confidence * reliability) / count(*)
+                  ELSE 0.5 END, 6) AS confidence,
+       count(*) AS evidence_count
+FROM matches
+GROUP BY company_id, dimension
+""",
+)
+def evidence_dimension_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: reliability·confidence-weighted dimension features
+    (reference evidence_mapper.py:159-213)."""
+    from ..scoring.evidence import weighted_dimension_features
+
+    ev = demo_evidence(spark, sf_dir)
+    out = weighted_dimension_features(ev, demo_keywords_df(spark))
+    return out.select(
+        "company_id",
+        "dimension",
+        F.round("weighted_score", 6).alias("weighted_score"),
+        F.round("confidence", 6).alias("confidence"),
+        "evidence_count",
+    )
+
+
+def _rubric_case_sql(hits: str, metric: str) -> str:
+    lines = []
+    for level, min_hits, min_metric, lo, hi in RUBRIC_LEVELS[:-1]:
+        interp = (
+            f"{lo} + {hi - lo} * least(1.0, CAST({hits} AS DOUBLE) / {float(max(min_hits, 1))})"
+        )
+        lines.append(f"WHEN {hits} >= {min_hits} AND {metric} >= {min_metric} THEN {interp}")
+    return "CASE " + "\n            ".join(lines) + " ELSE 10.0 END"
+
+
+@register(
+    "rubric_dimension_scores",
+    survey="M17,M18,F14",
+    bench=True,
+    oracle=f"""
+WITH {_EVIDENCE_SQL.lstrip()},
+agg AS (
+    SELECT company_id, dimension,
+           count(*) AS n_hits,
+           count(DISTINCT evidence_id) AS n_evidence,
+           avg(reliability) AS avg_rel
+    FROM matches
+    GROUP BY company_id, dimension
+),
+m AS (
+    SELECT *,
+           least(greatest(0.45 * n_hits / 30.0 + 0.35 * n_evidence / 40.0
+                          + 0.20 * avg_rel, 0.0), 1.0) AS metric
+    FROM agg
+)
+SELECT company_id, dimension, n_hits, n_evidence,
+       round(metric, 6) AS metric,
+       round({_rubric_case_sql("n_hits", "metric")}, 6) AS rubric_score,
+       round(least(0.95, 0.50 + 0.08 * n_hits + 0.30 * metric), 6) AS rubric_confidence
+FROM m
+""",
+)
+def rubric_dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17/M18: ordered rubric descent (first satisfied level wins,
+    when-chain — NOT a join that could match several levels) over
+    keyword-hit counts + the quant-metric proxy."""
+    ev = demo_evidence(spark, sf_dir)
+    agg = keyword_matches(ev, demo_keywords_df(spark)).groupBy("company_id", "dimension").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("evidence_id").alias("n_evidence"),
+        F.avg("reliability").alias("avg_rel"),
+    )
+    metric = quant_metric(F.col("n_hits"), F.col("n_evidence"), F.col("avg_rel"))
+    withm = agg.withColumn("metric", metric)
+    return withm.select(
+        "company_id",
+        "dimension",
+        "n_hits",
+        "n_evidence",
+        F.round("metric", 6).alias("metric"),
+        F.round(rubric_score(F.col("n_hits"), F.col("metric")), 6).alias("rubric_score"),
+        F.round(rubric_confidence(F.col("n_hits"), F.col("metric")), 6).alias(
+            "rubric_confidence"
+        ),
+    )

@@ -105,8 +105,7 @@ def dimension_scores_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FLAGSHIP_SQL = f"""
-WITH {_EV_SQL.lstrip()},
+_FLAGSHIP_CTES = f"""{_EV_SQL.lstrip()},
 {_DS_SQL.lstrip()},
 {_COMPANIES_SQL.lstrip()},
 dsw AS (
@@ -184,7 +183,10 @@ agg AS (
                (1.0 - 0.12) * (0.60 * vr_final + 0.40 * hr_final) + 0.12 * syn_final,
            0.0), 100.0), 4) AS composite_score
     FROM syn
-)
+)"""
+
+_FLAGSHIP_SQL = f"""
+WITH {_FLAGSHIP_CTES}
 SELECT company_id, sector,
        round(vr_final, 4) AS vr_score,
        round(hr_final, 4) AS hr_score,
@@ -341,4 +343,164 @@ def sem_spearman_brown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sigma", 6).alias("sigma"),
         F.round(rho, 6).alias("rho"),
         F.round(F.greatest(F.col("sigma") * F.sqrt(1.0 - rho), F.lit(0.5)), 6).alias("sem"),
+    )
+
+
+_HR_BASE_CASE = """CASE c.sector
+             WHEN 'Industrials' THEN 72.0
+             WHEN 'Healthcare' THEN 78.0
+             WHEN 'Services' THEN 75.0
+             WHEN 'Consumer' THEN 70.0
+             WHEN 'Financial' THEN 80.0
+             ELSE 75.0 END"""
+
+
+@register(
+    "hr_position_stack",
+    survey="M5,M7,M11,A2",
+    oracle=f"""
+WITH {_FLAGSHIP_CTES},
+ord_cnt AS (
+    SELECT o_custkey AS company_id, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+port AS (
+    SELECT avg(CAST(n_orders AS DOUBLE)) AS avg_orders FROM ord_cnt
+),
+savg AS (
+    SELECT c.sector, avg(v.vr_score) AS sector_avg_vr
+    FROM vrp v JOIN comp c ON v.company_id = c.company_id
+    GROUP BY c.sector
+),
+m AS (
+    SELECT v.company_id, c.sector, v.vr_score, c.position_factor,
+           o.n_orders, p.avg_orders, s.sector_avg_vr,
+           {_HR_BASE_CASE} AS hr_base,
+           (c.position_factor + 1.0) / 2.0 AS mcap_pct
+    FROM vrp v
+    JOIN comp c ON v.company_id = c.company_id
+    JOIN ord_cnt o ON v.company_id = o.company_id
+    CROSS JOIN port p
+    JOIN savg s ON s.sector = c.sector
+),
+calc AS (
+    SELECT *,
+           least(greatest(hr_base / 75.0, 0.7), 1.3) AS baseline_norm,
+           CASE WHEN n_orders < 3 OR avg_orders = 0 THEN 1.0
+                ELSE least(greatest(
+                    1.0 + 0.5 * ((CAST(n_orders AS DOUBLE) / avg_orders) - 1.0)
+                        / least(greatest(hr_base / 75.0, 0.7), 1.3),
+                0.0), 2.0) END AS hr_factor,
+           least(greatest(
+               0.6 * least(greatest((vr_score - sector_avg_vr) / 50.0, -1.0), 1.0)
+               + 0.4 * least(greatest((mcap_pct - 0.5) * 2.0, -1.0), 1.0),
+           -1.0), 1.0) AS pf_model
+    FROM m
+)
+SELECT company_id, sector, n_orders,
+       round(hr_factor, 6) AS hr_factor,
+       round(pf_model, 6) AS position_factor_model,
+       round((1.0 - 0.2) * vr_score + 0.2 * sector_avg_vr, 6) AS vr_blended
+FROM calc
+""",
+)
+def hr_position_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 HR factor (jobs-intensity analog over order counts,
+    reference app/scoring_engine/hr_baselines.py:102-191), M7 position
+    factor (app/scoring/position_factor.py:7-29) against the computed
+    sector-average VR, and M11 prior blending
+    (run_scoring_engine.py:47-49) toward the sector mean."""
+    from ..functions.core import blend, clamp as _clamp
+    from ..scoring.demo_domain import companies as companies_df
+    from ..scoring.demo_domain import dimension_scores as ds_df
+    from ..scoring.hr import position_factor as pf_model_col
+    from ..scoring.pipeline import _hr_base_expr
+    from ..scoring.vr import vr_scores
+    from ..sources.catalog import load as _load
+
+    vr = vr_scores(ds_df(spark, sf_dir)).select("company_id", "vr_score")
+    comp = companies_df(spark, sf_dir)
+    orders = _load(spark, sf_dir, "orders")
+    ord_cnt = orders.groupBy(F.col("o_custkey").alias("company_id")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    port = ord_cnt.agg(F.avg(F.col("n_orders").cast("double")).alias("avg_orders"))
+    savg = (
+        vr.join(comp, "company_id")
+        .groupBy("sector")
+        .agg(F.avg("vr_score").alias("sector_avg_vr"))
+    )
+    m = (
+        vr.join(comp, "company_id")
+        .join(ord_cnt, "company_id")
+        .crossJoin(F.broadcast(port))
+        .join(F.broadcast(savg), "sector")
+        .withColumn("hr_base", _hr_base_expr(F.col("sector")))
+        .withColumn("mcap_pct", (F.col("position_factor") + 1.0) / 2.0)
+    )
+    baseline_norm = _clamp(F.col("hr_base") / 75.0, 0.7, 1.3)
+    intensity = F.col("n_orders").cast("double") / F.col("avg_orders")
+    hr_factor = F.when(
+        (F.col("n_orders") < 3) | (F.col("avg_orders") == 0), F.lit(1.0)
+    ).otherwise(_clamp(F.lit(1.0) + 0.5 * (intensity - 1.0) / baseline_norm, 0.0, 2.0))
+    pf = pf_model_col("vr_score", "sector_avg_vr", "mcap_pct")
+    return m.select(
+        "company_id",
+        "sector",
+        "n_orders",
+        F.round(hr_factor, 6).alias("hr_factor"),
+        F.round(pf, 6).alias("position_factor_model"),
+        F.round(blend("vr_score", F.col("sector_avg_vr"), 0.2), 6).alias("vr_blended"),
+    )
+
+
+_DEMO_RANGES: tuple[tuple[str, float, float], ...] = (
+    ("Industrials", 50.0, 75.0),
+    ("Healthcare", 52.0, 78.0),
+    ("Services", 50.0, 76.0),
+    ("Consumer", 48.0, 74.0),
+    ("Financial", 55.0, 80.0),
+)
+_RANGES_VALUES = ",\n           ".join(f"('{s}', {lo}, {hi})" for s, lo, hi in _DEMO_RANGES)
+
+
+@register(
+    "portfolio_range_validation",
+    survey="M19",
+    oracle=f"""
+WITH {_FLAGSHIP_CTES},
+ranges(sector, lo, hi) AS (
+    VALUES {_RANGES_VALUES}
+)
+SELECT a.sector,
+       count(*) AS n_companies,
+       CAST(sum(CASE WHEN a.composite_score BETWEEN r.lo AND r.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_range,
+       CAST(sum(CASE WHEN a.composite_score < r.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN a.composite_score > r.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM agg a
+JOIN ranges r ON a.sector = r.sector
+GROUP BY a.sector
+""",
+)
+def portfolio_range_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19: golden-range validation (reference
+    app/scoring_engine/portfolio_validation.py:10-51) — composite
+    scores checked against per-sector expected bands via a broadcast
+    ranges join + between()."""
+    scores = score_portfolio(spark, sf_dir).select("company_id", "sector", "composite_score")
+    ranges = F.broadcast(
+        spark.createDataFrame(list(_DEMO_RANGES), "sector string, lo double, hi double")
+    )
+    j = scores.join(ranges, "sector")
+    in_range = F.col("composite_score").between(F.col("lo"), F.col("hi"))
+    return j.groupBy("sector").agg(
+        F.count(F.lit(1)).alias("n_companies"),
+        F.sum(in_range.cast("long")).cast("bigint").alias("n_in_range"),
+        F.sum((F.col("composite_score") < F.col("lo")).cast("long")).cast("bigint").alias(
+            "n_below"
+        ),
+        F.sum((F.col("composite_score") > F.col("hi")).cast("long")).cast("bigint").alias(
+            "n_above"
+        ),
     )

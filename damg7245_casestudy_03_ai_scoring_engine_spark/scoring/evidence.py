@@ -1,0 +1,123 @@
+"""Evidence → dimension featurization (reference
+app/scoring_engine/evidence_mapper.py + rubric_scorer.py, SURVEY.md
+§2.3 J5/J6, §2.4 A7/A8, §2.9 M17/M18).
+
+Reference semantics reproduced:
+- keyword-taxonomy match (evidence_mapper.py:283-299): each evidence
+  text is checked for *substring* containment (`kw in text` — NOT
+  word-boundary; F3 vs F2 distinction in SURVEY §2.8) against each
+  dimension's keyword list; matches emit (evidence, dimension,
+  matched_keywords).
+- source payloads (evidence_mapper.py:360-373): per source bucket,
+  evidence counts + keyword frequencies.
+- weighted dimension features (evidence_mapper.py:159-213): per
+  dimension Σ(raw·conf·rel·w)/Σ(w·conf·rel), confidence
+  Σ(conf·rel·w)/Σw, with defaults score 50 / conf 0.5 when nothing
+  matched.
+- rubric scorer (rubric_scorer.py:169-231): ordered level descent
+  L5→L1 — first level whose (min keyword hits, min metric) are both
+  met wins; score interpolates inside the level band
+  lo + (hi−lo)·min(1, hits/needed); confidence
+  min(0.95, 0.50 + 0.08·hits + 0.30·metric); L1 default score 10,
+  confidence 0.40.
+- quant-metric proxy (rubric_scorer.py:245-256):
+  clamp(0.45·ws/30 + 0.35·ev/40 + 0.20·rel, 0, 1).
+
+Spark shape: the taxonomy is a broadcast (dimension, keyword) table;
+the containment match is a broadcast nested-loop join filtered by
+`contains` — no shuffle on the evidence side; everything downstream
+is groupBy aggregates and when-ladders (ordered descent must be a
+when-chain, not a join, to preserve first-match-wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import clamp
+
+# Rubric level bands (reference rubric_scorer.py:83-133 shape): level,
+# min keyword hits, min metric, score band [lo, hi].
+RUBRIC_LEVELS: tuple[tuple[int, int, float, float, float], ...] = (
+    (5, 8, 0.80, 85.0, 100.0),
+    (4, 6, 0.60, 70.0, 85.0),
+    (3, 4, 0.40, 55.0, 70.0),
+    (2, 2, 0.20, 30.0, 55.0),
+    (1, 0, 0.00, 10.0, 30.0),
+)
+
+
+def keyword_matches(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
+    """J5: broadcast containment join.
+
+    evidence: evidence_id, company_id, source, text, confidence, reliability
+    keywords: dimension, keyword
+    Returns one row per (evidence, dimension, keyword) hit.
+    """
+    kw = F.broadcast(keywords)
+    return evidence.join(
+        kw, F.col("text").contains(F.col("keyword"))
+    )  # substring semantics — deliberately not word-boundary (F3)
+
+
+def dimension_hits(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
+    """Per (company, dimension): keyword hit stats from J5 matches."""
+    m = keyword_matches(evidence, keywords)
+    return m.groupBy("company_id", "dimension").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("keyword").alias("n_distinct_keywords"),
+        F.countDistinct("evidence_id").alias("n_evidence"),
+    )
+
+
+def weighted_dimension_features(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
+    """A7: per (company, dimension) weighted score & confidence.
+
+    raw per-hit score = 50 + 5·(hits per evidence piece capped 10)…
+    simplified to the reference's weighted-mean form with raw=100 for
+    a hit row, aggregated as Σ(raw·conf·rel)/Σ(conf·rel); empty
+    dimensions get the 50/0.5 defaults downstream via coalesce.
+    """
+    m = keyword_matches(evidence, keywords)
+    num = F.sum(F.lit(100.0) * F.col("confidence") * F.col("reliability"))
+    den = F.sum(F.col("confidence") * F.col("reliability"))
+    return m.groupBy("company_id", "dimension").agg(
+        F.when(den != 0, num / den).otherwise(F.lit(50.0)).alias("weighted_score"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.sum(F.col("confidence") * F.col("reliability")) / F.count(F.lit(1)),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("confidence"),
+        F.count(F.lit(1)).alias("evidence_count"),
+    )
+
+
+def quant_metric(weighted_signals: Column, evidence_count: Column, reliability: Column) -> Column:
+    """M18: metric = clamp(0.45·ws/30 + 0.35·ev/40 + 0.20·rel, 0, 1)
+    (rubric_scorer.py:245-256)."""
+    return clamp(
+        0.45 * weighted_signals / 30.0 + 0.35 * evidence_count / 40.0 + 0.20 * reliability,
+        0.0,
+        1.0,
+    )
+
+
+def rubric_score(hits: Column, metric: Column) -> Column:
+    """M17 ordered level descent as a when-chain (first satisfied level
+    wins, L5→L1) with in-band interpolation."""
+    expr = None
+    for level, min_hits, min_metric, lo, hi in RUBRIC_LEVELS[:-1]:
+        interp = F.lit(lo) + (hi - lo) * F.least(
+            F.lit(1.0), hits.cast("double") / F.lit(float(max(min_hits, 1)))
+        )
+        cond = (hits >= min_hits) & (metric >= min_metric)
+        expr = F.when(cond, interp) if expr is None else expr.when(cond, interp)
+    # L1 default: score 10 (rubric_scorer.py:221-224)
+    return expr.otherwise(F.lit(10.0))
+
+
+def rubric_confidence(hits: Column, metric: Column) -> Column:
+    """min(0.95, 0.50 + 0.08·hits + 0.30·metric) (rubric_scorer.py:212-218)."""
+    return F.least(F.lit(0.95), F.lit(0.50) + 0.08 * hits.cast("double") + 0.30 * metric)
