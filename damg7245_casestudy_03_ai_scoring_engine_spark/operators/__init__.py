@@ -8,3 +8,4 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textops  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import writes  # noqa: F401,E402

@@ -182,10 +182,10 @@ WITH {_EVIDENCE_SQL.lstrip()}
 SELECT company_id, dimension,
        round(CASE WHEN sum(confidence * reliability) <> 0
                   THEN sum(100.0 * confidence * reliability) / sum(confidence * reliability)
-                  ELSE 50.0 END, 6) AS weighted_score,
-       round(CASE WHEN count(*) > 0
-                  THEN sum(confidence * reliability) / count(*)
-                  ELSE 0.5 END, 6) AS confidence,
+                  ELSE 50.0 END, 4) AS weighted_score,
+       CASE WHEN count(*) > 0
+            THEN sum(confidence * reliability) / count(*)
+            ELSE 0.5 END AS confidence,
        count(*) AS evidence_count
 FROM matches
 GROUP BY company_id, dimension
@@ -201,8 +201,8 @@ def evidence_dimension_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "company_id",
         "dimension",
-        F.round("weighted_score", 6).alias("weighted_score"),
-        F.round("confidence", 6).alias("confidence"),
+        F.round("weighted_score", 4).alias("weighted_score"),
+        F.col("confidence"),
         "evidence_count",
     )
 

