@@ -9,3 +9,5 @@ from . import similarity  # noqa: F401,E402
 from . import textops  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import writes  # noqa: F401,E402
+from . import collector_queries  # noqa: F401,E402
+from . import sem_queries  # noqa: F401,E402

@@ -1,0 +1,323 @@
+"""SEM confidence-interval stack (SURVEY.md §2.3 J3/J4, §2.6 O5,
+§2.9 M13–M15): training-row assembly, closed-form OLS with prediction
+CIs, PCA one-factor loadings, and a deterministic bootstrap CI.
+
+Reference: app/scoring_engine/sem_confidence.py — training rows come
+from prior runs' org_air_scores joined to scoring_runs filtered by
+model_version LIKE and capped at the most recent 50 (278–297); the
+fit is standardize → PCA(k=1) → OLS y~η with prediction SE (35–182);
+the fallback is a 400-resample bootstrap with a fixed seed (123–261).
+
+Demo-domain mapping (replayed in the DuckDB oracles): `orders` plays
+`scoring_runs` (run_id = o_orderkey, model_version derived from
+o_orderkey % 3) and carries the historical composite
+(o_totalprice % 100); `customer` plays `companies` (J4).
+
+Determinism note: the reference uses seeded numpy RNG for the
+bootstrap; RNG streams cannot match across engines, so resampling
+here is a fixed linear-congruential pick `(17k + 31r + 7) mod n` —
+same statistical shape (resample-with-replacement), bit-reproducible
+on Spark AND DuckDB, so even the bootstrap is oracle-checked (the
+reference only pins the seed for reproducibility, sem_confidence.py:128).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import clamp
+from ..sources.catalog import load
+from .registry import register
+
+_TRAIN_SQL = """
+runs AS (
+    SELECT o_orderkey AS run_id,
+           o_custkey AS company_id,
+           'v1.' || CAST(o_orderkey % 3 AS VARCHAR) || '.0' AS model_version,
+           CAST(o_orderdate AS DATE) AS scored_date,
+           CAST(o_totalprice AS DOUBLE) % 100.0 AS composite
+    FROM orders
+),
+train AS (
+    SELECT r.run_id, r.company_id, r.scored_date, r.composite,
+           CASE c.c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 'Industrials'
+             WHEN 'BUILDING' THEN 'Financial'
+             WHEN 'FURNITURE' THEN 'Consumer'
+             WHEN 'HOUSEHOLD' THEN 'Services'
+             WHEN 'MACHINERY' THEN 'Healthcare'
+             ELSE 'Services'
+           END AS sector,
+           CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+    FROM runs r
+    JOIN customer c ON r.company_id = c.c_custkey
+    WHERE r.model_version LIKE 'v1.0%'
+      AND r.company_id <> 1
+)"""
+
+_SECTOR_CASE = """CASE c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 'Industrials'
+             WHEN 'BUILDING' THEN 'Financial'
+             WHEN 'FURNITURE' THEN 'Consumer'
+             WHEN 'HOUSEHOLD' THEN 'Services'
+             WHEN 'MACHINERY' THEN 'Healthcare'
+             ELSE 'Services'
+           END"""
+
+
+def training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (scores ⋈ runs on run id) + LIKE-prefix model-version filter
+    (P7) + self-company exclusion + J4 (⋈ companies for sector).
+    run_id/company_id/scored_date/composite/sector/x."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    runs = o.select(
+        F.col("o_orderkey").alias("run_id"),
+        F.col("o_custkey").alias("company_id"),
+        F.concat(F.lit("v1."), (F.col("o_orderkey") % 3).cast("string"), F.lit(".0")).alias(
+            "model_version"
+        ),
+        F.col("o_orderdate").cast("date").alias("scored_date"),
+        (F.col("o_totalprice").cast("double") % 100.0).alias("composite"),
+    )
+    sector = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "Industrials")
+        .when(F.col("c_mktsegment") == "BUILDING", "Financial")
+        .when(F.col("c_mktsegment") == "FURNITURE", "Consumer")
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", "Services")
+        .when(F.col("c_mktsegment") == "MACHINERY", "Healthcare")
+        .otherwise("Services")
+    )
+    comp = c.select(
+        F.col("c_custkey").alias("company_id"),
+        sector.alias("sector"),
+        (F.col("c_acctbal").cast("double") / 1000.0).alias("x"),
+    )
+    return (
+        runs.filter(F.col("model_version").startswith("v1.0"))
+        .filter(F.col("company_id") != 1)
+        .join(comp, "company_id")
+        .select("run_id", "company_id", "scored_date", "composite", "sector", "x")
+    )
+
+
+@register(
+    "sem_training_rows",
+    survey="J3,J4,O5,P7",
+    oracle=f"""
+WITH {_TRAIN_SQL.lstrip()}
+SELECT run_id, company_id, sector, scored_date, round(composite, 6) AS composite
+FROM train
+ORDER BY scored_date DESC, run_id DESC
+LIMIT 50
+""",
+)
+def sem_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: the most recent ≤50 training rows with a deterministic
+    (scored_date, run_id) total order — reference
+    sem_confidence.py:278-297's `ORDER BY scored_at DESC LIMIT 50`.
+    Spark plans this as TakeOrderedAndProject (top-k, no full sort)."""
+    t = training_rows(spark, sf_dir)
+    return (
+        t.orderBy(F.desc("scored_date"), F.desc("run_id"))
+        .limit(50)
+        .select(
+            "run_id",
+            "company_id",
+            "sector",
+            "scored_date",
+            F.round("composite", 6).alias("composite"),
+        )
+    )
+
+
+@register(
+    "sem_ols_ci",
+    survey="M14,A18,F10",
+    oracle=f"""
+WITH {_TRAIN_SQL.lstrip()},
+s AS (
+    SELECT sector,
+           count(*) AS n,
+           avg(x) AS x_bar, avg(composite) AS y_bar,
+           covar_pop(x, composite) AS sxy,
+           var_pop(x) AS sxx, var_pop(composite) AS syy
+    FROM train
+    GROUP BY sector
+),
+fit AS (
+    SELECT sector, n, x_bar, y_bar,
+           CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END AS slope,
+           CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) ELSE 0.0 END AS r2,
+           CASE WHEN n > 2 THEN sqrt(greatest(n * (syy - CASE WHEN sxx > 0 THEN sxy * sxy / sxx ELSE 0.0 END), 0.0) / (n - 2))
+                ELSE 0.0 END AS sigma
+    FROM s
+)
+SELECT sector, n,
+       round(slope, 6) AS slope,
+       round(y_bar - slope * x_bar, 6) AS intercept,
+       round(r2, 6) AS r2,
+       round(sigma, 6) AS sigma,
+       round(least(greatest(y_bar - 1.96 * sigma / sqrt(n), 0.0), 100.0), 6) AS ci_lower,
+       round(least(greatest(y_bar + 1.96 * sigma / sqrt(n), 0.0), 100.0), 6) AS ci_upper
+FROM fit
+""",
+)
+def sem_ols_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: closed-form OLS y~x per sector — slope = Sxy/Sxx,
+    residual σ with ddof 2, R², and the 95% CI of the mean prediction
+    at x̄ (SE = σ/√n, z = 1.96, clamp [0,100]) — reference
+    sem_confidence.py:68-182 re-expressed as covar_pop/var_pop
+    aggregates (one partial-agg-friendly shuffle; no driver math)."""
+    t = training_rows(spark, sf_dir)
+    s = t.groupBy("sector").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("x_bar"),
+        F.avg("composite").alias("y_bar"),
+        F.covar_pop("x", "composite").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("composite").alias("syy"),
+    )
+    slope = F.when(F.col("sxx") > 0, F.col("sxy") / F.col("sxx")).otherwise(F.lit(0.0))
+    s = s.withColumn("slope", slope)
+    r2 = F.when(
+        (F.col("sxx") > 0) & (F.col("syy") > 0),
+        (F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")),
+    ).otherwise(F.lit(0.0))
+    sse = F.greatest(
+        F.col("n") * (F.col("syy") - F.col("slope") * F.col("sxy")), F.lit(0.0)
+    )
+    sigma = F.when(F.col("n") > 2, F.sqrt(sse / (F.col("n") - 2))).otherwise(F.lit(0.0))
+    s = s.withColumn("sigma", sigma)
+    se = F.col("sigma") / F.sqrt(F.col("n"))
+    return s.select(
+        "sector",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round(F.col("y_bar") - F.col("slope") * F.col("x_bar"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(clamp(F.col("y_bar") - 1.96 * se, 0.0, 100.0), 6).alias("ci_lower"),
+        F.round(clamp(F.col("y_bar") + 1.96 * se, 0.0, 100.0), 6).alias("ci_upper"),
+    )
+
+
+@register(
+    "pca_one_factor_eta",
+    survey="M13",
+    # No oracle: eigen-decomposition is not expressible in portable SQL
+    # (driver records a rows-only check) — SURVEY.md M13 notes the
+    # 7×7 matrix is legitimately driver-side.
+)
+def pca_one_factor_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: one-factor PCA loadings — per-dimension z-scores, 7×7
+    correlation matrix computed DISTRIBUTED via `corr` aggregates,
+    top eigenvector by deterministic power iteration on the collected
+    7×7 (49 numbers — the only driver-side step), |loadings|
+    normalized to Σ=1, then η = Σ l_d·z_d as pure column math
+    (reference sem_confidence.py:35-65,113-120).  At 100 TB the scan
+    and the corr aggregation stay fully distributed; only the 7×7
+    matrix ever reaches the driver."""
+    from itertools import combinations
+
+    from ..scoring import config as C
+    from ..scoring.demo_domain import dimension_scores
+
+    ds = dimension_scores(spark, sf_dir).select("company_id", "dimension", "score")
+    dims = list(C.DIMENSIONS)
+    pivoted = ds.groupBy("company_id").pivot("dimension", dims).agg(F.max("score"))
+
+    # Distributed moments + pairwise correlations (one aggregation).
+    aggs = []
+    for d in dims:
+        aggs += [F.avg(d).alias(f"mu_{d}"), F.stddev_pop(d).alias(f"sd_{d}")]
+    for a, b in combinations(dims, 2):
+        aggs.append(F.coalesce(F.corr(a, b), F.lit(0.0)).alias(f"r_{a}__{b}"))
+    stats = pivoted.agg(*aggs).collect()[0].asDict()
+
+    k = len(dims)
+    corr = [[1.0] * k for _ in range(k)]
+    for i, a in enumerate(dims):
+        for j, b in enumerate(dims):
+            if i < j:
+                corr[i][j] = corr[j][i] = stats[f"r_{a}__{b}"]
+    # Deterministic power iteration (no RNG, fixed start, fixed iters).
+    v = [1.0] * k
+    for _ in range(200):
+        nv = [sum(corr[i][j] * v[j] for j in range(k)) for i in range(k)]
+        norm = sum(x * x for x in nv) ** 0.5 or 1.0
+        v = [x / norm for x in nv]
+    loadings = [abs(x) for x in v]
+    total = sum(loadings) or 1.0
+    loadings = [x / total for x in loadings]
+
+    eta = None
+    for d, l in zip(dims, loadings):
+        sd = stats[f"sd_{d}"] or 1.0
+        z = (F.col(d) - F.lit(stats[f"mu_{d}"])) / F.lit(sd)
+        term = F.lit(l) * z
+        eta = term if eta is None else eta + term
+    return pivoted.select("company_id", F.round(eta, 6).alias("eta")).orderBy("company_id")
+
+
+@register(
+    "sem_bootstrap_ci",
+    survey="M15,O5",
+    oracle=f"""
+WITH {_TRAIN_SQL.lstrip()},
+capped AS (
+    SELECT composite,
+           CAST(row_number() OVER (ORDER BY scored_date DESC, run_id DESC) AS BIGINT) - 1 AS idx
+    FROM train
+    ORDER BY scored_date DESC, run_id DESC
+    LIMIT 50
+),
+sized AS (SELECT *, (SELECT count(*) FROM capped) AS n FROM capped),
+picks AS (
+    SELECT g.k, s.idx AS r, (17 * g.k + 31 * s.idx + 7) % s.n AS src
+    FROM generate_series(0, 399) g(k)
+    CROSS JOIN sized s
+),
+resampled AS (
+    SELECT p.k, c.composite
+    FROM picks p JOIN capped c ON p.src = c.idx
+),
+boot AS (
+    SELECT k, avg(composite) AS mean_composite
+    FROM resampled GROUP BY k
+)
+SELECT count(*) AS n_resamples,
+       round(avg(mean_composite), 6) AS boot_mean,
+       round(stddev_samp(mean_composite), 6) AS boot_se,
+       round(quantile_cont(mean_composite, 0.025), 6) AS ci_lower,
+       round(quantile_cont(mean_composite, 0.975), 6) AS ci_upper
+FROM boot
+""",
+)
+def sem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: bootstrap CI over the capped training set — 400 resamples
+    of size n, percentile CI (2.5/97.5) and SE = std of resample means
+    (reference sem_confidence.py:123-261).  Resampling is the
+    deterministic LCG pick (17k+31r+7) mod n so Spark and the DuckDB
+    oracle draw identical resamples; the reference's seed-42 numpy
+    stream serves the same reproducibility goal."""
+    t = sem_training_rows(spark, sf_dir).select("scored_date", "run_id", "composite")
+    w = Window.orderBy(F.desc("scored_date"), F.desc("run_id"))
+    capped = t.withColumn("idx", F.row_number().over(w).cast("bigint") - 1)
+    n = capped.count()
+    reps = spark.range(400).select(F.col("id").alias("k"))
+    picks = reps.crossJoin(capped.select("idx")).select(
+        "k", ((17 * F.col("k") + 31 * F.col("idx") + 7) % n).alias("src")
+    )
+    resampled = picks.join(
+        F.broadcast(capped.select("idx", "composite")), picks.src == F.col("idx")
+    ).select("k", "composite")
+    boot = resampled.groupBy("k").agg(F.avg("composite").alias("mean_composite"))
+    return boot.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.avg("mean_composite"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("mean_composite"), 6).alias("boot_se"),
+        F.round(F.percentile("mean_composite", F.lit(0.025)), 6).alias("ci_lower"),
+        F.round(F.percentile("mean_composite", F.lit(0.975)), 6).alias("ci_upper"),
+    )
