@@ -165,7 +165,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles"),
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % _P,
     )
-    hashed = sh.select("doc_id", "shingles", base.alias("hs"))
+    # Persisted: feeds three consumers (band generation + both sides of
+    # the jaccard verify); without materialization Catalyst re-derives
+    # the whole tokenize->shingle->md5 lineage for each.  At scale the
+    # same role is played by checkpointing the signature table.
+    hashed = sh.select("doc_id", "shingles", base.alias("hs")).persist()
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(_K - 1)),
         lambda s: F.array_min(
@@ -195,8 +199,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (

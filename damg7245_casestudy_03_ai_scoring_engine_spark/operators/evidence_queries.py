@@ -72,9 +72,15 @@ def demo_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Flat (dimension, keyword) pairs — fed to keyword_matches' literal
+# fast path (filter() HOF, no join; see scoring/evidence.py).
+DEMO_KEYWORD_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    (d, k) for d, ks in DEMO_KEYWORDS.items() for k in ks
+)
+
+
 def demo_keywords_df(spark: SparkSession) -> DataFrame:
-    rows = [(d, k) for d, ks in DEMO_KEYWORDS.items() for k in ks]
-    return spark.createDataFrame(rows, "dimension string, keyword string")
+    return spark.createDataFrame(list(DEMO_KEYWORD_PAIRS), "dimension string, keyword string")
 
 
 # --- shared oracle CTE fragments ------------------------------------------
@@ -134,7 +140,7 @@ def keyword_taxonomy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, reference evidence_mapper.py:283-299) rolled up per
     (company, dimension)."""
     ev = demo_evidence(spark, sf_dir)
-    return dimension_hits(ev, demo_keywords_df(spark))
+    return dimension_hits(ev, DEMO_KEYWORD_PAIRS)
 
 
 @register(
@@ -164,7 +170,7 @@ def source_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = demo_evidence(spark, sf_dir)
-    m = keyword_matches(ev, demo_keywords_df(spark))
+    m = keyword_matches(ev, DEMO_KEYWORD_PAIRS)
     freq = m.groupBy("source", "keyword").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("keyword"))
     return (
@@ -197,7 +203,7 @@ def evidence_dimension_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scoring.evidence import weighted_dimension_features
 
     ev = demo_evidence(spark, sf_dir)
-    out = weighted_dimension_features(ev, demo_keywords_df(spark))
+    out = weighted_dimension_features(ev, DEMO_KEYWORD_PAIRS)
     return out.select(
         "company_id",
         "dimension",
@@ -249,7 +255,7 @@ def rubric_dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     when-chain — NOT a join that could match several levels) over
     keyword-hit counts + the quant-metric proxy."""
     ev = demo_evidence(spark, sf_dir)
-    agg = keyword_matches(ev, demo_keywords_df(spark)).groupBy("company_id", "dimension").agg(
+    agg = keyword_matches(ev, DEMO_KEYWORD_PAIRS).groupBy("company_id", "dimension").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.countDistinct("evidence_id").alias("n_evidence"),
         F.avg("reliability").alias("avg_rel"),

@@ -48,17 +48,38 @@ RUBRIC_LEVELS: tuple[tuple[int, int, float, float, float], ...] = (
 )
 
 
-def keyword_matches(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
-    """J5: broadcast containment join.
+def keyword_matches(evidence: DataFrame, keywords) -> DataFrame:
+    """J5: evidence × taxonomy containment match.
 
     evidence: evidence_id, company_id, source, text, confidence, reliability
-    keywords: dimension, keyword
-    Returns one row per (evidence, dimension, keyword) hit.
+    keywords: either a (dimension, keyword) DataFrame — broadcast
+    nested-loop join — or a plain sequence of (dimension, keyword)
+    pairs, which takes the join-free fast path: the taxonomy becomes a
+    literal array<struct> column and the match is a `filter()`
+    higher-order function + `explode`.  No join, no shuffle, stays
+    inside whole-stage codegen — at 100 TB the taxonomy (~70 entries)
+    should always ship as a literal, never as a join side.
+
+    Returns one row per (evidence, dimension, keyword) hit; substring
+    semantics — deliberately not word-boundary (F3 vs F2).
     """
-    kw = F.broadcast(keywords)
-    return evidence.join(
-        kw, F.col("text").contains(F.col("keyword"))
-    )  # substring semantics — deliberately not word-boundary (F3)
+    if isinstance(keywords, DataFrame):
+        kw = F.broadcast(keywords)
+        return evidence.join(kw, F.col("text").contains(F.col("keyword")))
+    kw_arr = F.array(
+        *[
+            F.struct(F.lit(d).alias("dimension"), F.lit(k).alias("keyword"))
+            for d, k in keywords
+        ]
+    )
+    hit = F.explode(
+        F.filter(kw_arr, lambda x: F.col("text").contains(x["keyword"]))
+    ).alias("_m")
+    return (
+        evidence.select("*", hit)
+        .select("*", "_m.dimension", "_m.keyword")
+        .drop("_m")
+    )
 
 
 def dimension_hits(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
