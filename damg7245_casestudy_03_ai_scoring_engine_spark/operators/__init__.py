@@ -10,4 +10,5 @@ from . import textops  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import writes  # noqa: F401,E402
 from . import collector_queries  # noqa: F401,E402
+from . import ingest  # noqa: F401,E402
 from . import sem_queries  # noqa: F401,E402
