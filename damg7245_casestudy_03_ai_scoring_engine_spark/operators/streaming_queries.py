@@ -1,0 +1,78 @@
+"""Registry entries for the streaming extensions' batch twins
+(SURVEY.md §2.10).
+
+The streaming jobs in streaming/jobs.py share their transformation
+functions with these batch queries; the DuckDB oracle checks the
+batch form here, and tests/test_streaming.py checks stream == batch
+on the same inputs.  All window boundaries are int64-nanosecond
+epoch arithmetic — identical in both engines and independent of
+session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load
+from ..streaming.jobs import SESSION_GAP_NS, sessionize_batch, window_counts
+from .registry import register
+
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+@register(
+    "stream_window_counts",
+    survey="§2.10 tumbling window (batch twin of window_counts_stream)",
+    oracle=f"""
+SELECT epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS window_start_ns,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event rollup — the batch twin of the
+    watermarked streaming aggregation (streaming/jobs.py
+    window_counts_stream), replacing the reference's DATEADD summary
+    windows (signal_summaries.py:82-93)."""
+    return window_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "user_sessionization",
+    survey="§2.10 stateful op (batch twin of applyInPandasWithState), W5",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, epoch_ns(ts) AS ts, value,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP_NS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM o
+),
+s AS (
+    SELECT user_id, ts, value,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM f
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start_ns,
+       max(ts) AS session_end_ns,
+       round(sum(value), 4) AS value_sum
+FROM s
+GROUP BY user_id, session_id
+""",
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization via lag + running-sum
+    session flags (analytic frames, W5) — the batch twin of the
+    applyInPandasWithState streaming operator."""
+    return sessionize_batch(load(spark, sf_dir, "events"))

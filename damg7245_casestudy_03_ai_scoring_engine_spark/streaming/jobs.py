@@ -1,0 +1,226 @@
+"""Structured Streaming extensions (SURVEY.md §2.10).
+
+The reference has no streaming — collection is request-triggered
+batch (reference app/routers/collection.py:373-388) and its 7-day
+summaries are plain DATEADD predicates (signal_summaries.py:82-93).
+These are the natural streaming re-expressions the survey calls out:
+
+- signal/event ingestion as a file `readStream` appending to bronze,
+- tumbling-window rollups (`window()` + watermark) replacing the
+  DATEADD summary windows,
+- stateful sessionization via `applyInPandasWithState` as the custom
+  stateful-operator pattern.
+
+Every streaming job here shares its transformation with a batch twin
+(same function applied to a batch DataFrame) so correctness is
+checked two ways: the batch form against a DuckDB oracle (registry),
+and the streaming form against the batch form (pytest).  That
+batch/stream symmetry is exactly how you'd validate the 100 TB
+deployment, where the stream is the incremental path over the same
+bronze tables the batch job full-scans.
+
+Event time: `events.ts` is parquet TIMESTAMP(NANOS), read as long
+nanoseconds (see sources/catalog.py).  `event_time_col` converts to a
+proper timestamp for watermarks; all window boundaries are derived
+with epoch arithmetic so results are session-timezone-proof.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_HOUR_NS = 3_600 * 1_000_000_000
+SESSION_GAP_NS = 1_800 * 1_000_000_000  # 30-minute inactivity gap
+
+
+def event_time_col(ts_ns=None):
+    """long ns → TimestampType (microsecond precision) for
+    watermarking; window math itself stays on the raw int64."""
+    if ts_ns is None:
+        ts_ns = F.col("ts")
+    return F.timestamp_micros((ts_ns / F.lit(1_000)).cast("long"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table — the incremental
+    ingestion path (new parquet files appended to the directory are
+    picked up per micro-batch; maxFilesPerTrigger bounds batch size)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a DIRECTORY; select the table's files
+    # with a glob filter so the same call works on a multi-file bronze
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+
+
+# --- tumbling-window rollup (batch/stream shared) ---------------------------
+
+
+def window_counts(events: DataFrame) -> DataFrame:
+    """Per (hour window, event_type): count + value sum.  Window start
+    is epoch-floor arithmetic on the int64 nanos (timezone-proof and
+    identical in DuckDB); works unchanged on batch and streaming
+    inputs."""
+    hour_start = (F.col("ts") - F.col("ts") % F.lit(_HOUR_NS)).alias("window_start_ns")
+    return (
+        events.select(hour_start, "event_type", "value")
+        .groupBy("window_start_ns", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+def window_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin: watermarked event-time tumbling windows.  The
+    watermark bounds aggregation state (late rows beyond it are
+    dropped — tested in tests/test_streaming.py) so state size is
+    O(open windows), not O(history): the property that lets this run
+    forever on a 1000-executor cluster."""
+    with_time = events.withColumn("event_time", event_time_col())
+    hour_start = (F.col("ts") - F.col("ts") % F.lit(_HOUR_NS)).alias("window_start_ns")
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .select(hour_start, F.window("event_time", "1 hour").alias("w"), "event_type", "value")
+        .groupBy("window_start_ns", "w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select("window_start_ns", "event_type", "n_events", "value_sum")
+    )
+
+
+# --- sessionization (batch lag/cumsum; streaming applyInPandasWithState) ----
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Per-user 30-min-gap sessions via lag + running sum of
+    session-start flags (W5 analytic frames) — one shuffle on
+    user_id, then windowed scans; oracle-able ANSI SQL."""
+    from pyspark.sql import Window
+
+    # Truncate to µs precision: parquet TIMESTAMP(NANOS) carries sub-µs
+    # digits that no TIMESTAMP engine (or the DuckDB oracle) retains.
+    events = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.lit(SESSION_GAP_NS)), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select("user_id", "ts", "value", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start_ns"),
+            F.max("ts").alias("session_end_ns"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_ns", T.LongType()),
+        T.StructField("session_end_ns", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+# GroupState payload: last event ts and the running session counter,
+# carried across micro-batches so sessions split consistently even
+# when a user's events arrive over many batches.
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+    ]
+)
+
+
+def _session_kernel(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        last_ts, session_id = state.get
+    else:
+        last_ts, session_id = None, 0
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    out: dict[str, list] = {c.name: [] for c in _SESSION_OUT_SCHEMA}
+    cur: list[tuple[int, float]] = []
+
+    def emit():
+        if not cur:
+            return
+        ts_vals = [t for t, _ in cur]
+        out["user_id"].append(user_id)
+        out["session_id"].append(session_id)
+        out["n_events"].append(len(cur))
+        out["session_start_ns"].append(min(ts_vals))
+        out["session_end_ns"].append(max(ts_vals))
+        out["value_sum"].append(round(sum(v for _, v in cur), 4))
+
+    for ts, value in zip(rows["ts"], rows["value"]):
+        ts = int(ts) // 1_000 * 1_000  # µs truncation, matching the batch twin
+        if last_ts is None or ts - last_ts > SESSION_GAP_NS:
+            emit()
+            cur = []
+            session_id += 1
+        cur.append((ts, float(value)))
+        last_ts = ts
+    emit()
+
+    state.update((last_ts, session_id))
+    yield pd.DataFrame(out)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with
+    applyInPandasWithState — the Arrow-batched Python state API
+    (SURVEY §2.10's named extension point).  State is (last_ts,
+    session counter) per user; output mode `update` re-emits a
+    session's rollup whenever a micro-batch extends it."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_kernel,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

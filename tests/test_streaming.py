@@ -1,0 +1,197 @@
+"""Structured Streaming extensions (SURVEY.md §2.10): stream ==
+batch equivalence for the shared transformations, multi-batch state
+carry for the applyInPandasWithState sessionizer, and watermark
+late-data drop semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
+    event_time_col,
+    sessionize_batch,
+    sessionize_stream,
+    window_counts,
+    window_counts_stream,
+)
+
+from conftest import SF_SMOKE
+
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _run_stream(sdf, sink_table, output_mode, checkpoint):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_window_counts_stream_equals_batch(spark, tmp_path):
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import read_events_stream
+
+    events = read_events_stream(spark, SF_SMOKE)
+    _run_stream(
+        window_counts_stream(events),
+        "wc_stream",
+        "complete",
+        str(tmp_path / "ckpt_wc"),
+    )
+    got = _rows(spark.table("wc_stream"))
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    want = _rows(window_counts(load(spark, SF_SMOKE, "events")))
+    assert got == want
+
+
+def test_sessionize_stream_equals_batch_single_batch(spark, tmp_path):
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import read_events_stream
+
+    events = read_events_stream(spark, SF_SMOKE)
+    _run_stream(
+        sessionize_stream(events),
+        "sess_stream",
+        "update",
+        str(tmp_path / "ckpt_sess"),
+    )
+    got = _rows(spark.table("sess_stream"))
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    want = _rows(sessionize_batch(load(spark, SF_SMOKE, "events")))
+    assert got == want
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Split one user's events across two availableNow runs sharing a
+    checkpoint: the second run must CONTINUE the first run's session
+    (same session_id, extended rollup) via the persisted GroupState —
+    not restart at session 1."""
+    data_dir = tmp_path / "events_data"
+    ckpt = str(tmp_path / "ckpt_carry")
+    os.makedirs(data_dir)
+
+    base = 1_700_000_000 * 1_000_000_000
+    gap = 60 * 1_000_000_000  # 1 min apart — same session
+    batch1 = [(i, base + i * gap, 7, "click", 1.0, "{}") for i in range(3)]
+    # batch 2: two more events 1 min after batch1's last → same session,
+    # then one event 2 h later → a NEW session (id 2)
+    batch2 = [(10, base + 3 * gap, 7, "click", 1.0, "{}"),
+              (11, base + 4 * gap, 7, "click", 1.0, "{}"),
+              (12, base + 4 * gap + 2 * _HOUR_NS, 7, "click", 1.0, "{}")]
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+        time.sleep(0.05)
+
+    stream = lambda: spark.readStream.schema(EVENTS_SCHEMA).parquet(str(data_dir))
+
+    def run_to(out_dir):
+        # memory sink can't recover from a checkpoint; foreachBatch +
+        # batch parquet append is the recoverable update-mode sink
+        q = (
+            sessionize_stream(stream())
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file(batch1, "b1")
+    out1 = str(tmp_path / "sess_out1")
+    run_to(out1)
+    first = _rows(spark.read.parquet(out1))
+    assert first == [(7, 1, 3, base, base + 2 * gap, 3.0)]
+
+    write_file(batch2, "b2")
+    out2 = str(tmp_path / "sess_out2")
+    run_to(out2)
+    second = _rows(spark.read.parquet(out2))
+    # session 1 re-emitted with ONLY the new-batch extension rows
+    # (update mode: state knew last_ts/session_id, so the continuation
+    # keeps id 1); session 2 opened by the 2 h gap.
+    by_session = {r[1]: r for r in second}
+    assert set(by_session) == {1, 2}
+    assert by_session[1][4] == base + 4 * gap  # session 1 end extended
+    assert by_session[2][2] == 1  # new session has the lone late event
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg over two availableNow runs: a row
+    arriving in run 2 whose event time is far below the watermark
+    must not re-open its (already finalized) window."""
+    data_dir = tmp_path / "late_data"
+    sink_dir = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "ckpt_late")
+    os.makedirs(data_dir)
+
+    base = (1_700_000_000 - 1_700_000_000 % 3_600) * 1_000_000_000  # hour-aligned
+
+    def write_file(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+        time.sleep(0.05)
+
+    def run():
+        events = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(data_dir))
+        q = (
+            window_counts_stream(events, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events in hours 0..3 → watermark ends at 3h-1h = 2h;
+    # windows [0,1) and [1,2) finalize and are emitted.
+    write_file([(i, base + i * _HOUR_NS + 1_000_000, 1, "click", 1.0, "{}")
+                for i in range(4)])
+    run()
+    out1 = spark.read.parquet(sink_dir)
+    emitted1 = {r["window_start_ns"] for r in out1.collect()}
+    assert base in emitted1 and base + _HOUR_NS in emitted1
+
+    # run 2: one LATE event for hour 0 (below watermark → dropped) and
+    # one for hour 5 (advances watermark to 4h → finalizes [2,3),[3,4)).
+    write_file([(100, base + 2_000_000, 1, "late", 9.0, "{}"),
+                (101, base + 5 * _HOUR_NS, 1, "click", 1.0, "{}")])
+    run()
+    out2 = spark.read.parquet(sink_dir)
+    hour0 = out2.filter(F.col("window_start_ns") == base).collect()
+    # the hour-0 window appears exactly once, with run-1's count only —
+    # the late row was discarded by the watermark.
+    assert len(hour0) == 1
+    assert hour0[0]["n_events"] == 1
+    assert hour0[0]["event_type"] == "click"
+
+
+def test_event_time_col_roundtrip(spark):
+    df = spark.range(1).select(
+        event_time_col(F.lit(1_700_000_000_123_456_789)).alias("t")
+    )
+    (row,) = df.select(F.unix_micros("t").alias("us")).collect()
+    assert row["us"] == 1_700_000_000_123_456
