@@ -12,4 +12,5 @@ from . import writes  # noqa: F401,E402
 from . import collector_queries  # noqa: F401,E402
 from . import ingest  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
+from . import asof  # noqa: F401,E402
 from . import sem_queries  # noqa: F401,E402

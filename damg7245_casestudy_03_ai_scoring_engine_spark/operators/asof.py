@@ -1,0 +1,150 @@
+"""As-of (backward) join — SURVEY.md §2.3 J8.
+
+The reference has no as-of semantics (its nearest analog is the
+DATEADD window predicate P5), but an as-of join is a core operator
+for any time-series/event analytics engine, so it ships as a
+first-class extension.
+
+Spark has no native ASOF JOIN.  The scalable implementation here is
+the **union + last(ignorenulls) running window**: tag right rows 0
+and left rows 1, union on (keys, time, tag), then a single
+partitionBy(keys).orderBy(time, tag) window carries the most recent
+right payload forward onto each left row.
+
+Why this beats the alternatives at 100 TB:
+- a theta join `l.t >= r.t` explodes to O(|L|·|R|) per key before
+  aggregation — unusable;
+- bucketed range-joins need tuning and still duplicate rows;
+- the union trick is ONE shuffle on the join keys and a linear scan
+  per partition — the same cost profile as a groupBy, and AQE/salting
+  apply to it like any other keyed shuffle.
+
+The DuckDB oracle uses its native ASOF JOIN, so the two engines
+cross-check each other's semantics (ties on equal timestamps resolve
+to the right row — tag 0 sorts first — matching ASOF's `l.t >= r.t`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+from .registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """Backward inner as-of join: each left row picks the right row
+    with the greatest right_time <= left_time within its key group.
+
+    `right` must be unique per (on..., right_time) — pre-aggregate
+    with max_by/arg_max if it is not, or the match is nondeterministic
+    (same contract as DuckDB/Pandas ASOF).  Output = all left columns
+    plus the matched right payload columns; left rows with no prior
+    right row are dropped (inner semantics).
+    """
+    payload_cols = [c for c in right.columns if c not in {*on, right_time}]
+    payload_t = F.struct(
+        F.col(right_time).alias("_rt"), *[F.col(c) for c in payload_cols]
+    )
+    left_cols = [c for c in left.columns]
+
+    r2 = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        payload_t.alias("_p"),
+    )
+    # align schemas for unionByName: left rows carry a null payload
+    l2 = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    )
+    r2 = r2.select(
+        "*", *[F.lit(None).alias(f"_l_{c}") for c in left_cols]
+    )
+    l2 = l2.select(r2.columns)  # same column order; _p stays typed via union
+    u = r2.unionByName(l2, allowMissingColumns=False)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w).alias("_match")
+    out = (
+        u.select("*", carried)
+        .filter((F.col("_tag") == 1) & F.col("_match").isNotNull())
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+            F.col("_match._rt").alias(f"matched_{right_time}"),
+            *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+        )
+    )
+    return out
+
+
+@register(
+    "asof_join_events",
+    survey="J8 (extension: backward as-of join)",
+    bench=True,
+    oracle="""
+WITH err AS (
+    SELECT user_id,
+           epoch_ns(ts) AS err_t_ns,
+           max(event_id) AS err_id,
+           arg_max(value, event_id) AS err_value
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+),
+clk AS (
+    SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_t_ns, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+)
+SELECT c.click_id, c.user_id, c.click_t_ns, c.click_value,
+       e.err_t_ns AS matched_err_t_ns, e.err_id, e.err_value
+FROM clk c
+ASOF JOIN err e ON c.user_id = e.user_id AND c.click_t_ns >= e.err_t_ns
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: attribute each click to the user's most recent prior (or
+    simultaneous) error — backward as-of join via the union+window
+    carry.  The right side is first reduced to one row per
+    (user, time) with max_by determinism; timestamps are truncated to
+    µs so the int64 ns domain matches the oracle's epoch_ns."""
+    ev = load(spark, sf_dir, "events")
+    us = F.col("ts") - F.col("ts") % F.lit(1_000)
+
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", us.alias("err_t_ns"), F.struct("event_id", "value").alias("s"))
+        .groupBy("user_id", "err_t_ns")
+        .agg(F.max("s").alias("m"))  # deterministic: greatest event_id wins
+        .select(
+            "user_id",
+            "err_t_ns",
+            F.col("m.event_id").alias("err_id"),
+            F.col("m.value").alias("err_value"),
+        )
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("click_t_ns"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        clk, err, on=["user_id"], left_time="click_t_ns", right_time="err_t_ns"
+    )

@@ -107,7 +107,7 @@ _P = 4294967311  # smallest prime > 2^32 — modulus for the hash permutations
 
 @register(
     "dedup_minhash_lsh",
-    survey="S18,F5 (extension)",
+    survey="S18,S20,F5 (extension; persist = the cache/materialization analog)",
     bench=True,
     oracle=rf"""
 WITH {_SHINGLES_SQL.lstrip()},

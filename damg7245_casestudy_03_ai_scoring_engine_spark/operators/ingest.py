@@ -363,3 +363,264 @@ def rss_item_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_string(xml, 'item/link')").alias("link"),
         F.to_date(F.expr("xpath_string(xml, 'item/pubDate')")).alias("pub_date"),
     )
+
+
+# --- S1/S2: EDGAR submissions scan (parallel arrays → rows) ----------------
+
+_FORMS = ("10-K", "10-Q", "8-K", "DEF 14A")
+_WANTED_FORMS = ("10-K", "8-K")
+_PER_FORM = 2
+
+
+@register(
+    "submissions_scan",
+    survey="S1,S2,O4,F15",
+    oracle=f"""
+WITH filings AS (
+    SELECT source,
+           doc_id,
+           CASE doc_id % 4 WHEN 0 THEN '10-K' WHEN 1 THEN '10-Q'
+                           WHEN 2 THEN '8-K' ELSE 'DEF 14A' END AS form,
+           DATE '2020-01-01' + INTERVAL (doc_id % 365) DAY AS filing_date
+    FROM documents
+),
+ranked AS (
+    SELECT source, form, doc_id, CAST(filing_date AS DATE) AS filing_date,
+           row_number() OVER (
+               PARTITION BY source, form
+               ORDER BY filing_date DESC, doc_id DESC
+           ) AS rk
+    FROM filings
+    WHERE form IN {_WANTED_FORMS!r}
+)
+SELECT source, form, doc_id, filing_date, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_PER_FORM}
+""",
+)
+def submissions_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the EDGAR submissions shape — per company, parallel arrays
+    form[]/date[]/id[] zipped into rows, filtered to wanted forms,
+    top-N per form (reference sec_edgar.py:81-127).  The Spark side
+    deliberately replays the parallel-array plumbing (collect sorted
+    structs → parallel arrays → arrays_zip → explode) before the
+    window top-N, because that's the shape real submissions JSON
+    arrives in; the oracle checks the end semantics relationally."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    form = (
+        F.when(F.col("doc_id") % 4 == 0, "10-K")
+        .when(F.col("doc_id") % 4 == 1, "10-Q")
+        .when(F.col("doc_id") % 4 == 2, "8-K")
+        .otherwise("DEF 14A")
+    )
+    filing_date = F.date_add(
+        F.lit("2020-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")
+    )
+    per_company = (
+        d.select("source", "doc_id", form.alias("form"), filing_date.alias("filing_date"))
+        .groupBy("source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "form", "filing_date"))
+            ).alias("subs")
+        )
+        # the reference's parallel-array submission fields
+        .select(
+            "source",
+            F.transform("subs", lambda s: s["form"]).alias("forms"),
+            F.transform("subs", lambda s: s["filing_date"]).alias("dates"),
+            F.transform("subs", lambda s: s["doc_id"]).alias("ids"),
+        )
+    )
+    rows = (
+        per_company.select(
+            "source", F.explode(F.arrays_zip("forms", "dates", "ids")).alias("z")
+        )
+        .select(
+            "source",
+            F.col("z.forms").alias("form"),
+            F.col("z.dates").alias("filing_date"),
+            F.col("z.ids").alias("doc_id"),
+        )
+        .filter(F.col("form").isin(*_WANTED_FORMS))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "form").orderBy(
+        F.desc("filing_date"), F.desc("doc_id")
+    )
+    return (
+        rows.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _PER_FORM)
+        .select("source", "form", "doc_id", "filing_date", "rk")
+    )
+
+
+# --- S11/S12/S13: job-board JSON normalization (tolerant mapping) ----------
+
+# Synthesized posting JSON with key variance: a third of the rows use
+# the alternate key names (postedAt / overallTitle), mirroring the
+# reference's tolerant multi-key row parsing (_first_present,
+# glassdoor_collector.py:507-512).
+_POSTING_JSON_SPARK = (
+    "concat('{\"', case when doc_id % 3 = 0 then 'postedAt' else 'published_at' end, "
+    "'\":\"2024-01-', lpad(cast(doc_id % 28 + 1 as string), 2, '0'), "
+    "'\",\"', case when doc_id % 3 = 0 then 'overallTitle' else 'title' end, "
+    "'\":\"', source, ' engineer\",\"location\":{\"name\":\"city-', "
+    "cast(doc_id % 5 as string), '\"}}')"
+)
+_POSTING_JSON_SQL = (
+    "'{\"' || CASE WHEN doc_id % 3 = 0 THEN 'postedAt' ELSE 'published_at' END || "
+    "'\":\"2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || "
+    "'\",\"' || CASE WHEN doc_id % 3 = 0 THEN 'overallTitle' ELSE 'title' END || "
+    "'\":\"' || source || ' engineer\",\"location\":{\"name\":\"city-' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '\"}}'"
+)
+
+_POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("overallTitle", T.StringType()),
+        T.StructField("published_at", T.StringType()),
+        T.StructField("postedAt", T.StringType()),
+        T.StructField(
+            "location", T.StructType([T.StructField("name", T.StringType())])
+        ),
+    ]
+)
+
+
+@register(
+    "job_board_normalize",
+    survey="S11,S12,S13,P4,F8,F13",
+    oracle=rf"""
+WITH raw AS (
+    SELECT doc_id, {_POSTING_JSON_SQL} AS payload FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           coalesce(json_extract_string(payload, '$.title'),
+                    json_extract_string(payload, '$.overallTitle')) AS title,
+           coalesce(json_extract_string(payload, '$.published_at'),
+                    json_extract_string(payload, '$.postedAt')) AS published_at,
+           json_extract_string(payload, '$.location.name') AS location
+    FROM raw
+)
+SELECT doc_id, title, CAST(published_at AS DATE) AS published_at, location
+FROM norm
+WHERE (NULL IS NULL OR location = NULL) OR location = 'city-1'
+""",
+)
+def job_board_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S13: REST-JSON posting payloads parsed once with from_json
+    and normalized via coalesce chains over the key variants — the
+    columnar form of the reference's `_first_present` tolerant field
+    mapping (glassdoor_collector.py:507-512) and Greenhouse/Lever
+    normalization (external_signals.py:163-199).  The trailing
+    optional filter replays the `(%s IS NULL OR col = %s)` pattern
+    (P4) with a NULL parameter — Catalyst folds it away entirely."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    p = F.from_json(F.expr(_POSTING_JSON_SPARK), _POSTING_SCHEMA).alias("p")
+    loc_param = F.lit(None).cast("string")  # unset optional filter (P4)
+    return (
+        d.select("doc_id", p)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("p.title"), F.col("p.overallTitle")).alias("title"),
+            F.coalesce(F.col("p.published_at"), F.col("p.postedAt"))
+            .cast("date")
+            .alias("published_at"),
+            F.col("p.location.name").alias("location"),
+        )
+        .filter(loc_param.isNull() | (F.col("location") == loc_param))
+    )
+
+
+# --- S6: PDF text extraction (gated — no pdf library in container) ---------
+
+
+def pdf_text_extract_udf():
+    """S6: pdfplumber page-loop extraction (reference
+    document_parser.py:61-77) as a mapInPandas kernel over binaryFile
+    content.  The pdf library is not in this container, so the kernel
+    is import-gated: constructing it without pdfplumber raises with a
+    clear message; the Spark-side plumbing (binary column in,
+    (doc_id, page_text) rows out) is identical to html extraction."""
+    try:
+        import pdfplumber  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pdfplumber is not installed in this environment; the PDF "
+            "branch of document parsing is stubbed (S6). Install "
+            "pdfplumber and re-call pdf_text_extract_udf() to enable."
+        ) from exc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pdfplumber
+
+        for pdf in batches:
+            out = {"doc_id": [], "page": [], "text": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with pdfplumber.open(io.BytesIO(blob)) as doc:
+                    for i, pg in enumerate(doc.pages):
+                        out["doc_id"].append(doc_id)
+                        out["page"].append(i)
+                        out["text"].append(pg.extract_text() or "")
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+# --- S14: board proxy (DEF-14A) committee extraction ------------------------
+
+_PROXY_SPARK = (
+    "concat('Proxy Statement. The Audit Committee and the ', "
+    "case when doc_id % 2 = 0 then 'Technology Committee' else 'Risk Committee' end, "
+    "' reviewed matters. ', "
+    "case when doc_id % 5 = 0 then 'The Compensation Committee also met. ' else '' end, "
+    "text)"
+)
+_PROXY_SQL = (
+    "'Proxy Statement. The Audit Committee and the ' || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'Technology Committee' ELSE 'Risk Committee' END || "
+    "' reviewed matters. ' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'The Compensation Committee also met. ' ELSE '' END || "
+    "text"
+)
+
+
+@register(
+    "board_proxy_extract",
+    survey="S14,F2,F15",
+    oracle=rf"""
+WITH raw AS (
+    SELECT doc_id, source AS company, {_PROXY_SQL} AS proxy FROM documents
+),
+hits AS (
+    SELECT company,
+           unnest(regexp_extract_all(proxy, '([A-Z][a-z]+ Committee)', 1)) AS committee
+    FROM raw
+)
+SELECT company, committee, count(*) AS n_mentions
+FROM hits
+GROUP BY company, committee
+""",
+)
+def board_proxy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: DEF-14A committee extraction (reference
+    board_analyzer.py:131-163 — strip HTML then regex committees and
+    name candidates) as regexp_extract_all + explode over the proxy
+    text column, rolled up per (company, committee)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    proxy = F.expr(_PROXY_SPARK)
+    return (
+        d.select(
+            F.col("source").alias("company"),
+            F.explode(
+                F.regexp_extract_all(proxy, F.lit(r"([A-Z][a-z]+ Committee)"), 1)
+            ).alias("committee"),
+        )
+        .groupBy("company", "committee")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

@@ -74,7 +74,7 @@ def pred_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "soft_delete_filter",
-    survey="P2,A1",
+    survey="P2,A1,S15",
     oracle="""
 SELECT o_orderstatus AS status, count(*) AS n
 FROM orders
@@ -933,4 +933,81 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(age).cast("bigint").alias("min_age_days"),
         F.max(age).cast("bigint").alias("max_age_days"),
         F.round(F.avg(rec), 6).alias("avg_recency_factor"),
+    )
+
+
+@register(
+    "intersect_except_nations",
+    survey="U4",
+    oracle="""
+SELECT 'both' AS op, n_nationkey
+FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS op, n_nationkey
+FROM (
+    SELECT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+)
+""",
+)
+def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: INTERSECT / EXCEPT (distinct set semantics) — nations that
+    have both customers and suppliers vs customer-only nations.
+    Spark plans both as aggregated semi/anti joins; at scale these
+    are one shuffle each on the set column."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = cust.intersect(supp).select(F.lit("both").alias("op"), "n_nationkey")
+    # EXCEPT (distinct): dedupe both sides so exceptAll == except
+    only = (
+        cust.distinct()
+        .exceptAll(supp.distinct())
+        .select(F.lit("customer_only").alias("op"), "n_nationkey")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "ticker_format_validation",
+    survey="P9,F2",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN upper(source) || '-@'
+                ELSE upper(source) END AS ticker
+    FROM documents
+)
+SELECT CAST(ticker ~ '^[A-Z][A-Z0-9.\-]{0,9}$' AS BOOLEAN) AS is_valid,
+       count(*) AS n,
+       min(ticker) AS sample_ticker
+FROM t
+GROUP BY 1
+""",
+)
+def ticker_format_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: ticker-format regex validation (reference
+    collection.py:27,121-123 `^[A-Z][A-Z0-9.\\-]{0,9}$`) as an rlike
+    partition of the input — every 7th row is corrupted with an
+    invalid character to exercise the reject path."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ticker = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.upper("source"), F.lit("-@"))
+    ).otherwise(F.upper("source"))
+    return (
+        d.select(ticker.alias("ticker"))
+        .select(
+            F.col("ticker").rlike(r"^[A-Z][A-Z0-9.\-]{0,9}$").alias("is_valid"),
+            "ticker",
+        )
+        .groupBy("is_valid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ticker").alias("sample_ticker"))
     )

@@ -98,7 +98,7 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "append_dedup_signals",
-    survey="S18,F5",
+    survey="S16,S18,S19,F5",
     oracle="""
 WITH existing AS (
     SELECT md5(text) AS content_hash FROM documents WHERE doc_id < 250
