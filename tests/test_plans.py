@@ -1,0 +1,110 @@
+"""Physical-plan pinning (SURVEY.md §4) — the scale contract, checked
+structurally: filters reach the parquet scan, projections prune, dim
+joins broadcast, the keyword taxonomy match and as-of join stay
+join-free, and aggregations are map-side partial.  Results being
+right is necessary; these tests keep the PLANS right as the code
+evolves."""
+
+from __future__ import annotations
+
+import re
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+from damg7245_casestudy_03_ai_scoring_engine_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+
+from conftest import SF_SMOKE
+
+_JOIN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def _plan(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_predicates_reach_parquet_scan(spark):
+    df = _plan(spark, "pred_pushdown_revenue")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = _plan(spark, "pred_pushdown_revenue")
+    (schema,) = scan_columns(df)
+    cols = set(re.findall(r"(\w+):", schema))
+    # exactly the four referenced columns — reading anything else at
+    # 100 TB is wasted IO
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_dim_joins_broadcast_never_shuffle(spark):
+    df = _plan(spark, "dim_join_fallback")
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    # customer (fact side) scan is pruned to join key + aggregated col
+    assert any(
+        set(re.findall(r"(\w+):", sc)) == {"c_nationkey", "c_acctbal"}
+        for sc in scan_columns(df)
+    )
+
+
+def test_fact_join_agg_is_partial_aggregated(spark):
+    df = _plan(spark, "fact_join_agg")
+    s = explain_str(df)
+    assert has_broadcast_join(df)
+    # map-side combine before the shuffle (partial_sum / partial_count)
+    assert "partial_" in s
+
+
+def test_keyword_taxonomy_match_has_no_join(spark):
+    """The literal-taxonomy fast path must stay a pure projection —
+    a regression to a (broadcast nested-loop) join would serialize
+    the taxonomy per row batch and add a planning-heavy operator."""
+    df = _plan(spark, "keyword_taxonomy_match")
+    s = explain_str(df)
+    assert not any(j in s for j in _JOIN_OPS)
+
+
+def test_asof_join_is_union_window_not_join(spark):
+    df = _plan(spark, "asof_join_events")
+    s = explain_str(df)
+    assert not any(j in s for j in _JOIN_OPS)
+    assert "Window" in s and "Union" in s
+    # event_type equality predicates pushed to both scans
+    pushed = " ".join(pushed_filters(df))
+    assert "error" in pushed and "click" in pushed
+
+
+def test_latest_per_key_single_shuffle(spark):
+    df = _plan(spark, "latest_per_key")
+    s = explain_str(df)
+    # one partition-by-key exchange feeding the ranking window; AQE
+    # may add a read stage but never a second repartition
+    assert s.count("Exchange hashpartitioning") <= 1
+
+
+def test_flagship_broadcasts_dims(spark):
+    df = _plan(spark, "org_air_flagship")
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_minhash_band_join_key_is_band_hash(spark):
+    """The LSH candidate join must key on (b, band_hash) — the
+    collision-bounded shuffle — never a cross/theta join."""
+    df = _plan(spark, "dedup_minhash_lsh")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "band_hash" in s
