@@ -1,0 +1,126 @@
+"""Skew & co-location machinery (SURVEY.md §4 / 100 TB posture).
+
+Two mechanisms a 1000-executor deployment leans on, implemented as
+reusable operators with correctness oracles:
+
+- **Salted aggregation**: two-phase groupBy for skewed keys — phase 1
+  aggregates on (key, salt) spreading one hot key over N reducers,
+  phase 2 merges the partials.  Result-identical to the direct
+  groupBy (the oracle proves it); wall-clock-identical on uniform
+  data; linearly better on a hot key.  AQE's skew-join handling
+  covers *joins*; aggregation skew still needs salting.
+
+- **Bucketed co-located join**: both sides written bucketed by the
+  join key → the sort-merge join runs with ZERO exchange (verified
+  structurally in tests/test_plans.py::test_bucketed_join_no_shuffle).
+  This is the mechanism that amortizes the shuffle of a repeatedly-
+  joined 100 TB fact table into its write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+from .registry import register
+
+_SALTS = 16
+
+
+def salted_sum(
+    df: DataFrame, key: str, value_cols: list[str], n_salts: int = _SALTS
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: count + per-column sums.
+
+    Phase 1 groups on (key, salt) — the hot key's rows land on
+    `n_salts` different reducers; phase 2 merges the ≤ n_salts
+    partial rows per key.  The salt is derived from stable row
+    content (not rand()) so reruns are deterministic."""
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % n_salts).alias("_salt")
+    phase1 = (
+        df.select(key, salt, *value_cols)
+        .groupBy(key, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(c).alias(f"_s_{c}") for c in value_cols],
+        )
+    )
+    return phase1.groupBy(key).agg(
+        F.sum("_n").alias("n"),
+        *[F.round(F.sum(f"_s_{c}"), 4).alias(f"sum_{c}") for c in value_cols],
+    )
+
+
+@register(
+    "salted_skew_agg",
+    survey="§4 skew handling (A1 under a hot key)",
+    oracle="""
+SELECT l_returnflag AS key,
+       count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_l_quantity,
+       round(sum(l_extendedprice), 4) AS sum_l_extendedprice
+FROM lineitem
+GROUP BY 1
+""",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over l_returnflag — a 3-value key
+    (the skew situation: at 100 TB each value is a monster partition
+    for a direct groupBy).  The oracle is the plain GROUP BY: salting
+    must be invisible in the result."""
+    li = load(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li, "l_returnflag", ["l_quantity", "l_extendedprice"]
+    ).withColumnRenamed("l_returnflag", "key")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Persist a table bucketed+sorted by its join key — subsequent
+    equi-joins between tables bucketed the same way plan with no
+    Exchange (the shuffle was paid once, at write time)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed previous run can leave the managed location behind
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with both sides bucketed by the order key —
+    used by tests to assert the exchange-free plan.  (Not a registry
+    query: saveAsTable writes warehouse state, which the driver's
+    read-only correctness gate shouldn't do.)"""
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "bkt_orders",
+        "o_orderkey",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "bkt_lineitem",
+        "l_orderkey",
+    )
+    o = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    # merge hint: at test scale orders fits the broadcast threshold,
+    # which would bypass the bucketed path being demonstrated; at
+    # 100 TB neither side broadcasts and SMJ is what Catalyst picks.
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey).groupBy(
+        "o_orderkey"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -85,7 +85,12 @@ def dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """company_id, dimension, score, weight, confidence, evidence_count
     — the shape of the reference's dimension_scores table
     (schema.sql:51-63)."""
-    ev = evidence_rows(spark, sf_dir)
+    return dimension_scores_from(evidence_rows(spark, sf_dir))
+
+
+def dimension_scores_from(ev: DataFrame) -> DataFrame:
+    """Aggregate an (already materialized) evidence frame — lets a
+    caller with several evidence consumers share one scan/join."""
     return ev.groupBy("company_id", "dimension").agg(
         F.avg("score_raw").alias("score"),
         F.lit(None).cast("double").alias("weight"),  # default per-dim weight applies

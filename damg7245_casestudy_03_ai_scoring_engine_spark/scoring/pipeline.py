@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.core import clamp
 from .composite import composite_score, with_score_band
 from .config import DEFAULT_HR_BASE, SECTOR_HR_BASE
-from .demo_domain import companies, dimension_scores, evidence_rows
+from .demo_domain import companies, dimension_scores_from, evidence_rows
 from .hr import hr_score
 from .synergy import formula_synergy
 from .talent import hhi, hhi_penalty_factor
@@ -43,12 +43,17 @@ def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floats rounded 4dp; hhi 6dp).
     """
     comp = companies(spark, sf_dir)
-    ds = dimension_scores(spark, sf_dir)
+    # One evidence join feeds BOTH the dimension-score aggregate and
+    # the supplier HHI — persist it instead of re-running the
+    # lineitem⋈orders join per consumer (at scale: the silver
+    # evidence table written once per run).
+    ev = evidence_rows(spark, sf_dir).persist()
+    ds = dimension_scores_from(ev)
 
     vr = vr_scores(ds)  # company_id, vr_raw, cv, cv_penalty, vr_score(=raw·pen)
 
     supplier_hhi = hhi(
-        evidence_rows(spark, sf_dir).select("company_id", "supp_key"),
+        ev.select("company_id", "supp_key"),
         key="company_id",
         category="supp_key",
     )

