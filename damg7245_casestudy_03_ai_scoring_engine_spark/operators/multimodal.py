@@ -172,3 +172,125 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("width"), 4).alias("avg_width"),
         F.round(F.avg("n_frames"), 4).alias("avg_frames"),
     )
+
+
+# --- resize + frame-sample (transform ops over binary columns) -------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content", BinaryType(), True),  # resized bytes
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def fake_resize(content: bytes, kind: str, max_side: int) -> tuple[bytes, int, int]:
+    """Deterministic fake resize: pseudo-dims from fake_decode scaled
+    to fit max_side; 'pixels' are a byte-slice proportional to the
+    area ratio — keeps downstream size/metadata math honest."""
+    d = fake_decode(content, kind)
+    w, h = d["width"], d["height"]
+    if w is None:
+        return content, None, None
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    keep = max(1, int(len(content) * (nw * nh) / (w * h))) if content else 0
+    return content[:keep], nw, nh
+
+
+def resize_images(
+    assets: DataFrame, max_side: int = 256, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Image resize as a mapInPandas transform: binary in → binary out
+    with updated dimensions.  Non-image kinds pass through untouched.
+    STUB NOTE: the pixel transform is `fake_resize` (no PIL in this
+    container); the operator contract — Arrow batch shape, schema,
+    partition-parallel binary-to-binary transform — is the real
+    deliverable and is what a PIL-backed kernel drops into."""
+    if not use_fake_decoder:
+        real_decode(b"", "image")  # raises NotImplementedError
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "kind": [], "content": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                if row["kind"] == "image":
+                    nc, w, h = fake_resize(content, row["kind"], max_side)
+                else:
+                    nc, w, h = content, None, None
+                out["asset_id"].append(row["asset_id"])
+                out["kind"].append(row["kind"])
+                out["content"].append(nc)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, every_nth: int = 4, use_fake_decoder: bool = True
+) -> DataFrame:
+    """Video frame sampling as a one-to-many mapInPandas transform
+    (the UDTF shape): each video asset emits every Nth pseudo-frame.
+    Fake kernel: frame i is the i-th chunk of the byte stream; a
+    pyav-backed kernel has the identical signature and schema."""
+    if not use_fake_decoder:
+        real_decode(b"", "video")  # raises NotImplementedError
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_index": [], "frame": []}
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                content = row["content"] or b""
+                n_frames = fake_decode(content, "video")["n_frames"]
+                chunk = max(1, len(content) // max(1, n_frames))
+                for i in range(0, n_frames, every_nth):
+                    out["asset_id"].append(row["asset_id"])
+                    out["frame_index"].append(i)
+                    out["frame"].append(content[i * chunk : (i + 1) * chunk])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize_rollup",
+    survey="multimodal resize/frame-sample (extension)",
+    oracle=None,  # mapInPandas binary transform — rows-only check
+)
+def multimodal_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample rollup: per kind, resized byte volume and
+    sampled frame counts — exercises both binary transforms
+    end-to-end on the synthetic asset table."""
+    assets = documents_as_assets(spark, sf_dir)
+    resized = resize_images(assets)
+    frames = sample_frames(assets)
+    r = resized.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("content")).alias("total_bytes"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+    )
+    f = frames.agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.countDistinct("asset_id").alias("n_videos"),
+    ).select(F.lit("video_frames").alias("kind"),
+             F.col("n_frames_sampled").alias("n_assets"),
+             F.col("n_videos").alias("total_bytes"),
+             F.lit(None).cast("double").alias("avg_width"))
+    return r.unionByName(f)

@@ -504,3 +504,56 @@ def portfolio_range_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_above"
         ),
     )
+
+
+@register(
+    "dimension_breakdown_json",
+    survey="F8 (to-JSON side), \u00a73 step 10 breakdown assembly",
+    oracle=f"""
+WITH {_EV_SQL.lstrip()},
+ds2 AS (
+    -- 2dp score/confidence from EXACT integer sums: avg-then-round in
+    -- doubles lands on .5 boundaries where engines' last-bit summation
+    -- order differs; integer-sum/round is bit-stable in both engines
+    SELECT company_id, dimension,
+           round(sum(score_raw) * 100.0 / count(*)) / 100.0 AS score2,
+           round(sum(round(conf_raw * 10)) * 10.0 / count(*)) / 100.0 AS conf2,
+           count(*) AS evidence_count
+    FROM ev
+    GROUP BY company_id, dimension
+),
+entries AS (
+    SELECT company_id, dimension,
+           '{{"dimension":"' || dimension || '","score":' ||
+           CAST(score2 AS VARCHAR) ||
+           ',"confidence":' || CAST(conf2 AS VARCHAR) ||
+           ',"evidence_count":' || CAST(evidence_count AS VARCHAR) || '}}' AS entry
+    FROM ds2
+)
+SELECT company_id,
+       '[' || string_agg(entry, ',' ORDER BY dimension) || ']'
+           AS dimension_breakdown_json
+FROM entries
+GROUP BY company_id
+""",
+)
+def dimension_breakdown_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested per-company dimension_breakdown_json assembly
+    (reference run_scoring_engine.py:468-530) as canonical string JSON
+    (entries sorted by dimension, 2dp rounding) so the bytes are
+    engine-agnostic; see scoring/runlog.py::dimension_breakdown.
+    The 2dp values derive from exact integer sums, not round(avg(..)),
+    to dodge .5-boundary double drift between engines."""
+    from ..scoring.demo_domain import evidence_rows
+    from ..scoring.runlog import dimension_breakdown
+
+    ev = evidence_rows(spark, sf_dir)
+    n = F.count(F.lit(1))
+    ds2 = ev.groupBy("company_id", "dimension").agg(
+        (F.round(F.sum("score_raw") * 100.0 / n) / 100.0).alias("score"),
+        (F.round(F.sum(F.round(F.col("conf_raw") * 10)) * 10.0 / n) / 100.0).alias(
+            "confidence"
+        ),
+        n.alias("evidence_count"),
+    )
+    return dimension_breakdown(ds2)

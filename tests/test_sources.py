@@ -88,3 +88,46 @@ def test_binary_file_scan(spark, tmp_path):
     df = spark.read.format("binaryFile").load(str(raw))
     got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
     assert got == {"f1.htm": b"<html>alpha</html>", "f2.htm": b"<html>beta</html>"}
+
+
+def test_resize_images_fake_kernel(spark):
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.multimodal import (
+        documents_as_assets,
+        fake_decode,
+        resize_images,
+    )
+    from conftest import SF_SMOKE
+
+    assets = documents_as_assets(spark, SF_SMOKE)
+    resized = {r.asset_id: r for r in resize_images(assets, max_side=64).collect()}
+    for r in assets.collect():
+        out = resized[r.asset_id]
+        if r.kind == "image":
+            assert out.width is not None and max(out.width, out.height) <= 64
+            assert len(out.content) <= len(r.content)
+            d = fake_decode(bytes(r.content), "image")
+            if max(d["width"], d["height"]) <= 64:  # no upscale
+                assert (out.width, out.height) == (d["width"], d["height"])
+        else:
+            assert out.width is None and bytes(out.content) == bytes(r.content)
+
+
+def test_sample_frames_every_nth(spark):
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.multimodal import (
+        documents_as_assets,
+        fake_decode,
+        sample_frames,
+    )
+    from conftest import SF_SMOKE
+
+    assets = documents_as_assets(spark, SF_SMOKE)
+    frames = sample_frames(assets, every_nth=4).collect()
+    assert frames, "expected sampled frames"
+    assert all(f.frame_index % 4 == 0 for f in frames)
+    vids = {r.asset_id: bytes(r.content) for r in assets.collect() if r.kind == "video"}
+    by_asset: dict[int, list] = {}
+    for f in frames:
+        by_asset.setdefault(f.asset_id, []).append(f.frame_index)
+    for aid, idxs in by_asset.items():
+        n = fake_decode(vids[aid], "video")["n_frames"]
+        assert sorted(idxs) == list(range(0, n, 4))
