@@ -335,3 +335,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+# --- 4b. SimHash, banded scale path ----------------------------------------
+
+_SIM_BANDS = 4  # 4 bands × 8 bits; hamming ≤ 3 ⟹ ≥1 identical band
+
+
+@register(
+    "dedup_simhash_banded",
+    survey="S18,F5 (extension: banded scale path)",
+    oracle=rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+    FROM documents
+),
+wh AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM wh, (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b)
+    GROUP BY doc_id, b
+),
+sim AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via band blocking — the
+    100 TB path the plain `dedup_simhash` docstring promises.
+
+    Pigeonhole: split the 32-bit simhash into 4 bands of 8 bits; any
+    pair within hamming 3 differs in at most 3 bands, so it MUST agree
+    exactly on at least one band.  Candidate generation is therefore
+    an equi-join on (band_idx, band_value) — shuffle volume scales
+    with band collisions, not n² — and candidates are then verified
+    with the exact hamming distance.  The oracle is the brute-force
+    n² pairing: identical output proves the blocking loses nothing."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("w"))
+    wh = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        wh.select(
+            "doc_id", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("s"))
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    ).persist()  # two consumers: band explode + both verify sides
+
+    band = F.explode(F.sequence(F.lit(0), F.lit(_SIM_BANDS - 1))).alias("band")
+    banded = sim.select("doc_id", band, "simhash").select(
+        "doc_id",
+        "band",
+        F.expr("(simhash >> (band * 8)) & 255").alias("band_val"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

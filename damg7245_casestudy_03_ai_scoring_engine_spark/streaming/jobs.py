@@ -224,3 +224,21 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming dedup (S18's incremental twin) -------------------------------
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming content-hash dedup — the incremental form of the
+    reference's dedup-before-insert probe (S18, signal_store.py:21-28):
+    `dropDuplicatesWithinWatermark` keeps one row per event_id, with
+    dedup state bounded by the watermark instead of growing forever
+    (the property that makes exactly-once ingestion viable at 100 TB;
+    duplicates separated by more than the watermark are the batch
+    anti-join's job during compaction)."""
+    return (
+        events.withColumn("event_time", event_time_col())
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

@@ -195,3 +195,52 @@ def test_event_time_col_roundtrip(spark):
     )
     (row,) = df.select(F.unix_micros("t").alias("us")).collect()
     assert row["us"] == 1_700_000_000_123_456
+
+
+def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-deliveries of the same
+    event_id within the watermark are dropped, including across
+    micro-batches (state carry)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import dedup_stream
+
+    data_dir = tmp_path / "dedup_data"
+    sink_dir = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    os.makedirs(data_dir)
+    base = 1_700_000_000 * 1_000_000_000
+
+    def write_file(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+        time.sleep(0.05)
+
+    def run():
+        events = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(data_dir))
+        q = (
+            dedup_stream(events)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: ids 1,2 plus an in-batch duplicate of 1
+    write_file([
+        (1, base, 7, "click", 1.0, "{}"),
+        (1, base + 10**9, 7, "click", 1.0, "{}"),
+        (2, base + 2 * 10**9, 7, "view", 2.0, "{}"),
+    ])
+    run()
+    assert sorted(r.event_id for r in spark.read.parquet(sink_dir).collect()) == [1, 2]
+
+    # batch 2: re-delivery of id 2 (within watermark → dropped) + new id 3
+    write_file([
+        (2, base + 3 * 10**9, 7, "view", 2.0, "{}"),
+        (3, base + 4 * 10**9, 7, "error", 3.0, "{}"),
+    ])
+    run()
+    assert sorted(r.event_id for r in spark.read.parquet(sink_dir).collect()) == [1, 2, 3]
