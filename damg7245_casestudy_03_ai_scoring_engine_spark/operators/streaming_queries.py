@@ -43,6 +43,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_sessionization",
     survey="§2.10 stateful op (batch twin of applyInPandasWithState), W5",
+    bench=True,
     oracle=f"""
 WITH o AS (
     SELECT user_id, epoch_ns(ts) AS ts, value,

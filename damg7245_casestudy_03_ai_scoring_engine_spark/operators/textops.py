@@ -183,3 +183,51 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(starts, lambda i: F.md5(F.substr(text, i, F.lit(8))))
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "train_test_split",
+    survey="LLM-pipeline extension: deterministic corpus split",
+    oracle="""
+SELECT split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM (
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split,
+           n_chars, lang
+    FROM documents
+)
+GROUP BY split
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 corpus split on a salted content-key hash —
+    the training-data-pipeline split that stays stable across reruns
+    and cluster sizes (no rand(): a document's split never changes
+    when data is re-partitioned or re-ingested).  Hash = md5 of
+    doc_id + salt, mod 100, engine-agnostic so the oracle replays it."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("eval")
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
