@@ -1011,3 +1011,60 @@ def ticker_format_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_valid")
         .agg(F.count(F.lit(1)).alias("n"), F.min("ticker").alias("sample_ticker"))
     )
+
+
+@register(
+    "regional_revenue_q5",
+    survey="J1,J2,P5,A1 (multi-join perf anchor)",
+    bench=True,
+    oracle="""
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: the classic star probe with a
+    fact×fact SMJ in the middle.  Plan shape under grading: region/
+    nation/supplier broadcast (zero fact shuffle for them), the date
+    filter pushed into the orders scan BEFORE the lineitem join, and
+    lineitem⋈orders as the only keyed shuffle.  This is the bench
+    anchor for multi-join planning quality."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _tlit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _tlit(o, "o_orderdate", "1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
