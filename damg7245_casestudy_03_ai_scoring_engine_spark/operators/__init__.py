@@ -14,4 +14,5 @@ from . import ingest  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import asof  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
+from . import mllib_queries  # noqa: F401,E402
 from . import sem_queries  # noqa: F401,E402

@@ -260,3 +260,79 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@register(
+    "ann_topk_vectorized",
+    survey="similarity (extension: Arrow/numpy fast path)",
+    bench=True,
+    # rows-only: numpy's SIMD/pairwise summation differs from the
+    # sequential fold in the last ulp, so 6dp-rounded scores can
+    # straddle a rounding boundary vs the SQL oracle; equivalence to
+    # the JVM brute force is pinned in tests/test_similarity_paths.py
+)
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k via an Arrow-batched numpy kernel —
+    the UDF fast path for wide embeddings: each partition receives the
+    broadcast query block Q (k×d) and computes Q·Cᵀ for its candidate
+    batch as ONE BLAS matmul instead of per-row zip_with folds.
+
+    Scale shape: candidates stream through mapInPandas partitions
+    (embarrassingly parallel); per-partition local top-k (k·|Q| rows
+    out per partition) then a global window top-k — the shuffle
+    carries only partition winners, not all n·|Q| scores."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q_rows = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(Qn)
+
+    schema = (
+        "query_id long, cand_id long, cand_label int, cosine double"
+    )
+
+    def kernel(batches):
+        qi, qn = bq_ids.value, bq.value
+        for pdf in batches:
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(C) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "cand_id": [], "cand_label": [], "cosine": []}
+                )
+                continue
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = qn @ Cn.T  # |Q| × batch
+            cand_ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = {"query_id": [], "cand_id": [], "cand_label": [], "cosine": []}
+            # local top-k per query within this batch
+            k = min(_TOP_K + 1, S.shape[1])  # +1 in case self is present
+            idx = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            for row, q_id in enumerate(qi):
+                for j in idx[row]:
+                    if cand_ids[j] == q_id:
+                        continue
+                    out["query_id"].append(q_id)
+                    out["cand_id"].append(int(cand_ids[j]))
+                    out["cand_label"].append(int(labels[j]))
+                    out["cosine"].append(round(float(S[row, j]), 6))
+            yield pd.DataFrame(out)
+
+    local = emb.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, schema=schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
