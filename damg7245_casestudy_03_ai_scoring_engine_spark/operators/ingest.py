@@ -624,3 +624,72 @@ def board_proxy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("company", "committee")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+# --- F7: tolerant multi-format datetime parsing ----------------------------
+
+# Three coexisting raw formats, varying per row — the reference's
+# RFC-2822 → ISO → strptime fallback chain (job_signals.py:39-49,
+# glassdoor_collector.py:560-591).
+_RAW_TS_SPARK = (
+    "case cast(doc_id % 3 as int) "
+    "when 0 then concat('2024-01-', lpad(cast(doc_id % 28 + 1 as string), 2, '0'), ' 10:30:05') "
+    "when 1 then concat(lpad(cast(doc_id % 28 + 1 as string), 2, '0'), '/02/2024') "
+    "else concat('2024-03-', lpad(cast(doc_id % 28 + 1 as string), 2, '0'), 'T23:59:59') end"
+)
+_RAW_TS_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' 10:30:05' "
+    "WHEN 1 THEN lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/02/2024' "
+    "ELSE '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T23:59:59' END"
+)
+
+
+@register(
+    "tolerant_datetime_parse",
+    survey="F7,F13",
+    oracle=rf"""
+WITH raw AS (
+    SELECT doc_id, {_RAW_TS_SQL} AS raw_ts FROM documents
+),
+parsed AS (
+    SELECT doc_id,
+           coalesce(
+               try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw_ts, '%d/%m/%Y'),
+               try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S')
+           ) AS ts
+    FROM raw
+)
+SELECT CAST(month(ts) AS INT) AS m,
+       count(*) AS n,
+       CAST(min(day(ts)) AS INT) AS min_day,
+       CAST(max(hour(ts)) AS INT) AS max_hour,
+       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS n_unparsed
+FROM parsed
+GROUP BY 1
+""",
+)
+def tolerant_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the tolerant datetime fallback chain as
+    coalesce(try_to_timestamp(fmt1), try_to_timestamp(fmt2), ...) —
+    columnar, null on total failure (TRY semantics), no Python.  All
+    formats are naive strings and only FIELDS of the parsed value are
+    emitted, so results are independent of session timezone."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    raw = F.expr(_RAW_TS_SPARK)
+    ts = F.coalesce(
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(raw, F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    return (
+        d.select(ts.alias("ts"))
+        .groupBy(F.month("ts").cast("int").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.dayofmonth("ts")).cast("int").alias("min_day"),
+            F.max(F.hour("ts")).cast("int").alias("max_hour"),
+            F.count(F.when(F.col("ts").isNull(), 1)).cast("bigint").alias("n_unparsed"),
+        )
+    )

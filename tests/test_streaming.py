@@ -244,3 +244,34 @@ def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
     ])
     run()
     assert sorted(r.event_id for r in spark.read.parquet(sink_dir).collect()) == [1, 2, 3]
+
+
+def test_session_window_agrees_with_lag_cumsum(spark):
+    """Two independent sessionization mechanisms — F.session_window
+    (gap-merging event-time windows) and the lag/cumsum batch twin —
+    must produce identical (user, start, end, count, sum) sessions."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        event_time_col,
+        sessionize_batch,
+    )
+
+    events = load(spark, SF_SMOKE, "events")
+    sw = (
+        events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+        .withColumn("event_time", event_time_col())
+        .groupBy("user_id", F.session_window("event_time", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ns"),
+            F.max("ts").alias("end_ns"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select("user_id", "start_ns", "end_ns", "n_events", "value_sum")
+    )
+    got = sorted(tuple(r) for r in sw.collect())
+    want = sorted(
+        (r.user_id, r.session_start_ns, r.session_end_ns, r.n_events, r.value_sum)
+        for r in sessionize_batch(events).collect()
+    )
+    assert got == want
