@@ -231,3 +231,95 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "corpus_length_histogram",
+    survey="text-analysis extension: corpus profiling",
+    oracle="""
+SELECT CAST(least(n_chars // 50, 9) AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(avg(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4)
+           AS avg_tokens
+FROM documents
+GROUP BY 1
+""",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profiling: fixed-width 50-char buckets (top
+    bucket open-ended) with doc counts and token stats — the
+    distribution check every training-data pipeline runs before and
+    after filtering.  One groupBy on a derived int; partial aggs
+    everywhere."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(9)).cast("int")
+    tokens = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return (
+        d.select(bucket.alias("bucket"), "n_chars", tokens.alias("tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(F.avg("tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    survey="LLM-pipeline extension: deterministic stratified sampling",
+    oracle="""
+WITH rates(lang, pct) AS (VALUES ('en', 50), ('de', 25), ('fr', 10)),
+hashed AS (
+    SELECT d.lang, d.n_chars, r.pct,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|sample-seed-7'), 1, 8))::BIGINT % 100 AS h
+    FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT lang,
+       count(*) FILTER (WHERE h < pct) AS n_sampled,
+       count(*) AS n_total,
+       round(sum(n_chars) FILTER (WHERE h < pct) * 1.0 / sum(n_chars), 6) AS char_fraction
+FROM hashed
+GROUP BY lang
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling with DETERMINISTIC membership:
+    a salted doc-id hash mod 100 against per-stratum rates — unlike
+    `sampleBy`, a document's inclusion never changes across reruns,
+    partitionings, or engines (the reproducibility requirement for
+    training-corpus curation).  Rates ride a broadcast join."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    spark_rates = d.sparkSession.createDataFrame(
+        [("en", 50), ("de", 25), ("fr", 10)], "lang string, pct int"
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sample-seed-7"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    joined = d.join(F.broadcast(spark_rates), "lang").select(
+        "lang", "n_chars", "pct", h.alias("h")
+    )
+    sampled = F.col("h") < F.col("pct")
+    return joined.groupBy("lang").agg(
+        F.count(F.when(sampled, 1)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(
+            F.sum(F.when(sampled, F.col("n_chars")).otherwise(0)) / F.sum("n_chars"), 6
+        ).alias("char_fraction"),
+    )
