@@ -262,6 +262,279 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PLANES = 16
+_BAND_BITS = 4
+_DIM = 64
+
+
+@register(
+    "lsh_cosine_pairs",
+    survey="S18,similarity (extension: random-hyperplane LSH)",
+    oracle="""
+WITH planes AS (
+    SELECT p.p, i.i,
+           (('0x' || substr(md5('rhp|' || p.p || '|' || i.i), 1, 15))::BIGINT % 2001) - 1000 AS w
+    FROM generate_series(0, 15) p(p), generate_series(1, 64) i(i)
+),
+flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS vq
+    FROM embeddings
+),
+bits AS (
+    SELECT f.vec_id, p.p, CASE WHEN sum(f.vq * p.w) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM flat f JOIN planes p ON f.i = p.i
+    GROUP BY f.vec_id, p.p
+),
+codes AS (
+    SELECT vec_id, p // 4 AS band, CAST(sum(bit << (p % 4)) AS BIGINT) AS code
+    FROM bits GROUP BY vec_id, p // 4
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+    WHERE a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT c.vec_a, c.vec_b,
+       round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                   AND sqrt(list_dot_product(b.v, b.v)) > 0
+                  THEN list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  ELSE 0.0 END, 6) AS cosine
+FROM cand c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id
+WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                  AND sqrt(list_dot_product(b.v, b.v)) > 0
+                 THEN list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 ELSE 0.0 END, 6) >= 0.4
+""",
+)
+def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (signed-random-projection) LSH for cosine
+    near-dup pairs: 16 hyperplanes → 16-bit signature → 4 bands of 4
+    bits; pairs colliding in ANY band are candidates, then verified
+    with the exact cosine ≥ 0.4.
+
+    Engine-determinism: plane weights are md5-derived ints in
+    [-1000, 1000] and vectors are quantized with floor(x·1000), so
+    every signature bit is an INTEGER dot-product sign — immune to FP
+    summation order across partitions/engines.
+
+    Scale shape: the signature build is one narrow shuffle
+    (n·d·P partial products → n·P group sums); the candidate join is
+    a self-equi-join on (band, code) — at 100 TB the band buckets ARE
+    the blocking structure, replacing the O(n²) cross join with
+    per-bucket joins, and the verify step touches only colliding
+    pairs."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+
+    planes = (
+        spark.range(0, _N_PLANES)
+        .withColumnRenamed("id", "p")
+        .crossJoin(spark.range(1, _DIM + 1).withColumnRenamed("id", "i"))
+        .select(
+            "p",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rhp|"),
+                                F.col("p").cast("string"),
+                                F.lit("|"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+    )
+
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000).alias("vq"),
+    )
+    bits = (
+        flat.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("vq") * F.col("w")) >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    codes = (
+        bits.groupBy(
+            "vec_id", (F.col("p") / _BAND_BITS).cast("bigint").alias("band")
+        )
+        .agg(
+            F.sum(F.expr(f"shiftleft(bit, cast(p % {_BAND_BITS} as int))"))
+            .cast("bigint")
+            .alias("code")
+        )
+    )
+    a_codes = codes.select(
+        F.col("vec_id").alias("vec_a"), "band", "code"
+    )
+    b_codes = codes.select(
+        F.col("vec_id").alias("vec_b"), "band", "code"
+    )
+    cand = (
+        a_codes.join(b_codes, ["band", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    e = emb.select("vec_id", "embedding")
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_similarity("va", "vb"), 6)
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    survey="similarity (extension: multi-probe IVF)",
+    oracle=f"""
+WITH cent_flat AS (
+    SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+    FROM (
+        SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
+),
+q_flat AS (
+    SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+q_cent AS (
+    SELECT q.query_id, c.label,
+           round(CASE WHEN sqrt(sum(q.x * q.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
+                      THEN sum(q.x * c.cx) / (sqrt(sum(q.x * q.x)) * sqrt(sum(c.cx * c.cx)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM q_flat q JOIN cent_flat c ON q.i = c.i
+    GROUP BY q.query_id, c.label
+),
+assign AS (
+    SELECT query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, label
+        ) AS rk
+        FROM q_cent
+    )
+    WHERE rk <= 2
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                       AND sqrt(list_dot_product(e.cv, e.cv)) > 0
+                      THEN list_dot_product(q.qv, e.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.cv, e.cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM assign a
+    JOIN q ON a.query_id = q.query_id
+    JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings) e
+      ON e.label = a.probe_label AND e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {_TOP_K}
+""",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: like `ann_ivf_topk` but each query probes
+    its top-TWO centroids, recovering recall lost at partition
+    boundaries for ~2× the probe cost — still 2/nlist of a full scan.
+    The probe set stays a broadcastable (query_id, probe_label) list;
+    candidates from both probes flow through one shared top-k
+    window."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+
+    cent_flat = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+    )
+    q_flat = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    q_cent = (
+        q_flat.join(F.broadcast(cent_flat), "i")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.when(
+                    (qn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
+    assign = (
+        q_cent.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= 2)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("probe_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        assign.join(q, "query_id")
+        .join(cand, "probe_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
 @register(
     "ann_topk_vectorized",
     survey="similarity (extension: Arrow/numpy fast path)",

@@ -19,3 +19,37 @@ def test_vectorized_ann_matches_jvm_bruteforce(spark):
         for r in REGISTRY["ann_topk_vectorized"].fn(spark, SF_SMOKE).collect()
     }
     assert jvm == vec
+
+
+def test_lsh_pairs_subset_of_exact_near_dups(spark):
+    """Every LSH-surfaced pair is verified with the exact cosine, so
+    precision is 1.0 by construction — and the band structure must
+    recall a non-trivial share of the exact near-dup set."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["embedding_near_dup"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["lsh_cosine_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= 0.2 * len(exact), (len(lsh), len(exact))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing 2 centroids can only add candidates: multi-probe
+    recall vs the brute-force top-k must be >= single-probe recall."""
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+    }
+    single = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_ivf_multiprobe"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
