@@ -19,7 +19,7 @@ blocking partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load
@@ -257,6 +257,114 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.95)
+    )
+
+
+# --- 3b. connected-component dedup clusters --------------------------------
+
+_PAIRS_SQL = r"""
+toksj AS (
+    SELECT doc_id, lang,
+           list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+    FROM documents
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM toksj a
+    JOIN toksj b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE
+                / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.95
+)"""
+
+
+@register(
+    "dedup_clusters",
+    survey="S18,U3 (extension: pair→cluster resolution)",
+    oracle=rf"""
+WITH RECURSIVE {_PAIRS_SQL.lstrip()},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (
+    SELECT node AS doc_id, min(m) AS comp_id FROM reach GROUP BY node
+)
+SELECT doc_id, comp_id,
+       CAST(count(*) OVER (PARTITION BY comp_id) AS BIGINT) AS n_members,
+       doc_id = comp_id AS is_canonical
+FROM cc
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS — the last stage of a
+    dedup pipeline: pairs (word-set jaccard ≥ 0.95, lang-blocked) form
+    an undirected graph; each doc gets its connected component's min
+    doc_id as cluster id, and the min member is the canonical doc to
+    keep.
+
+    Spark shape: iterative min-label propagation (the GraphX /
+    large-star algorithm's simple form) — each round joins current
+    labels to the edge list and takes the per-node min, converging in
+    graph-diameter rounds.  Near-dup clusters are shallow (diameter
+    ≤ ~3 in practice), so 100 TB runs converge in a handful of
+    shuffles, each a (node, comp) join — no driver-side graph.  The
+    DuckDB oracle replays it as a recursive reachability CTE."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("ws").alias("ws_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (
+        F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
+    ).cast("double")
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+    pairs = (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    ).persist()
+    while True:
+        prop = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp")).persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("comp")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("comp_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
 
 

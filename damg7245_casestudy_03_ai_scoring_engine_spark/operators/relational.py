@@ -1068,3 +1068,72 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+_DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "rolling_window_metrics",
+    survey="W5 (extension: range/rows analytic frames the reference lacks)",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_ns(ts) AS ts_ns,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT user_id, event_id, ts_ns,
+       CAST(count(*) OVER trailing_day AS BIGINT) AS roll_cnt,
+       CAST(sum(cents) OVER trailing_day AS BIGINT) AS roll_cents,
+       round(CAST(sum(cents) OVER trailing_day AS BIGINT)
+             / (count(*) OVER trailing_day * 100.0), 6) AS roll_avg,
+       CAST(sum(cents) OVER cum AS BIGINT) AS cum_cents
+FROM e
+WINDOW trailing_day AS (
+    PARTITION BY user_id ORDER BY ts_ns
+    RANGE BETWEEN {_DAY_NS} PRECEDING AND CURRENT ROW
+),
+cum AS (
+    PARTITION BY user_id ORDER BY ts_ns, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+""",
+)
+def rolling_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h RANGE frame (count / sum / derived avg) plus a
+    cumulative ROWS frame per user — the lag/lead/running-total
+    analytics SURVEY §2.5 marks **absent** (W5) in the reference,
+    provided as the extension every event pipeline needs.
+
+    Determinism: value is quantized to integer cents and the avg is
+    derived from the exact integer sum, so frame aggregation order
+    can't drift; the ROWS frame is tie-broken by event_id.  ts stays
+    int64-ns (µs-truncated to match the oracle's epoch_ns).
+
+    Scale shape: ONE shuffle on user_id serves both frames; Spark's
+    window operator keeps the trailing-range state per partition in a
+    single sorted pass (no self-join n² rolling)."""
+    e = load(spark, sf_dir, "events", fan_out=True).select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    day = Window.partitionBy("user_id").orderBy("ts_ns").rangeBetween(-_DAY_NS, 0)
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    roll_cents = F.sum("cents").over(day).cast("bigint")
+    roll_cnt = F.count(F.lit(1)).over(day)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        roll_cnt.cast("bigint").alias("roll_cnt"),
+        roll_cents.alias("roll_cents"),
+        F.round(roll_cents / (roll_cnt * F.lit(100.0)), 6).alias("roll_avg"),
+        F.sum("cents").over(cum).cast("bigint").alias("cum_cents"),
+    )

@@ -323,3 +323,77 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(sampled, F.col("n_chars")).otherwise(0)) / F.sum("n_chars"), 6
         ).alias("char_fraction"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    survey="text-analysis extension: per-language salient terms",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+),
+tf AS (
+    SELECT lang, w, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY lang, w
+),
+df AS (
+    SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY w
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.lang, t.w AS term, t.tf, d.df,
+           round(t.tf * (n.n_docs::DOUBLE / d.df), 6) AS score
+    FROM tf t JOIN df d ON t.w = d.w CROSS JOIN n
+)
+SELECT lang, term, tf, df, score, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY score DESC, term
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per language by tf·(N/df) — the inverse-
+    document-frequency weighting with the log dropped so the score is
+    ONE exact-integer division (engine-deterministic; ln() can differ
+    in the last ulp across libms and flip a rounding boundary).
+
+    Scale shape: two partial-agg shuffles (term-freq by (lang, term),
+    doc-freq by term), a shuffle join between them on term, and a
+    per-lang top-k window — every stage map-side combines, and no
+    driver-side vocabulary materializes."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(df, "w")
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
