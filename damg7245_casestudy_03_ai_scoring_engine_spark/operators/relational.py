@@ -1113,8 +1113,10 @@ def rolling_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE shuffle on user_id serves both frames; Spark's
     window operator keeps the trailing-range state per partition in a
-    single sorted pass (no self-join n² rolling)."""
-    e = load(spark, sf_dir, "events", fan_out=True).select(
+    single sorted pass (no self-join n² rolling).  No fan_out: the
+    window's own hash exchange is the first operation, so a prior
+    round-robin repartition would be a second, wasted full shuffle."""
+    e = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),

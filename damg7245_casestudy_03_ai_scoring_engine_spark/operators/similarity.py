@@ -329,10 +329,15 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
 
+    # One range, (p, i) unpacked arithmetically — a join-free constant
+    # table build (a crossJoin of two ranges plans as a nested-loop
+    # join node for no benefit).
     planes = (
-        spark.range(0, _N_PLANES)
-        .withColumnRenamed("id", "p")
-        .crossJoin(spark.range(1, _DIM + 1).withColumnRenamed("id", "i"))
+        spark.range(0, _N_PLANES * _DIM)
+        .select(
+            F.expr(f"id div {_DIM}").alias("p"),
+            (F.col("id") % _DIM + 1).alias("i"),
+        )
         .select(
             "p",
             "i",

@@ -131,3 +131,39 @@ def test_salted_agg_spreads_hot_key(spark):
     s = explain_str(df)
     assert "_salt" in s
     assert s.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+def test_rolling_window_single_hash_exchange(spark):
+    """Both frames (trailing RANGE + cumulative ROWS) must ride ONE
+    hashpartitioning(user_id) exchange — and no fan_out round-robin
+    shuffle may precede it."""
+    df = _plan(spark, "rolling_window_metrics")
+    s = explain_str(df)
+    assert s.count("hashpartitioning(user_id") == 1
+    assert "RoundRobinPartitioning" not in s
+    assert s.count("(6) Window") + s.count("Window") >= 2
+
+
+def test_lsh_planes_build_is_join_free(spark):
+    """The hyperplane constant table derives (p, i) from one range —
+    no nested-loop/cartesian node anywhere; the candidate join is an
+    equi-join on (band, code)."""
+    df = _plan(spark, "lsh_cosine_pairs")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "band" in s
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    df = _plan(spark, "stratified_sample")
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_tfidf_aggs_are_partial(spark):
+    df = _plan(spark, "tfidf_top_terms")
+    s = explain_str(df)
+    assert "partial_" in s
+    assert "CartesianProduct" not in s
