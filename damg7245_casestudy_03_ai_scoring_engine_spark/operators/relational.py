@@ -1139,3 +1139,47 @@ def rolling_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(roll_cents / (roll_cnt * F.lit(100.0)), 6).alias("roll_avg"),
         F.sum("cents").over(cum).cast("bigint").alias("cum_cents"),
     )
+
+
+_PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderpriority", "o_orderkey")
+
+
+@register(
+    "column_profile",
+    survey="A15,A16 (extension: table audit profile)",
+    oracle=f"""
+SELECT col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       round(min(v), 2) AS min_v,
+       round(max(v), 2) AS max_v
+FROM (
+    {" UNION ALL ".join(f"SELECT '{c}' AS col, TRY_CAST({c} AS DOUBLE) AS v FROM orders" for c in _PROFILE_COLS)}
+)
+GROUP BY col
+""",
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column audit profile (rows / non-null / distinct / min /
+    max) over orders columns, try_cast to double so non-numeric
+    columns surface as null-rate (TRY_TO_DOUBLE semantics, F8) — the
+    data-quality sweep a pipeline runs on every new ingest drop.
+
+    Spark shape: one `stack` unpivot (no self-union of scans — the
+    table is read ONCE) into (col, v) then a single groupBy; distinct
+    counts are exact here, with `approx_distinct` as the registered
+    sketch path at scale."""
+    o = load(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    stack_expr = "stack({n}, {args}) as (col, v)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', try_cast({c} AS DOUBLE)" for c in _PROFILE_COLS),
+    )
+    long = o.selectExpr(stack_expr)
+    return long.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("v").cast("bigint").alias("n_nonnull"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.max("v"), 2).alias("max_v"),
+    )

@@ -397,3 +397,128 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+_PACK_BUDGET = 2048  # whitespace tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    survey="LLM-pipeline extension: fixed-budget sequence packing",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+filled AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM toks
+),
+binned AS (
+    SELECT lang, doc_id, n_tokens,
+           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id
+    FROM filled
+)
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM binned
+GROUP BY lang, bin_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: documents (in doc_id order,
+    per language shard) fill fixed {budget}-token training sequences;
+    a doc starts a new bin when the running total crosses the budget.
+    bin_id = (cumsum − own_tokens) div budget — one window cumsum, no
+    sequential loop.
+
+    Scale shape: packing is per-shard (lang here; hash-shard in
+    production), so the cumsum window partitions by shard and the
+    global order never serializes through one task.  This is the op
+    that turns a filtered corpus into fixed-length pretraining rows."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("bigint")
+    toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    binned = toks.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"div {_PACK_BUDGET}"
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+_QUANTILES = (50, 90, 99)  # percent
+
+
+@register(
+    "quantile_profile",
+    survey="W3 (extension: exact rank-selected quantiles)",
+    oracle=f"""
+WITH ranked AS (
+    SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+),
+qs AS (
+    SELECT p FROM (VALUES {", ".join(f"({p})" for p in _QUANTILES)}) t(p)
+)
+SELECT r.lang, q.p,
+       CAST(min(r.n_chars) AS BIGINT) AS q_value
+FROM ranked r JOIN qs q ON r.rn = CAST(ceil(q.p * r.n / 100.0) AS BIGINT)
+GROUP BY r.lang, q.p
+""",
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quantiles (p50/p90/p99 of n_chars) selected
+    BY RANK — value at row ceil(p·n/100) of the (n_chars, doc_id)
+    ordering — so both engines pick the identical element and no
+    interpolation arithmetic can drift (percentile_cont's a+(b−a)·f
+    vs (1−f)·a+f·b differ in the last ulp).
+
+    Scale shape: one hash exchange on lang, a single sort per
+    partition serving both window functions, and a 3-row broadcast
+    for the quantile list.  The corpus-length profile every data
+    pipeline checks before/after filtering; `median_metric` covers
+    the approx_percentile scale path."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    qs = spark.createDataFrame([(p,) for p in _QUANTILES], "p int")
+    hit = ranked.join(
+        F.broadcast(qs),
+        F.col("rn") == F.ceil(F.col("p") * F.col("n") / 100.0).cast("bigint"),
+    )
+    return hit.groupBy("lang", "p").agg(
+        F.min("n_chars").cast("bigint").alias("q_value")
+    )
