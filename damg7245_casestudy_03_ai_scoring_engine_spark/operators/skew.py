@@ -124,3 +124,22 @@ def bucketed_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+def partition_pruned_scan_demo(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> DataFrame:
+    """Write events hive-partitioned by event_date, then read back one
+    day — the scan must touch ONLY that day's directory (partition
+    pruning: the 100 TB mechanism that turns the reference's
+    DATEADD windows, P5, into IO proportional to the window, not the
+    table).  Used by tests to assert PartitionFilters + file count.
+    (Not a registry query: writes outside the read-only gate.)"""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date",
+        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"),
+    )
+    path = f"{base_dir}/events_by_date"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

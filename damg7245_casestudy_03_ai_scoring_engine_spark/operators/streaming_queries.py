@@ -77,3 +77,30 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     session flags (analytic frames, W5) — the batch twin of the
     applyInPandasWithState streaming operator."""
     return sessionize_batch(load(spark, sf_dir, "events"))
+
+
+@register(
+    "click_error_followups",
+    survey="J8,§2.10 (extension: interval join / stream-stream join twin)",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, er.event_id AS error_id,
+       c.ts_ns AS click_ts_ns, er.ts_ns AS error_ts_ns
+FROM e c
+JOIN e er ON c.user_id = er.user_id
+         AND c.event_type = 'click' AND er.event_type = 'error'
+         AND er.ts_ns > c.ts_ns
+         AND er.ts_ns <= c.ts_ns + 600000000000
+""",
+)
+def click_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 10 minutes after a same-user click
+    (funnel attribution).  Batch twin of the watermarked stream-stream
+    join in streaming/jobs.py::click_error_pairs_stream — tested
+    equivalent in tests/test_streaming.py, so the incremental and
+    full-scan paths provably agree."""
+    from ..streaming.jobs import click_error_pairs
+
+    return click_error_pairs(load(spark, sf_dir, "events"))

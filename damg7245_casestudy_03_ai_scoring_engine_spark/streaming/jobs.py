@@ -242,3 +242,79 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+# --- stream-stream interval join -------------------------------------------
+
+TEN_MIN_NS = 600 * 1_000_000_000
+
+
+def click_error_pairs(events: DataFrame) -> DataFrame:
+    """Batch twin of the stream-stream join: every (click, error)
+    pair for the same user where the error lands within 10 minutes
+    AFTER the click — the funnel/attribution interval join.  Executes
+    as ONE equi-join on user_id with the time range as a join filter
+    (no time-bucket explosion needed at this selectivity)."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts_ns"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts_ns"),
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("error_ts_ns") > F.col("click_ts_ns"))
+            & (F.col("error_ts_ns") <= F.col("click_ts_ns") + F.lit(TEN_MIN_NS)),
+        )
+        .select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")
+    )
+
+
+def click_error_pairs_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin: watermarked stream-stream inner join.  Both
+    sides carry event-time watermarks and the join condition bounds
+    error_time to (click_time, click_time + 10 min], so Spark can
+    evict click state once the error-side watermark passes
+    click_time + 10 min — bounded state, the property that lets the
+    join run indefinitely.  Output mode append: a pair is emitted
+    exactly once, when it becomes final."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts_ns"),
+        )
+        .withColumn("click_time", event_time_col(F.col("click_ts_ns")))
+        .withWatermark("click_time", watermark)
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts_ns"),
+        )
+        .withColumn("error_time", event_time_col(F.col("error_ts_ns")))
+        .withWatermark("error_time", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            """
+            user_id = e_user_id
+            AND error_time > click_time
+            AND error_time <= click_time + INTERVAL 10 MINUTES
+            """
+        ),
+    ).select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")

@@ -167,3 +167,31 @@ def test_tfidf_aggs_are_partial(spark):
     s = explain_str(df)
     assert "partial_" in s
     assert "CartesianProduct" not in s
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """A one-day filter over a date-partitioned table must plan with a
+    PartitionFilters entry and read only that day's files."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.skew import (
+        partition_pruned_scan_demo,
+    )
+
+    df = partition_pruned_scan_demo(spark, SF_SMOKE, str(tmp_path))
+    s = explain_str(df)
+    # the date predicate is a PARTITION filter (directory pruning),
+    # not a data filter evaluated per row group
+    assert "PartitionFilters" in s
+    assert "event_date" in s.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    # the pruned read returns exactly that day's rows
+    from pyspark.sql import functions as F
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load, ns
+
+    want = (
+        load(spark, SF_SMOKE, "events")
+        .filter(
+            (F.col("ts") >= ns("2024-01-05")) & (F.col("ts") < ns("2024-01-06"))
+        )
+        .count()
+    )
+    got = df.agg(F.sum("n")).collect()[0][0]
+    assert got == want and want > 0

@@ -275,3 +275,26 @@ def test_session_window_agrees_with_lag_cumsum(spark):
         for r in sessionize_batch(events).collect()
     )
     assert got == want
+
+
+def test_click_error_join_stream_equals_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch twin's pair set."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        click_error_pairs,
+        click_error_pairs_stream,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, SF_SMOKE)
+    _run_stream(
+        click_error_pairs_stream(events),
+        "ce_stream",
+        "append",
+        str(tmp_path / "ckpt_ce"),
+    )
+    got = _rows(spark.table("ce_stream"))
+    want = _rows(click_error_pairs(load(spark, SF_SMOKE, "events")))
+    assert got == want
+    assert len(got) > 0
