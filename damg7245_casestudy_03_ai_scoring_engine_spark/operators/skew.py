@@ -143,3 +143,46 @@ def partition_pruned_scan_demo(
     ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "salted_skew_join",
+    survey="§4 skew handling (J1 under a hot key)",
+    oracle="""
+SELECT n.n_name AS nation,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join: the big side gets a deterministic salt
+    (pmod of a row hash — never `%`, whose negative results would
+    miss the replicated range), the 25-row dim side is exploded once
+    per salt, and the join keys become (nationkey, _salt) — one hot
+    nation now lands on 16 reducers instead of one.
+
+    This is the fallback for when the dim is too big to broadcast and
+    AQE's skew splitting can't help (e.g. a subsequent stateful op
+    needs the co-partitioning).  The merge hint forces the shuffle
+    path under test so the mechanism is actually exercised; the
+    oracle is the plain join — salting must be invisible."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cust = c.withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(_SALTS)))
+    nat = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))))
+    )
+    j = cust.hint("merge").join(
+        nat,
+        (F.col("c_nationkey") == F.col("n_nationkey"))
+        & (cust["_salt"] == nat["_salt"]),
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+    )

@@ -318,3 +318,71 @@ def click_error_pairs_stream(
             """
         ),
     ).select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")
+
+
+# --- incremental materialized view (foreachBatch upsert) --------------------
+
+
+def window_counts_raw(events: DataFrame) -> DataFrame:
+    """Un-rounded partials of `window_counts` — the mergeable form an
+    incremental gold table stores (rounding happens at READ time; you
+    cannot sum already-rounded partials and stay equal to a full
+    recompute)."""
+    hour_start = (F.col("ts") - F.col("ts") % F.lit(_HOUR_NS)).alias("window_start_ns")
+    return (
+        events.select(hour_start, "event_type", "value")
+        .groupBy("window_start_ns", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+
+
+def merge_gold_window_counts(gold_dir: str):
+    """foreachBatch body: merge one micro-batch's window partials into
+    a parquet gold table keyed on (window_start_ns, event_type).
+
+    This is the incremental-materialized-view pattern: the stream
+    maintains the same rollup the batch job full-scans, so dashboards
+    read the gold table with no recompute.  At 100 TB the union+groupBy
+    re-write becomes `MERGE INTO gold USING partial ON keys WHEN
+    MATCHED UPDATE SET n = n + src.n ...` on Delta/Iceberg — here the
+    whole (tiny) rollup is re-keyed per batch, written to a temp dir
+    and atomically swapped, which also gives crash-safe re-runs."""
+    import os
+    import shutil
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = window_counts_raw(batch_df)
+        if os.path.isdir(gold_dir):
+            gold = spark.read.parquet(gold_dir)
+            merged = (
+                gold.unionByName(partial)
+                .groupBy("window_start_ns", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum").alias("value_sum"),
+                )
+            )
+        else:
+            merged = partial
+        tmp = gold_dir + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(gold_dir):
+            shutil.rmtree(gold_dir)
+        os.replace(tmp, gold_dir)
+
+    return upsert
+
+
+def read_gold_window_counts(spark: SparkSession, gold_dir: str) -> DataFrame:
+    """Serving view over the gold table — applies the same rounding as
+    the batch `window_counts`, so incremental == full recompute."""
+    return spark.read.parquet(gold_dir).select(
+        "window_start_ns",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    )

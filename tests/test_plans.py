@@ -195,3 +195,12 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     )
     got = df.agg(F.sum("n")).collect()[0][0]
     assert got == want and want > 0
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The salted join must take the sort-merge path (that's the
+    scenario salting exists for) with _salt in the join keys."""
+    df = _plan(spark, "salted_skew_join")
+    s = explain_str(df)
+    assert "SortMergeJoin" in s
+    assert "_salt" in s

@@ -298,3 +298,41 @@ def test_click_error_join_stream_equals_batch(spark, tmp_path):
     want = _rows(click_error_pairs(load(spark, SF_SMOKE, "events")))
     assert got == want
     assert len(got) > 0
+
+
+def test_incremental_gold_equals_full_recompute(spark, tmp_path):
+    """The foreachBatch-maintained gold rollup, fed one file per
+    micro-batch, must equal the one-shot batch rollup over all data
+    (counts exactly; double sums to 1e-9)."""
+    import math
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        merge_gold_window_counts,
+        read_events_stream,
+        read_gold_window_counts,
+        window_counts,
+    )
+
+    gold = str(tmp_path / "gold_wc")
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(merge_gold_window_counts(gold))
+        .option("checkpointLocation", str(tmp_path / "ckpt_gold"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in read_gold_window_counts(spark, gold).collect()
+    }
+    want = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in window_counts(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, v) in want.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], v, abs_tol=1e-6), (k, got[k], (n, v))
