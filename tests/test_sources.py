@@ -131,3 +131,51 @@ def test_sample_frames_every_nth(spark):
     for aid, idxs in by_asset.items():
         n = fake_decode(vids[aid], "video")["n_frames"]
         assert sorted(idxs) == list(range(0, n, 4))
+
+
+def test_csv_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE CSV audit: parseable rows land clean, broken rows
+    land in quarantine with their raw payload — the job never fails."""
+    from pyspark.sql import types as T
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.robust import read_csv_audited
+
+    p = tmp_path / "signals.csv"
+    p.write_text(
+        "signal_id,score,ticker\n"
+        "1,0.5,WMT\n"
+        "2,not_a_number,JPM\n"
+        "3,0.9,CAT\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("signal_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("ticker", T.StringType()),
+        ]
+    )
+    good, quarantine = read_csv_audited(spark, str(p), schema)
+    assert sorted(r.signal_id for r in good.collect()) == [1, 3]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0].raw_payload
+
+
+def test_parquet_schema_evolution_merges_additive_columns(spark, tmp_path):
+    """Files written before a column existed read back as nulls for
+    that column under mergeSchema."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.robust import (
+        read_parquet_evolved,
+    )
+
+    d = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, "a")], "id long, payload string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 0.7)], "id long, payload string, quality double"
+    ).write.mode("append").parquet(d)
+
+    df = read_parquet_evolved(spark, d)
+    assert set(df.columns) == {"id", "payload", "quality"}
+    rows = {r.id: r.quality for r in df.collect()}
+    assert rows[1] is None and abs(rows[2] - 0.7) < 1e-12
