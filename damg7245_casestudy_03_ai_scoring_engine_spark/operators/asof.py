@@ -39,16 +39,26 @@ def asof_join(
     on: list[str],
     left_time: str,
     right_time: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward inner as-of join: each left row picks the right row
-    with the greatest right_time <= left_time within its key group.
+    """Inner as-of join: each left row picks the right row with the
+    greatest right_time <= left_time (`backward`, default) or the
+    smallest right_time >= left_time (`forward`) within its key group;
+    `tolerance` (same units as the time columns) drops matches farther
+    away than the bound — pandas merge_asof semantics, one window pass.
 
-    `right` must be unique per (on..., right_time) — pre-aggregate
-    with max_by/arg_max if it is not, or the match is nondeterministic
-    (same contract as DuckDB/Pandas ASOF).  Output = all left columns
-    plus the matched right payload columns; left rows with no prior
-    right row are dropped (inner semantics).
+    Forward is the same union+carry with the scan order reversed (time
+    DESC); the tag still sorts the right row first on ties so equality
+    matches in both directions.  `right` must be unique per
+    (on..., right_time) — pre-aggregate with max_by/arg_max if it is
+    not, or the match is nondeterministic (same contract as
+    DuckDB/Pandas ASOF).  Output = all left columns plus the matched
+    right payload columns; left rows with no match are dropped (inner
+    semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload_cols = [c for c in right.columns if c not in {*on, right_time}]
     payload_t = F.struct(
         F.col(right_time).alias("_rt"), *[F.col(c) for c in payload_cols]
@@ -75,22 +85,29 @@ def asof_join(
     l2 = l2.select(r2.columns)  # same column order; _p stays typed via union
     u = r2.unionByName(l2, allowMissingColumns=False)
 
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tag")
+        .orderBy(t_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("_p", ignorenulls=True).over(w).alias("_match")
     out = (
         u.select("*", carried)
         .filter((F.col("_tag") == 1) & F.col("_match").isNotNull())
-        .select(
-            *[F.col(f"_l_{c}").alias(c) for c in left_cols],
-            F.col("_match._rt").alias(f"matched_{right_time}"),
-            *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
-        )
     )
-    return out
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - F.col("_match._rt")
+            if direction == "backward"
+            else F.col("_match._rt") - F.col("_t")
+        )
+        out = out.filter(gap <= F.lit(tolerance))
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        F.col("_match._rt").alias(f"matched_{right_time}"),
+        *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+    )
 
 
 @register(
@@ -147,4 +164,108 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         clk, err, on=["user_id"], left_time="click_t_ns", right_time="err_t_ns"
+    )
+
+
+_HOUR_NS_TOL = 3_600 * 1_000_000_000
+
+
+def _err_clk(spark: SparkSession, sf_dir: str):
+    ev = load(spark, sf_dir, "events")
+    us = F.col("ts") - F.col("ts") % F.lit(1_000)
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", us.alias("err_t_ns"), F.struct("event_id", "value").alias("s"))
+        .groupBy("user_id", "err_t_ns")
+        .agg(F.max("s").alias("m"))
+        .select(
+            "user_id",
+            "err_t_ns",
+            F.col("m.event_id").alias("err_id"),
+            F.col("m.value").alias("err_value"),
+        )
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("click_t_ns"),
+        F.col("value").alias("click_value"),
+    )
+    return clk, err
+
+
+@register(
+    "asof_join_forward",
+    survey="J8 (extension: forward as-of join)",
+    oracle="""
+WITH err AS (
+    SELECT user_id,
+           epoch_ns(ts) AS err_t_ns,
+           max(event_id) AS err_id,
+           arg_max(value, event_id) AS err_value
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+),
+clk AS (
+    SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_t_ns, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+)
+SELECT c.click_id, c.user_id, c.click_t_ns, c.click_value,
+       e.err_t_ns AS matched_err_t_ns, e.err_id, e.err_value
+FROM clk c
+ASOF JOIN err e ON c.user_id = e.user_id AND c.click_t_ns <= e.err_t_ns
+""",
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT error at
+    or after it — the same union+window carry scanned in descending
+    time.  Cross-checked against DuckDB's native ASOF with the `<=`
+    inequality, so both directions of the operator are oracle-pinned."""
+    clk, err = _err_clk(spark, sf_dir)
+    return asof_join(
+        clk, err, on=["user_id"], left_time="click_t_ns", right_time="err_t_ns",
+        direction="forward",
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    survey="J8 (extension: as-of with max-staleness tolerance)",
+    oracle=f"""
+WITH err AS (
+    SELECT user_id,
+           epoch_ns(ts) AS err_t_ns,
+           max(event_id) AS err_id,
+           arg_max(value, event_id) AS err_value
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+),
+clk AS (
+    SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_t_ns, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+)
+SELECT click_id, user_id, click_t_ns, click_value,
+       matched_err_t_ns, err_id, err_value
+FROM (
+    SELECT c.click_id, c.user_id, c.click_t_ns, c.click_value,
+           e.err_t_ns AS matched_err_t_ns, e.err_id, e.err_value
+    FROM clk c
+    ASOF JOIN err e ON c.user_id = e.user_id AND c.click_t_ns >= e.err_t_ns
+)
+WHERE click_t_ns - matched_err_t_ns <= {_HOUR_NS_TOL}
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour staleness bound (pandas
+    merge_asof `tolerance`): a prior error older than the bound is no
+    match at all — the semantics feature-store lookups need so stale
+    features never silently join."""
+    clk, err = _err_clk(spark, sf_dir)
+    return asof_join(
+        clk, err, on=["user_id"], left_time="click_t_ns", right_time="err_t_ns",
+        tolerance=_HOUR_NS_TOL,
     )

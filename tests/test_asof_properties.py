@@ -81,3 +81,30 @@ def test_salted_sum_equals_plain_groupby(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_asof_tolerance_is_filtered_subset_of_backward(spark):
+    from conftest import SF_SMOKE
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+    back = {
+        r.click_id: r.matched_err_t_ns
+        for r in REGISTRY["asof_join_events"].fn(spark, SF_SMOKE).collect()
+    }
+    tol = {
+        r.click_id: (r.click_t_ns, r.matched_err_t_ns)
+        for r in REGISTRY["asof_join_tolerance"].fn(spark, SF_SMOKE).collect()
+    }
+    hour_ns = 3_600 * 1_000_000_000
+    for click_id, (ct, mt) in tol.items():
+        assert back[click_id] == mt  # same match as unbounded backward
+        assert 0 <= ct - mt <= hour_ns  # within tolerance
+
+
+def test_asof_forward_matches_are_at_or_after(spark):
+    from conftest import SF_SMOKE
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+    rows = REGISTRY["asof_join_forward"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.matched_err_t_ns >= r.click_t_ns for r in rows)
