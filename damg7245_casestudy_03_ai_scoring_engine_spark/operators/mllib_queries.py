@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..scoring import config as C
 from ..scoring.demo_domain import dimension_scores
+from ..sources.catalog import load
 from .registry import register
 
 
@@ -101,4 +102,102 @@ def mllib_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "slope double, intercept double, r2 double",
+    )
+
+
+@register(
+    "grouped_ols",
+    survey="M14 (extension: many-models grouped fit, native aggregates)",
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_linenumber) AS BIGINT) AS sx,
+           CAST(sum(l_quantity) AS BIGINT) AS sy,
+           CAST(sum(l_linenumber * l_quantity) AS BIGINT) AS sxy,
+           CAST(sum(l_linenumber * l_linenumber) AS BIGINT) AS sxx
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT grp, n,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+           AS intercept
+FROM s
+""",
+)
+def grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (y = l_quantity on x = l_linenumber, grouped by
+    return flag) fitted from EXACT integer sums: slope =
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with bigint numerator/denominator
+    and ONE double division, so partition order can't move the result
+    (the portable form of regr_slope/regr_intercept).
+
+    The many-models pattern: one shuffle fits every group's model as
+    a plain partial-aggregated groupBy — no per-group collect, no
+    Python in the hot path; `grouped_ols_pandas` is the grouped-map
+    UDF twin for models with no closed form."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_linenumber").cast("bigint")
+    y = F.col("l_quantity").cast("bigint")
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        "grp",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "grouped_ols_pandas",
+    survey="§2.11 (extension: grouped-map applyInPandas many-models fit)",
+    # rows-only: float64 accumulation order in numpy differs from the
+    # exact-integer-sum closed form in the last ulp; equivalence to
+    # grouped_ols is pinned to 5dp in tests/test_mllib_parity.py
+)
+def grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInPandas` twin of `grouped_ols`: each group's
+    pandas frame is fitted by a numpy kernel — the escape hatch for
+    models WITHOUT a closed aggregate form (tree fits, iterative
+    solvers).  Arrow moves each group as columnar batches; at scale
+    groups are the shuffle unit, so skewed group sizes salt like any
+    hot key."""
+    import numpy as np
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem", fan_out=True).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_linenumber").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        n = len(pdf)
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [(sy - slope * sx) / n],
+            }
+        )
+
+    return li.groupBy("grp").applyInPandas(
+        fit, schema="grp string, n long, slope double, intercept double"
     )

@@ -58,3 +58,20 @@ def test_mllib_ols_matches_closed_form(spark):
     assert math.isclose(row.slope, slope, rel_tol=1e-5)
     assert math.isclose(row.intercept, intercept, rel_tol=1e-5)
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_grouped_map_ols_matches_closed_form(spark):
+    """The applyInPandas many-models fit must agree with the exact
+    integer-sum closed form to 5dp per group."""
+    from conftest import SF_SMOKE
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+    closed = {
+        r.grp: (r.n, round(r.slope, 5), round(r.intercept, 5))
+        for r in REGISTRY["grouped_ols"].fn(spark, SF_SMOKE).collect()
+    }
+    pandas_fit = {
+        r.grp: (r.n, round(r.slope, 5), round(r.intercept, 5))
+        for r in REGISTRY["grouped_ols_pandas"].fn(spark, SF_SMOKE).collect()
+    }
+    assert closed == pandas_fit
