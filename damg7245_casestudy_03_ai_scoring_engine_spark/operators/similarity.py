@@ -614,3 +614,64 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    survey="similarity (extension: int8 embedding quantization)",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+scaled AS (
+    SELECT vec_id, label,
+           list_max(list_transform(v, x -> abs(x))) AS maxabs,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                ELSE 0.0 END AS scale,
+           v
+    FROM e
+)
+SELECT vec_id, label,
+       round(maxabs, 6) AS maxabs,
+       CAST(list_sum(list_transform(v, x -> CAST(trunc(x * scale) AS BIGINT)))
+            AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(v, x -> abs(CAST(trunc(x * scale) AS BIGINT))))
+            AS BIGINT) AS q_l1
+FROM scaled
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding: scale = 127/max|x|,
+    q_i = trunc(x_i·scale) — the 4× memory cut an ANN serving tier
+    takes before indexing.  Output is the per-vector audit row
+    (maxabs + integer checksums of the quantized vector); the
+    checksums are exact bigint folds so the oracle matches bit-for-bit.
+
+    Engine note: quantized values use trunc-toward-zero explicitly —
+    Spark's double→bigint CAST truncates but DuckDB's ROUNDS, so the
+    oracle must trunc() before casting.  All array math is per-element
+    (order-independent), never a float accumulation."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scaled = e.select(
+        "vec_id",
+        "label",
+        maxabs.alias("maxabs"),
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("scale"),
+        "v",
+    )
+    q = F.transform(
+        "v", lambda x: (x * F.col("scale")).cast("bigint")
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round("maxabs", 6).alias("maxabs"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b)
+        ).alias("q_l1"),
+    )
