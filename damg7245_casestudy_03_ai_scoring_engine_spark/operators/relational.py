@@ -1183,3 +1183,34 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 2).alias("min_v"),
         F.round(F.max("v"), 2).alias("max_v"),
     )
+
+
+_TOP_SUPPLIER_SQL = """
+SELECT s.s_nationkey AS nationkey, s.s_suppkey AS suppkey,
+       s.s_name AS supplier_name, round(s.s_acctbal, 2) AS acctbal
+FROM {supplier} s
+WHERE s.s_acctbal = (
+    SELECT max(s2.s_acctbal) FROM {supplier} s2
+    WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
+@register(
+    "correlated_max_supplier",
+    survey="S15,W2 (extension: correlated scalar subquery, SQL API)",
+    oracle=_TOP_SUPPLIER_SQL.format(supplier="supplier"),
+)
+def correlated_max_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated scalar subquery — the richest-
+    supplier-per-nation lookup — submitted through `spark.sql` over a
+    temp view: the engine's SQL surface runs the EXACT text the DuckDB
+    oracle runs.  Catalyst decorrelates the subquery into an
+    aggregate + join (no per-row re-execution), so the plan is two
+    scans of supplier and one shuffle — same asymptotics as the
+    window-function form (W2), and the same answer for ties (all
+    max-tied suppliers returned)."""
+    sup = load(spark, sf_dir, "supplier")
+    view = "correlated_max_supplier_v"
+    sup.createOrReplaceTempView(view)
+    return spark.sql(_TOP_SUPPLIER_SQL.format(supplier=view))
