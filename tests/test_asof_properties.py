@@ -108,3 +108,49 @@ def test_asof_forward_matches_are_at_or_after(spark):
     rows = REGISTRY["asof_join_forward"].fn(spark, SF_SMOKE).collect()
     assert rows
     assert all(r.matched_err_t_ns >= r.click_t_ns for r in rows)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_keys, _times), min_size=1, max_size=20),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 5, 20]),
+)
+def test_asof_variants_match_pandas(spark, left, right, direction, tol):
+    """Forward direction and tolerance must agree with pandas
+    merge_asof — the independent reference implementation — across
+    random key/time sets."""
+    right = sorted({(k, t) for k, t in right})
+    left = sorted(left)
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in right], "k long, rt long, payload long"
+    )
+    got = {
+        r.lid: (r.matched_rt, r.payload)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="lt", right_time="rt",
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["lid", "k", "lt"]
+    ).sort_values("lt", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "rt"])
+    rp["payload"] = rp.k * 1000 + rp.rt
+    rp = rp.sort_values("rt", kind="stable")
+    m = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction=direction, tolerance=tol,
+    )
+    want = {
+        int(row.lid): (int(row.rt), int(row.payload))
+        for row in m.itertuples()
+        if not pd.isna(row.rt)
+    }
+    assert got == want
