@@ -522,3 +522,80 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("lang", "p").agg(
         F.min("n_chars").cast("bigint").alias("q_value")
     )
+
+
+_MG_CAPACITY = 64
+_HH_TOP = 10
+
+
+@register(
+    "heavy_hitter_tokens",
+    survey="A16,§2.11 (extension: Misra-Gries sketch + exact recount)",
+    oracle=r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+)
+SELECT token, n, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
+)
+WHERE rk <= 10
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-10 tokens via the sketch-then-verify pattern:
+    each partition runs a Misra-Gries summary (64 counters, bounded
+    memory regardless of vocabulary size) in an Arrow-batched kernel;
+    the merged candidate set PROVABLY contains every token with count
+    > N/64 (pigeonhole over partitions), and an exact recount of just
+    the candidates yields the true top-10 — which is why a plain
+    GROUP BY oracle can check a sketch operator.
+
+    Scale shape: pass 1 is embarrassingly parallel and emits ≤ 64
+    rows per partition; pass 2 recounts with a broadcast semi-join on
+    the tiny candidate list — no full-vocabulary shuffle ever
+    happens.  This is the heavy-hitters plan for a 100 TB corpus
+    whose vocabulary would blow up a naive groupBy."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+
+    def mg(batches):
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for w in pdf["token"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < _MG_CAPACITY:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+            yield pd.DataFrame({"token": list(counters)})
+
+    cands = toks.mapInPandas(mg, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HH_TOP)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
