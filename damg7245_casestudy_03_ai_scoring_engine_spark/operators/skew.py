@@ -186,3 +186,27 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
     )
+
+
+def compact_small_files_demo(
+    spark: SparkSession, sf_dir: str, base_dir: str, small: int = 32, target: int = 4
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a fragmented table into
+    `target` right-sized files with a shuffle-free `coalesce` —
+    the maintenance job that keeps scan task counts sane after
+    streaming appends (thousands of tiny files = thousands of tasks
+    + NameNode/listing pressure at 100 TB).  Returns (files_before,
+    files_after); row equality is asserted by the test."""
+    import glob
+
+    frag_dir = f"{base_dir}/events_fragmented"
+    compact_dir = f"{base_dir}/events_compacted"
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(small).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(target).write.mode("overwrite").parquet(compact_dir)
+
+    def n_files(d: str) -> int:
+        return len(glob.glob(f"{d}/part-*.parquet"))
+
+    return n_files(frag_dir), n_files(compact_dir)

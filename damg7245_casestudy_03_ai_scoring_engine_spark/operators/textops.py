@@ -599,3 +599,122 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HH_TOP)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+_PROF_TOP = 20
+
+
+@register(
+    "lang_id_ngram",
+    survey="text-analysis (extension: char-n-gram language ID)",
+    oracle="""
+WITH split AS (
+    SELECT doc_id, lang, lower(trim(text)) AS t,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT % 100 < 90
+               AS is_train
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, lang, is_train,
+           unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                                 i -> substr(t, CAST(i AS INTEGER), 3))) AS g
+    FROM split
+),
+prof AS (
+    SELECT lang, g FROM (
+        SELECT lang, g,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+        FROM tri WHERE is_train GROUP BY lang, g
+    ) WHERE rk <= 20
+),
+eval_tri AS (
+    SELECT DISTINCT doc_id, lang AS actual_lang, g FROM tri WHERE NOT is_train
+),
+scores AS (
+    SELECT e.doc_id, e.actual_lang, p.lang AS cand_lang,
+           CAST(count(*) AS BIGINT) AS overlap
+    FROM eval_tri e JOIN prof p ON e.g = p.g
+    GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT doc_id, actual_lang, cand_lang AS predicted
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY overlap DESC, cand_lang
+        ) AS rk
+        FROM scores
+    ) WHERE rk = 1
+)
+SELECT actual_lang, predicted, count(*) AS n
+FROM pred GROUP BY actual_lang, predicted
+""",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID — the n-gram-profile classifier the
+    brief names: per-language profiles are the top-20 trigrams of the
+    deterministic 90% train split; each eval doc is classified by
+    trigram-overlap argmax (integer scores, lang tie-break) and
+    reported as a confusion matrix against the labeled lang.
+
+    Scale shape: the profile build is a (lang, trigram) partial-agg
+    shuffle + per-lang top-k window; the profile table is ≤ 20·|langs|
+    rows and BROADCASTS to the eval-side overlap join, so classifying
+    a 100 TB corpus is one map-side join + one argmax window.  Docs
+    sharing no profile trigram drop out (no prediction) — same rule in
+    both engines."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    t = F.lower(F.trim(F.col("text")))
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 90
+    )
+    grams = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substr(t, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = d.select(
+        "doc_id", "lang", is_train.alias("is_train"), F.explode(grams).alias("g")
+    )
+
+    from pyspark.sql import Window
+
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    prof = (
+        tri.filter("is_train")
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= _PROF_TOP)
+        .select(F.col("lang").alias("cand_lang"), "g")
+    )
+    eval_tri = (
+        tri.filter(~F.col("is_train"))
+        .select("doc_id", F.col("lang").alias("actual_lang"), "g")
+        .distinct()
+    )
+    scores = (
+        eval_tri.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "actual_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("cand_lang"))
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w_pred))
+        .filter(F.col("rk") == 1)
+        .select("actual_lang", F.col("cand_lang").alias("predicted"))
+    )
+    return pred.groupBy("actual_lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -204,3 +204,22 @@ def test_salted_join_shuffles_on_salted_key(spark):
     s = explain_str(df)
     assert "SortMergeJoin" in s
     assert "_salt" in s
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.skew import (
+        compact_small_files_demo,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    before, after = compact_small_files_demo(spark, SF_SMOKE, str(tmp_path))
+    assert before == 32 and after == 4
+    orig = load(spark, SF_SMOKE, "events").agg(
+        F.count(F.lit(1)), F.sum("event_id")
+    ).collect()[0]
+    compacted = spark.read.parquet(str(tmp_path / "events_compacted")).agg(
+        F.count(F.lit(1)), F.sum("event_id")
+    ).collect()[0]
+    assert tuple(orig) == tuple(compacted)
