@@ -223,3 +223,43 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
         F.count(F.lit(1)), F.sum("event_id")
     ).collect()[0]
     assert tuple(orig) == tuple(compacted)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually fire: join a 90%-hot-key
+    fact against a dim under lowered skew thresholds and assert the
+    executed plan marks the sort-merge join skew=true — the runtime
+    mechanism the session factory's skewJoin.enabled conf promises."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("dv")
+        )
+        # global agg only: a groupBy(k) downstream would REQUIRE the
+        # join's hash partitioning and make the skew split illegal
+        j = fact.join(dim, "k").agg(F.count("pad").alias("c"))
+        j.collect()  # execute THIS plan object so AQE re-planning lands on it
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
