@@ -693,3 +693,60 @@ def tolerant_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("ts").isNull(), 1)).cast("bigint").alias("n_unparsed"),
         )
     )
+
+
+# --- Python UDTF section splitter (§2.11 UDTF surface) ----------------------
+
+
+def section_splitter_udtf():
+    """Python UDTF (Spark 4 table function): one document row in,
+    one row PER SECTION out — the S7 section splitter as a true
+    lateral table function instead of the explode(array<struct>)
+    encoding.  Sections are double-newline paragraphs tagged with
+    index and char span; the UDTF shape is what a 10-K Item-splitter
+    drops into.  Returned lazily so importing this module never costs
+    a UDTF registration."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="section_index int, start_pos int, n_chars int, head string")
+    class SectionSplitter:
+        def eval(self, doc_id: int, text: str):  # noqa: D401
+            if text is None:
+                return
+            pos = 0
+            idx = 0
+            for para in text.split("\n\n"):
+                if para.strip():
+                    yield idx, pos, len(para), para[:20]
+                    idx += 1
+                pos += len(para) + 2
+
+    return SectionSplitter
+
+
+@register(
+    "udtf_section_split",
+    survey="§2.11,S7 (extension: Python UDTF lateral table function)",
+    # rows-only: Python UDTFs have no SQL-engine twin; equivalence to
+    # the native split/posexplode form is pinned in tests/test_ingest.py
+)
+def udtf_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rollup of UDTF-split sections: the table function
+    runs in a `lateral join` over documents — Spark plans it as a
+    Generate-style operator, partition-parallel like any UDF, with
+    Arrow batching under `spark.sql.execution.pythonUDTF.arrow.enabled`."""
+    SectionSplitter = section_splitter_udtf()
+    spark.udtf.register("split_sections", SectionSplitter)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.lang,
+               count(*) AS n_sections,
+               CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
+               CAST(max(s.section_index) + 1 AS INT) AS max_sections_per_doc
+        FROM udtf_docs_v d,
+             LATERAL split_sections(d.doc_id, d.text) s
+        GROUP BY d.lang
+        """
+    )

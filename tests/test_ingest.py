@@ -78,3 +78,39 @@ def test_paragraph_chunk_df_matches_local(spark):
         for i, c in enumerate(greedy_pack_paragraphs(row.text or "")):
             local[(row.doc_id, i)] = (c, len(c.split()))
     assert got == local
+
+
+def test_udtf_sections_match_native_split(spark):
+    """The Python UDTF section splitter must agree with the native
+    split+posexplode encoding of the same rule."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    got = {
+        r.lang: (r.n_sections, r.total_chars, r.max_sections_per_doc)
+        for r in REGISTRY["udtf_section_split"].fn(spark, SF_SMOKE).collect()
+    }
+
+    d = load(spark, SF_SMOKE, "documents")
+    native = (
+        d.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split("text", "\n\n"),
+                    lambda p: F.trim(p) != "",
+                )
+            ).alias("para"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sections"),
+            F.sum(F.length("para")).cast("bigint").alias("total_chars"),
+        )
+    )
+    want_counts = {r.lang: (r.n_sections, r.total_chars) for r in native.collect()}
+    assert {k: v[:2] for k, v in got.items()} == want_counts
+    assert all(v[2] >= 1 for v in got.values())

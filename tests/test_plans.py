@@ -263,3 +263,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """observe() metrics must equal a direct aggregate of the same
+    frame — computed during the action, no second scan."""
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.plans.observe import (
+        with_quality_observation,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    observed, obs = with_quality_observation(ev, "value")
+    n_out = observed.filter(F.col("event_type") != "").count()
+
+    m = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nn"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    assert m["n_rows"] == direct.n == n_out
+    assert m["n_nulls"] == (direct.nn or 0)
+    assert m["min_v"] == direct.mn and m["max_v"] == direct.mx
