@@ -1214,3 +1214,80 @@ def correlated_max_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "correlated_max_supplier_v"
     sup.createOrReplaceTempView(view)
     return spark.sql(_TOP_SUPPLIER_SQL.format(supplier=view))
+
+
+@register(
+    "full_outer_reconciliation",
+    survey="J9,U4 (extension: cross-source reconciliation audit)",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey AS k, round(o_totalprice, 2) AS total_header
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+l AS (
+    SELECT l_orderkey AS k,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total_lines
+    FROM lineitem WHERE l_orderkey % 5 <> 0
+    GROUP BY l_orderkey
+)
+SELECT CASE WHEN o.k IS NULL THEN 'lines_only'
+            WHEN l.k IS NULL THEN 'header_only'
+            ELSE 'both' END AS presence,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL
+                      AND abs(total_header - total_lines) > 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_drift
+FROM o FULL OUTER JOIN l ON o.k = l.k
+GROUP BY 1
+""",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source reconciliation: order headers vs line-derived
+    totals through a FULL OUTER join, classifying each key as
+    both/header_only/lines_only and counting amount drifts > $1 —
+    the audit every ingest pipeline runs when two systems claim the
+    same facts.  (The % filters simulate each source's missing rows.)
+
+    Scale shape: one shuffle on the join key for each side (the line
+    rollup partial-aggregates first, so the join carries one row per
+    order, not per line)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("total_header"),
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 != 0)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("total_lines")
+        )
+    )
+    j = o.join(li, "k", "full_outer").select(
+        F.when(F.col("total_header").isNull(), F.lit("lines_only"))
+        .when(F.col("total_lines").isNull(), F.lit("header_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+        "total_header",
+        "total_lines",
+    )
+    drift = (
+        F.col("total_header").isNotNull()
+        & F.col("total_lines").isNotNull()
+        & (F.abs(F.col("total_header") - F.col("total_lines")) > 1.0)
+    )
+    return j.groupBy("presence").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(drift.cast("int")).cast("bigint").alias("n_amount_drift"),
+    )
