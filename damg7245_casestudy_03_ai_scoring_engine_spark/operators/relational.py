@@ -1075,6 +1075,7 @@ _DAY_NS = 86_400_000_000_000
 
 @register(
     "rolling_window_metrics",
+    bench=True,
     survey="W5 (extension: range/rows analytic frames the reference lacks)",
     oracle=f"""
 WITH e AS (
@@ -1146,6 +1147,7 @@ _PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderpriority", "o_orderkey")
 
 @register(
     "column_profile",
+    bench=True,
     survey="A15,A16 (extension: table audit profile)",
     oracle=f"""
 SELECT col,

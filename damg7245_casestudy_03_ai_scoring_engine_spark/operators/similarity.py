@@ -269,6 +269,7 @@ _DIM = 64
 
 @register(
     "lsh_cosine_pairs",
+    bench=True,
     survey="S18,similarity (extension: random-hyperplane LSH)",
     oracle="""
 WITH planes AS (
@@ -394,11 +395,16 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_codes = codes.select(
         F.col("vec_id").alias("vec_b"), "band", "code"
     )
+    # Repartition AFTER blocking: the candidate list is tiny in BYTES
+    # (two longs per row), so AQE coalesces it onto a couple of tasks
+    # — but each row then costs a 64-dim cosine fold, so the verify
+    # stage must spread by ROW count, not byte count.
     cand = (
         a_codes.join(b_codes, ["band", "code"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     e = emb.select("vec_id", "embedding")

@@ -81,6 +81,7 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "click_error_followups",
+    bench=True,
     survey="J8,§2.10 (extension: interval join / stream-stream join twin)",
     oracle="""
 WITH e AS (

@@ -327,6 +327,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
+    bench=True,
     survey="text-analysis extension: per-language salient terms",
     oracle=r"""
 WITH toks AS (
@@ -530,6 +531,7 @@ _HH_TOP = 10
 
 @register(
     "heavy_hitter_tokens",
+    bench=True,
     survey="A16,§2.11 (extension: Misra-Gries sketch + exact recount)",
     oracle=r"""
 WITH toks AS (
