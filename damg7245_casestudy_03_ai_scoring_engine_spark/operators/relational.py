@@ -1293,3 +1293,44 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(drift.cast("int")).cast("bigint").alias("n_amount_drift"),
     )
+
+
+@register(
+    "null_safe_join",
+    survey="F13,J9 (extension: null-safe equality join)",
+    oracle="""
+WITH o AS (
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_key, o_totalprice
+    FROM orders
+),
+d AS (
+    SELECT * FROM (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+        t(status_key, status_name)
+)
+SELECT d.status_name, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY d.status_name
+""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    a status-dimension join needs when NULL is itself a meaningful
+    bucket ('open' here, built via nullif).  A plain equi-join would
+    lose every open order; this is the classic silent-data-loss bug
+    the operator exists to prevent."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key"),
+        "o_totalprice",
+    )
+    d = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "status_key string, status_name string",
+    )
+    j = o.join(F.broadcast(d), o["status_key"].eqNullSafe(d["status_key"]))
+    return j.groupBy("status_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
