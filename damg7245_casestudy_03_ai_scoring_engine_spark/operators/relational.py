@@ -1334,3 +1334,34 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "monthly_revenue_trend",
+    survey="F6 (extension: calendar bucketing)",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1
+""",
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month revenue trend: date_trunc bucketing over the
+    NTZ order date — calendar semantics (variable month lengths) that
+    epoch-floor arithmetic can't express.  NTZ in, NTZ out: no session
+    timezone enters the bucketing, so the hostile-session gate and the
+    naive DuckDB oracle agree exactly."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= _tlit(o, "o_orderdate", "1996-01-01"))
+        .groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -720,3 +720,44 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual_lang", "predicted").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "explode_outer_tokens",
+    survey="F15 (extension: null-preserving lateral explode)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> length(w) >= 12) AS long_words
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_without,
+       CAST(count(w) AS BIGINT) AS n_long_words
+FROM toks LEFT JOIN LATERAL (SELECT unnest(long_words) AS w) u ON true
+GROUP BY lang
+""",
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over the (often empty) long-word list: documents
+    with NO match are KEPT as a null row instead of vanishing — the
+    lateral-join semantics a per-document report needs (a plain
+    explode silently drops empty docs and the census under-counts).
+    The oracle is DuckDB's LEFT JOIN LATERAL unnest — the SQL spelling
+    of the same null-preserving shape."""
+    d = load(spark, sf_dir, "documents")
+    long_words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) >= 12,
+    )
+    return (
+        d.select("doc_id", "lang", F.explode_outer(long_words).alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("w").isNull().cast("int")).cast("bigint").alias("n_docs_without"),
+            F.count("w").cast("bigint").alias("n_long_words"),
+        )
+    )
