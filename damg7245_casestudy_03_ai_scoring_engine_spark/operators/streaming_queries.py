@@ -12,6 +12,7 @@ session timezone.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.catalog import load
 from ..streaming.jobs import SESSION_GAP_NS, sessionize_batch, window_counts
@@ -105,3 +106,59 @@ def click_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import click_error_pairs
 
     return click_error_pairs(load(spark, sf_dir, "events"))
+
+
+_15MIN_NS = 900 * 1_000_000_000
+_HOUR_NS_SW = 3_600 * 1_000_000_000
+
+
+@register(
+    "sliding_window_counts",
+    survey="§2.10 (extension: sliding event-time windows)",
+    bench=False,
+    oracle=f"""
+WITH e AS (
+    SELECT epoch_ns(ts) AS t, event_type, value FROM events
+),
+slid AS (
+    SELECT (t - t % {_15MIN_NS}) - (o.o * {_15MIN_NS}) AS window_start_ns,
+           event_type, value
+    FROM e, (SELECT unnest(range(0, 4)) AS o) o
+)
+SELECT window_start_ns, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM slid
+WHERE window_start_ns >= 0
+GROUP BY window_start_ns, event_type
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): every
+    event contributes to the 4 overlapping windows that contain it —
+    expressed as an explode of the 4 slide offsets from the event's
+    15-min floor, which is exactly how Spark's `window(col, '1 hour',
+    '15 minutes')` expands internally.  All boundary math is int64-ns
+    epoch arithmetic (timezone-proof); the streaming twin is the same
+    expression under a watermark, per the module's batch/stream
+    symmetry."""
+    ev = load(spark, sf_dir, "events")
+    floor15 = F.col("ts") - F.col("ts") % F.lit(_15MIN_NS)
+    slid = (
+        ev.select(
+            floor15.alias("floor15"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("o"),
+            "event_type",
+            "value",
+        )
+        .select(
+            (F.col("floor15") - F.col("o") * F.lit(_15MIN_NS)).alias("window_start_ns"),
+            "event_type",
+            "value",
+        )
+        .filter(F.col("window_start_ns") >= 0)
+    )
+    return slid.groupBy("window_start_ns", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

@@ -336,3 +336,37 @@ def test_incremental_gold_equals_full_recompute(spark, tmp_path):
     for k, (n, v) in want.items():
         assert got[k][0] == n
         assert math.isclose(got[k][1], v, abs_tol=1e-6), (k, got[k], (n, v))
+
+
+def test_sliding_windows_match_builtin_window_function(spark):
+    """The explicit 4-offset expansion must equal Spark's built-in
+    window(col, '1 hour', '15 minutes') — same windows, same counts."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    got = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in REGISTRY["sliding_window_counts"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").withColumn("event_time", event_time_col())
+    built = (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            (F.unix_micros("w.start") * 1000).alias("window_start_ns"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    want = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in built.collect()
+        if r.window_start_ns >= 0
+    }
+    assert got == want
