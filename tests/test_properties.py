@@ -92,3 +92,30 @@ def test_composite_bounded_and_banded(spark, vr, hr, syn):
     )
     assert 0.0 <= row.c <= 100.0
     assert row.band in {"Nascent", "Developing", "Progressing", "Advanced", "Leading"}
+
+
+def test_approx_percentile_within_sketch_accuracy(spark):
+    """The percentile_approx scale path median_metric's docstring
+    promises must actually land within the sketch's rank-error bound
+    of the exact percentile (accuracy=1000 → rank error ≤ n/1000)."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(1000)).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile(l_extendedprice, 0.9 - 2.0/1000)"
+        ).alias("lo"),
+        F.expr(
+            "percentile(l_extendedprice, least(0.9 + 2.0/1000, 1.0))"
+        ).alias("hi"),
+    )
+    for r in both.collect():
+        assert r.lo <= r.approx <= r.hi, (
+            r.l_returnflag, r.approx, r.lo, r.hi, r.n
+        )
