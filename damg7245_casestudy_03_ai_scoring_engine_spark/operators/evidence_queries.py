@@ -273,3 +273,51 @@ def rubric_dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rubric_confidence"
         ),
     )
+
+
+@register(
+    "top_keywords_csv",
+    survey="W4,F15 (extension: ordered list aggregation)",
+    oracle=f"""
+WITH {_EVIDENCE_SQL.lstrip()},
+counts AS (
+    SELECT dimension, keyword, count(*) AS c
+    FROM matches GROUP BY dimension, keyword
+),
+ranked AS (
+    SELECT dimension, keyword, c,
+           row_number() OVER (PARTITION BY dimension ORDER BY c DESC, keyword) AS rk
+    FROM counts
+)
+SELECT dimension,
+       string_agg(keyword, ',' ORDER BY rk) AS top_keywords,
+       CAST(sum(c) AS BIGINT) AS total_hits
+FROM ranked WHERE rk <= 5
+GROUP BY dimension
+""",
+)
+def top_keywords_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 as an ORDERED LIST AGGREGATION: the top-5 keywords per
+    dimension joined into one ordered CSV cell (the reference's top-5
+    keyword maps, evidence_mapper.py:399-407, serialized for a report
+    table).  Spark's collect_list has no ORDER BY — determinism comes
+    from collecting (rk, keyword) structs and array_sort-ing BEFORE
+    the join, the portable spelling of DuckDB's
+    `string_agg(... ORDER BY rk)`."""
+    ev = demo_evidence(spark, sf_dir)
+    m = keyword_matches(ev, DEMO_KEYWORD_PAIRS)
+    counts = m.groupBy("dimension", "keyword").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dimension").orderBy(F.desc("c"), F.asc("keyword"))
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return top.groupBy("dimension").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "keyword"))),
+                lambda x: x["keyword"],
+            ),
+            ",",
+        ).alias("top_keywords"),
+        F.sum("c").cast("bigint").alias("total_hits"),
+    )
