@@ -681,3 +681,75 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("bigint"), lambda a, b: a + F.abs(b)
         ).alias("q_l1"),
     )
+
+
+@register(
+    "semantic_doc_retrieval",
+    survey="similarity,J2 (extension: retrieval joined to doc metadata)",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+c AS (
+    SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+    SELECT query_id, cand_id,
+           round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                       AND sqrt(list_dot_product(cv, cv)) > 0
+                      THEN list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM q CROSS JOIN c
+    WHERE query_id <> cand_id
+),
+topk AS (
+    SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+)
+SELECT t.query_id, t.cand_id, t.cosine, t.rk,
+       d.lang AS cand_lang, CAST(d.n_chars AS BIGINT) AS cand_n_chars
+FROM topk t JOIN documents d ON t.cand_id = d.doc_id
+""",
+)
+def semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval end-to-end: ANN top-3 over the embedding table joined
+    BACK to the documents table for the retrieved docs' metadata — the
+    cross-modal join every RAG/serving pipeline does after the index
+    lookup (embeddings.vec_id is the documents.doc_id foreign key).
+    The metadata join carries only (query_id, cand_id, cosine) keys,
+    never vectors, and the doc side is joined AFTER top-k so at 100 TB
+    it touches k·|Q| rows, not the corpus."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", F.round(cosine_similarity("qv", "cv"), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang").alias("cand_lang"),
+        F.col("n_chars").cast("bigint").alias("cand_n_chars"),
+    )
+    return topk.join(docs, "cand_id").select(
+        "query_id", "cand_id", "cosine", "rk", "cand_lang", "cand_n_chars"
+    )
