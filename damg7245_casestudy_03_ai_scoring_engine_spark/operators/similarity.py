@@ -753,3 +753,56 @@ def semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docs, "cand_id").select(
         "query_id", "cand_id", "cosine", "rk", "cand_lang", "cand_n_chars"
     )
+
+
+@register(
+    "ann_ivf_kmeans",
+    survey="similarity (extension: learned IVF coarse quantizer)",
+    # rows-only: MLlib KMeans is an iterative solver with no portable
+    # SQL twin; recall vs the brute-force oracle path is pinned in
+    # tests/test_similarity_paths.py
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED coarse quantizer: MLlib KMeans (k=10,
+    seed=42) clusters the corpus, every vector is indexed by its
+    cluster id, and each query probes its own cluster — the trained
+    counterpart of `ann_ivf_topk`'s label-mean centroids, i.e. how a
+    real IVF index is built when no labels exist.
+
+    Scale shape: the fit samples/aggregates per partition (MLlib
+    kmeans|| init), indexing is one model.transform projection, and
+    the probe join is an equi-join on cluster id — identical cost
+    profile to the label-based variant."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding", array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=10).fit(emb.select("features"))
+    indexed = model.transform(emb).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+    q = indexed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        "cluster",
+    )
+    cand = indexed.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cluster"
+    )
+    scored = (
+        q.join(cand, "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

@@ -53,3 +53,19 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         for r in REGISTRY["ann_ivf_multiprobe"].fn(spark, SF_SMOKE).collect()
     }
     assert len(multi & truth) >= len(single & truth)
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    """The learned-quantizer IVF must recover a meaningful share of
+    the true top-k (the synthetic corpus has 10 latent clusters, so
+    k=10 KMeans should land most queries in the right cell)."""
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+    }
+    got_rows = REGISTRY["ann_ivf_kmeans"].fn(spark, SF_SMOKE).collect()
+    got = {(r.query_id, r.cand_id) for r in got_rows}
+    assert len(got_rows) > 0
+    assert all(r.rk <= 5 for r in got_rows)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, recall
