@@ -125,3 +125,87 @@ def append_dedup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new"),
         F.countDistinct("content_hash").alias("n_new_hashes"),
     )
+
+
+@register(
+    "scd2_apply",
+    survey="S17 (extension: slowly-changing-dimension type 2)",
+    oracle="""
+WITH cur AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal,
+           DATE '1990-01-01' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to
+    FROM customer
+),
+changes AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal + 100.0, 2) AS acctbal
+    FROM customer WHERE c_custkey % 10 = 3
+),
+closed AS (
+    SELECT cur.key, cur.segment, cur.acctbal, cur.effective_from,
+           DATE '2024-01-01' AS effective_to
+    FROM cur JOIN changes ON cur.key = changes.key
+),
+opened AS (
+    SELECT key, segment, acctbal,
+           DATE '2024-01-01' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to
+    FROM changes
+),
+untouched AS (
+    SELECT cur.* FROM cur LEFT JOIN changes ON cur.key = changes.key
+    WHERE changes.key IS NULL
+)
+SELECT key, segment, acctbal, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM (
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+)
+""",
+)
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: an incoming change set closes
+    the affected current rows (effective_to stamped) and opens new
+    versions, leaving history immutable — the reference's MERGE
+    upserts (S17) upgraded to full version retention.  Three branches
+    (untouched / closed / opened) from ONE scan of the dim and one of
+    the changes, unioned; on Delta this is the classic two-branch
+    MERGE.  Effective dates are DATE typed — tz-free in both engines
+    (a TIMESTAMP literal parses in session tz but collects in process
+    tz, drifting under hostile sessions).  At 100 TB the anti/semi joins broadcast the (small) change
+    set, so the dim table never shuffles."""
+    c = load(spark, sf_dir, "customer")
+    t90 = F.to_date(F.lit("1990-01-01"))
+    t24 = F.to_date(F.lit("2024-01-01"))
+    cur = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        t90.alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        )
+    )
+    change_keys = changes.select("key")
+    closed = (
+        cur.join(F.broadcast(change_keys), "key", "left_semi")
+        .withColumn("effective_to", t24)
+    )
+    opened = changes.select(
+        "key", "segment", "acctbal",
+        t24.alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+    )
+    untouched = cur.join(F.broadcast(change_keys), "key", "left_anti")
+    out = untouched.unionByName(closed).unionByName(opened)
+    return out.withColumn("is_current", F.col("effective_to").isNull())
