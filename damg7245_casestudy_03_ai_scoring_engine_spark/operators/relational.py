@@ -1365,3 +1365,50 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "rank_family_metrics",
+    survey="W5 (extension: ntile / percent_rank / cume_dist)",
+    oracle="""
+WITH ranked AS (
+    SELECT c_mktsegment AS segment, c_custkey AS key,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+SELECT segment, decile,
+       count(*) AS n,
+       round(min(acctbal), 2) AS lo,
+       round(max(acctbal), 2) AS hi,
+       round(max(pct_rank), 6) AS max_pct_rank,
+       round(max(cume), 6) AS max_cume
+FROM ranked
+GROUP BY segment, decile
+""",
+)
+def rank_family_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding per segment with the full rank family — ntile
+    buckets, percent_rank, cume_dist — rolled up to per-decile bounds
+    (the account-balance tiering a portfolio report needs).  Ordering
+    is tie-broken by key so every rank function is deterministic;
+    percent_rank/cume_dist are exact rationals, safe to round."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("acctbal"), 2).alias("lo"),
+        F.round(F.max("acctbal"), 2).alias("hi"),
+        F.round(F.max("pct_rank"), 6).alias("max_pct_rank"),
+        F.round(F.max("cume"), 6).alias("max_cume"),
+    )
