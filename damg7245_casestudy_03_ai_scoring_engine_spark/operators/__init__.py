@@ -16,3 +16,4 @@ from . import asof  # noqa: F401,E402
 from . import skew  # noqa: F401,E402
 from . import mllib_queries  # noqa: F401,E402
 from . import sem_queries  # noqa: F401,E402
+from . import graph  # noqa: F401,E402

@@ -1,0 +1,99 @@
+"""Iterative graph analytics over the transaction graph.
+
+The customer↔supplier bipartite graph (who bought from whom, via
+lineitem ⋈ orders) supports the standard importance/centrality
+queries a marketplace runs.  PageRank here is the canonical iterative
+DataFrame fixpoint: contributions = edges ⋈ ranks, new ranks = one
+groupBy — repeated a fixed number of rounds with lineage-truncating
+checkpoints (same loop discipline as dedup_clusters' connected
+components).
+
+No SQL oracle: iterative float fixpoints aren't portably expressible;
+tests/test_graph.py pins the result against a numpy power iteration
+on the collected adjacency at smoke scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load
+from .registry import register
+
+_DAMPING = 0.85
+_ITERATIONS = 8
+_SUPP_OFFSET = 1_000_000  # supplier node ids live above customer ids
+
+
+def transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier edges (both directions) from a 1/10
+    sample of orders — the demo subgraph.  Node encoding: customers
+    keep their key, suppliers are offset by 1e6."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.union(rev)
+
+
+def pagerank(edges: DataFrame, damping: float = _DAMPING, iterations: int = _ITERATIONS) -> DataFrame:
+    """Power-iteration PageRank on an edge list: returns (node, rank).
+
+    Every round is ONE join (edges ⋈ ranks on src) and ONE groupBy
+    (sum contributions per dst) — the shuffle-count profile that holds
+    at any scale — with localCheckpoint truncating the plan per round.
+    The bipartite both-direction edge set has no dangling nodes, so
+    mass is conserved without a dangling-rank correction."""
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+@register(
+    "pagerank_top_nodes",
+    survey="iterative analytics (extension: PageRank fixpoint)",
+    # rows-only: iterative float fixpoint, no portable SQL twin;
+    # pinned against numpy power iteration in tests/test_graph.py
+)
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 transaction-graph nodes by PageRank, tagged customer /
+    supplier — rank rounded to 8dp with node-id tie-break so the
+    listing is stable."""
+    from pyspark.sql import Window
+
+    ranks = pagerank(transaction_edges(spark, sf_dir))
+    kind = F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier")).otherwise(
+        F.lit("customer")
+    )
+    w = Window.orderBy(F.desc("r8"), F.asc("node"))
+    return (
+        ranks.select(
+            "node", kind.alias("kind"), F.round("rank", 8).alias("r8")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "node", "kind", F.col("r8").alias("pagerank"))
+    )
