@@ -386,3 +386,31 @@ def read_gold_window_counts(spark: SparkSession, gold_dir: str) -> DataFrame:
         "n_events",
         F.round("value_sum", 4).alias("value_sum"),
     )
+
+
+# --- stream-static enrichment join ------------------------------------------
+
+EVENT_TYPE_WEIGHTS = (
+    ("click", 1.0),
+    ("view", 0.2),
+    ("purchase", 5.0),
+    ("error", -1.0),
+)
+
+
+def enrich_with_type_weights(events: DataFrame) -> DataFrame:
+    """Stream-static enrichment: the (tiny, broadcast) event-type
+    weight dim joins each event as it flows — the streaming analog of
+    the reference's config-table lookups (J7).  Works identically on
+    batch and streaming inputs: a static DataFrame on the right of a
+    streaming join needs no watermark and re-snapshots per
+    micro-batch, which is exactly how config changes roll out to a
+    live pipeline."""
+    spark = events.sparkSession
+    weights = spark.createDataFrame(
+        list(EVENT_TYPE_WEIGHTS), "event_type string, weight double"
+    )
+    return (
+        events.join(F.broadcast(weights), "event_type", "left")
+        .withColumn("weighted_value", F.col("value") * F.coalesce("weight", F.lit(0.0)))
+    )

@@ -370,3 +370,25 @@ def test_sliding_windows_match_builtin_window_function(spark):
         if r.window_start_ns >= 0
     }
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """The stream-static weight join must produce the batch twin's
+    rows exactly (static side snapshots per micro-batch)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        enrich_with_type_weights,
+        read_events_stream,
+    )
+
+    out = enrich_with_type_weights(read_events_stream(spark, SF_SMOKE)).select(
+        "event_id", "event_type", F.round("weighted_value", 4).alias("wv")
+    )
+    _run_stream(out, "enrich_stream", "append", str(tmp_path / "ckpt_enrich"))
+    got = _rows(spark.table("enrich_stream"))
+    want = _rows(
+        enrich_with_type_weights(load(spark, SF_SMOKE, "events")).select(
+            "event_id", "event_type", F.round("weighted_value", 4).alias("wv")
+        )
+    )
+    assert got == want and len(got) > 0
