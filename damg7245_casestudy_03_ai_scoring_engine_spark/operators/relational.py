@@ -1412,3 +1412,79 @@ def rank_family_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pct_rank"), 6).alias("max_pct_rank"),
         F.round(F.max("cume"), 6).alias("max_cume"),
     )
+
+
+@register(
+    "orphan_fk_check",
+    survey="J9,U3 (extension: referential-integrity audit)",
+    oracle="""
+SELECT 'lineitem_without_order' AS violation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'order_without_customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+)
+def orphan_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count fact rows whose foreign key
+    has no parent (anti-join per FK edge) — the DQ gate an ingest
+    pipeline runs before publishing a snapshot.  Anti-joins broadcast
+    nothing here: the PARENT side is the smaller one and builds the
+    hash table; zero violations is the expected (and asserted) state
+    on consistent TPC-H data."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    v1 = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.lit("lineitem_without_order").alias("violation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_keys"),
+    )
+    v2 = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.lit("order_without_customer").alias("violation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_keys"),
+    )
+    return v1.unionByName(v2)
+
+
+@register(
+    "best_order_per_customer",
+    survey="W2 (extension: max_by argmax without a window)",
+    oracle="""
+SELECT customer, best_order, best_total
+FROM (
+    SELECT o_custkey AS customer, o_orderkey AS best_order,
+           round(o_totalprice, 2) AS best_total,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC
+           ) AS rk
+    FROM orders
+)
+WHERE rk = 1
+""",
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax WITHOUT a window: each customer's highest-value order via
+    max of a (price, orderkey) struct — one partial-aggregating
+    groupBy instead of a sort-the-whole-partition window (W2's
+    latest-row lookup at aggregation cost).  The orderkey rides the
+    struct as tie-break, making the argmax deterministic — the same
+    (o_totalprice, o_orderkey) pair ordering DuckDB's arg_max gets."""
+    o = load(spark, sf_dir, "orders")
+    m = F.max(F.struct("o_totalprice", "o_orderkey")).alias("m")
+    return (
+        o.groupBy(F.col("o_custkey").alias("customer"))
+        .agg(m)
+        .select(
+            "customer",
+            F.col("m.o_orderkey").alias("best_order"),
+            F.round(F.col("m.o_totalprice"), 2).alias("best_total"),
+        )
+    )
