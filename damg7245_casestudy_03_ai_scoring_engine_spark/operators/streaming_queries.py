@@ -162,3 +162,87 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "session_conversion_funnel",
+    survey="W5,§2.10 (extension: in-session ordered funnel)",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, epoch_ns(ts) AS ts, event_type,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP_NS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM o
+),
+s AS (
+    SELECT user_id, ts, event_type,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM f
+),
+stages AS (
+    SELECT user_id, session_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+    FROM s GROUP BY user_id, session_id
+),
+steps AS (
+    SELECT user_id, session_id,
+           t_view IS NOT NULL AS viewed,
+           t_view IS NOT NULL AND t_click_any > t_view AS clicked_after,
+           t_view IS NOT NULL AND t_click_any > t_view
+               AND t_buy_any > t_click_any AS converted
+    FROM stages
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM steps
+""",
+)
+def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered in-session funnel: within each 30-min-gap session,
+    count sessions that viewed, then clicked AFTER the first view,
+    then purchased AFTER that click — the strict-ordering funnel
+    product analytics runs (a mere per-session type census would
+    overcount).  Stage timestamps are min-CASE aggregates over the
+    sessionized frame; comparisons are int64-ns, NULL-safe by SQL
+    three-valued logic identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    from pyspark.sql import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    run = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.lit(SESSION_GAP_NS)), 1
+    ).otherwise(0)
+    s = (
+        ev.select("user_id", "ts", "event_type", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    stages = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click_any"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy_any"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click_any") > F.col("t_view"))
+    converted = clicked & (F.col("t_buy_any") > F.col("t_click_any"))
+    return stages.select(
+        viewed.alias("viewed"), clicked.alias("clicked"), converted.alias("converted")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("viewed").cast("int")).cast("bigint").alias("n_viewed"),
+        F.sum(F.col("clicked").cast("int")).cast("bigint").alias("n_clicked"),
+        F.sum(F.col("converted").cast("int")).cast("bigint").alias("n_converted"),
+    )
