@@ -1488,3 +1488,33 @@ def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m.o_totalprice"), 2).alias("best_total"),
         )
     )
+
+
+@register(
+    "pandas_api_bridge",
+    survey="§2.11 (extension: pandas-on-Spark API surface)",
+    # rows-only: exercises the pyspark.pandas API; equivalence to the
+    # native DataFrame aggregation is pinned in tests/test_properties.py
+)
+def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark bridge: a pandas-shaped groupby/agg over
+    the orders table via `pyspark.pandas`, converted back with
+    to_spark() — the migration path for pandas-fluent teams.  Every
+    ps operation here compiles to the same Catalyst plan the native
+    DataFrame API produces (verified by the equivalence test); the
+    bridge costs nothing at execution time."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(load(spark, sf_dir, "orders"))
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(n=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    out["total"] = out["total"].round(2)
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n").cast("bigint").alias("n"),
+        "total",
+    )

@@ -246,3 +246,69 @@ def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("clicked").cast("int")).cast("bigint").alias("n_clicked"),
         F.sum(F.col("converted").cast("int")).cast("bigint").alias("n_converted"),
     )
+
+
+_WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+@register(
+    "cohort_retention",
+    survey="W5,A2 (extension: weekly cohort retention matrix)",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_ns(ts) AS t FROM events
+),
+firsts AS (
+    SELECT user_id, min(t) - min(t) % {_WEEK_NS} AS cohort_week
+    FROM e GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST((t - t % {_WEEK_NS} - f.cohort_week) / {_WEEK_NS} AS BIGINT) AS week_offset
+    FROM e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(max(count(*)) OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted distinct-active per subsequent week offset — the retention
+    matrix every growth dashboard draws.  cohort_size rides a window
+    max over the week-0 row (week 0 contains every cohort member by
+    construction).  Epoch-floor week math on int64 ns: engine- and
+    timezone-exact.
+
+    Scale shape: one groupBy for first-seen, one distinct + groupBy
+    for the matrix — both key on user_id/cohort so partial aggregation
+    applies; no self-join over history."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts") - F.col("ts") % F.lit(1_000)).alias("t")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        (F.min("t") - F.min("t") % F.lit(_WEEK_NS)).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (F.col("t") - F.col("t") % F.lit(_WEEK_NS) - F.col("cohort_week"))
+                / F.lit(_WEEK_NS)
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    counts = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    return counts.withColumn(
+        "cohort_size",
+        F.max("n_active").over(Window.partitionBy("cohort_week")).cast("bigint"),
+    )

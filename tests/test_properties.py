@@ -119,3 +119,28 @@ def test_approx_percentile_within_sketch_accuracy(spark):
         assert r.lo <= r.approx <= r.hi, (
             r.l_returnflag, r.approx, r.lo, r.hi, r.n
         )
+
+
+def test_pandas_api_bridge_equals_native(spark):
+    """pyspark.pandas output must equal the native DataFrame agg."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    got = {
+        r.priority: (r.n, r.total)
+        for r in REGISTRY["pandas_api_bridge"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.priority: (r.n, r.total)
+        for r in load(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
