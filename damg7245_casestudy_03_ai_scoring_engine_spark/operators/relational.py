@@ -1518,3 +1518,96 @@ def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         "total",
     )
+
+
+@register(
+    "mad_outlier_flags",
+    survey="A10,W3 (extension: median-absolute-deviation outliers)",
+    oracle="""
+WITH vals AS (
+    SELECT c_mktsegment AS segment, c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY segment ORDER BY cents, c_custkey) AS rn,
+           count(*) OVER (PARTITION BY segment) AS n
+    FROM vals
+),
+med AS (
+    SELECT segment,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END) AS BIGINT) AS med2
+    FROM ranked GROUP BY segment
+),
+devs AS (
+    SELECT v.segment, v.c_custkey, v.cents,
+           abs(2 * v.cents - m.med2) AS dev2
+    FROM vals v JOIN med m ON v.segment = m.segment
+),
+dev_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY segment ORDER BY dev2, c_custkey) AS rn,
+           count(*) OVER (PARTITION BY segment) AS n
+    FROM devs
+),
+mad AS (
+    SELECT segment,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+    FROM dev_ranked GROUP BY segment
+)
+SELECT d.segment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(m.med2) / 200.0, 2) AS median_bal,
+       round(max(m2.mad4) / 400.0, 2) AS mad,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * m2.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM devs d
+JOIN med m ON d.segment = m.segment
+JOIN mad m2 ON d.segment = m2.segment
+GROUP BY d.segment
+""",
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per segment: |x − median| > 3·MAD.
+    Both medians are RANK-SELECTED over integer cents (the two middle
+    elements summed, ×2/×4 scaling) so the whole computation is exact
+    integer arithmetic until the final display division — no
+    interpolation formula, no FP accumulation, bit-identical across
+    engines.  Two window passes + broadcast-size per-segment stats;
+    at scale the rank selection swaps for approx_percentile with the
+    same flag expression."""
+    c = load(spark, sf_dir, "customer")
+    vals = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+
+    def two_middle_sum(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("segment").orderBy(col, "c_custkey")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("segment"))
+        )
+        return ranked.groupBy("segment").agg(
+            (
+                F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)).otherwise(0))
+                + F.sum(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col(col)).otherwise(0))
+            ).cast("bigint").alias(out)
+        )
+
+    med = two_middle_sum(vals, "cents", "med2")
+    devs = vals.join(F.broadcast(med), "segment").select(
+        "segment", "c_custkey", "cents",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = two_middle_sum(devs, "dev2", "mad4")
+    d = devs.join(F.broadcast(med), "segment").join(F.broadcast(mad), "segment")
+    return d.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("med2") / 200.0, 2).alias("median_bal"),
+        F.round(F.max("mad4") / 400.0, 2).alias("mad"),
+        F.sum(
+            F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )

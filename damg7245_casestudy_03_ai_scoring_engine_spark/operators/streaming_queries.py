@@ -312,3 +312,62 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.max("n_active").over(Window.partitionBy("cohort_week")).cast("bigint"),
     )
+
+
+_DAY_NS_GI = 86_400 * 1_000_000_000
+
+
+@register(
+    "activity_streaks",
+    survey="W5 (extension: gaps-and-islands consecutive-day streaks)",
+    oracle=f"""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           epoch_ns(ts) // {_DAY_NS_GI} AS day_idx
+    FROM events
+),
+grouped AS (
+    SELECT user_id, day_idx,
+           day_idx - row_number() OVER (
+               PARTITION BY user_id ORDER BY day_idx
+           ) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island,
+           CAST(count(*) AS BIGINT) AS streak_days,
+           CAST(min(day_idx) AS BIGINT) AS start_day
+    FROM grouped GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(max(streak_days) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(streak_days) AS BIGINT) AS active_days
+FROM streaks
+GROUP BY user_id
+""",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-active-day streaks
+    via the classic `day_idx − row_number()` island key (consecutive
+    days share it, a gap shifts it) — streak length, count, and total
+    active days per user.  Day indexing is integer epoch-floor, so
+    both engines bucket identically with no calendar/timezone code."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts div {_DAY_NS_GI}").alias("day_idx")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grouped = days.withColumn(
+        "island", F.col("day_idx") - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("streak_days").cast("bigint").alias("active_days"),
+    )
