@@ -1611,3 +1611,110 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+@register(
+    "fuzzy_match_parts",
+    survey="S18,F2 (extension: edit-distance entity resolution)",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk,
+           length(p_name) AS ln
+    FROM part
+)
+SELECT a.blk AS block,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist,
+       CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dist3
+FROM p a JOIN p b
+  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 2 AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+GROUP BY a.blk
+""",
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution: near-identical part names
+    (Levenshtein ≤ 3, excluding exact equals; rolled up per block) —
+    the fuzzy-dedup join
+    a catalog-ingest pipeline runs on vendor feeds.  Blocking on
+    (first char, ±2 length) keeps the candidate join quadratic only
+    within tiny blocks — the same block-then-verify shape as the LSH
+    operators, with edit distance as the verifier.  Levenshtein is a
+    well-defined metric, so both engines agree exactly."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"),
+        "blk", F.col("ln").alias("ln_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"),
+        "blk", F.col("ln").alias("ln_b"),
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
+            & (F.col("part_a") < F.col("part_b"))
+        )
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    pairs = (
+        cand.select("blk", dist.cast("int").alias("edit_dist"), "name_a", "name_b")
+        .filter((F.col("edit_dist") <= 3) & (F.col("name_a") != F.col("name_b")))
+    )
+    return pairs.groupBy(F.col("blk").alias("block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("edit_dist").cast("int").alias("min_dist"),
+        F.sum((F.col("edit_dist") == 3).cast("int")).cast("bigint").alias("n_dist3"),
+    )
+
+
+@register(
+    "revenue_share_report",
+    survey="W5,A2 (extension: ratio-to-report window)",
+    oracle="""
+WITH nation_rev AS (
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(rev_cents / CAST(sum(rev_cents) OVER () AS DOUBLE), 6) AS share
+FROM nation_rev
+""",
+)
+def revenue_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total supplier revenue
+    via an unpartitioned window sum over the (25-row) aggregate —
+    the percent-of-total column every report has.  Revenue is summed
+    in integer cents so the share division is one exact-integer
+    ratio; the global window runs over post-aggregation rows, never
+    the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    s = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    nation_rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    total = F.sum("rev_cents").over(Window.partitionBy())
+    return nation_rev.select(
+        "nation",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("rev_cents") / total.cast("double"), 6).alias("share"),
+    )
