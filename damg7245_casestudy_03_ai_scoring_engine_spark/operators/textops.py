@@ -761,3 +761,46 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("w").cast("bigint").alias("n_long_words"),
         )
     )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    survey="text-analysis (extension: BPE-style pre-tokenizer counts)",
+    oracle=rf"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+           AS bpe_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       round(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}')))
+             / CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE), 6)
+           AS bpe_per_word
+FROM documents
+GROUP BY lang
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts: letter runs, single digits, and
+    single punctuation marks each count as one token (the GPT-2
+    pre-tokenizer's shape without the merges) — the budget estimator a
+    training pipeline runs BEFORE the real tokenizer, compared against
+    whitespace counts as the bpe_per_word inflation ratio.  One
+    vectorized regexp per document, pure codegen; the ratio divides
+    two exact integer sums."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = d.select("lang", bpe.alias("bpe"), ws.alias("ws")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "bpe_tokens", "ws_tokens",
+        F.round(
+            F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6
+        ).alias("bpe_per_word"),
+    )
