@@ -549,3 +549,60 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+# --- 3c. asymmetric containment --------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    survey="S18 (extension: asymmetric containment near-dup)",
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()}
+SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles), 6)
+           AS containment,
+       CAST(len(a.shingles) AS BIGINT) AS n_shingles_contained,
+       CAST(len(b.shingles) AS BIGINT) AS n_shingles_container
+FROM sh a
+JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.shingles) > 0
+  AND len(a.shingles) < len(b.shingles)
+  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles), 6) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment on word-3-gram SHINGLES: |A∩B| / |A|
+    ≥ 0.8 with |A| < |B| — catches a document EMBEDDED in a longer one
+    (quote farms, page wrappers), which symmetric jaccard dilutes
+    below any threshold.  Shingles, not word sets: with a small
+    vocabulary every word set is contained in every long doc, while
+    3-gram sequences carry structure.  The n² form is the oracle
+    anchor; at scale the SAME MinHash band signatures generate
+    candidates and this containment check replaces the jaccard
+    verify."""
+    sh = _shingled_docs(spark, sf_dir)
+    a = sh.select(
+        F.col("doc_id").alias("doc_contained"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_container"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    containment = F.round(inter / F.size("sh_a").cast("double"), 6)
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("doc_contained") != F.col("doc_container"))
+            & (F.size("sh_a") > 0)
+            & (F.size("sh_a") < F.size("sh_b"))
+        )
+        .select(
+            "doc_contained",
+            "doc_container",
+            containment.alias("containment"),
+            F.size("sh_a").cast("bigint").alias("n_shingles_contained"),
+            F.size("sh_b").cast("bigint").alias("n_shingles_container"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
