@@ -1718,3 +1718,57 @@ def revenue_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
         F.round(F.col("rev_cents") / total.cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "trimmed_mean_balances",
+    survey="A10,W3 (extension: 5% trimmed mean)",
+    oracle="""
+WITH ranked AS (
+    SELECT c_mktsegment AS segment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS rn,
+           count(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM customer
+)
+SELECT segment,
+       CAST(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN cents ELSE 0 END)
+             / (100.0 * sum(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN 1 ELSE 0 END)),
+             4) AS trimmed_mean,
+       round(sum(cents) / (100.0 * count(*)), 4) AS plain_mean
+FROM ranked
+GROUP BY segment
+""",
+)
+def trimmed_mean_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% trimmed mean per segment: drop the lowest and highest n/20
+    rank positions (deterministic (value, key) ordering) and average
+    the integer-cent remainder — the outlier-robust center a
+    financial rollup reports next to the plain mean.  Exact integer
+    sums, one division at display."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    kept = (F.col("rn") > F.expr("n div 20")) & (
+        F.col("rn") <= F.col("n") - F.expr("n div 20")
+    )
+    return ranked.groupBy("segment").agg(
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("cents")).otherwise(0))
+            / (F.lit(100.0) * F.sum(kept.cast("int"))),
+            4,
+        ).alias("trimmed_mean"),
+        F.round(F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1))), 4).alias(
+            "plain_mean"
+        ),
+    )
