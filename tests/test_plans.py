@@ -289,3 +289,35 @@ def test_observation_metrics_ride_the_action(spark):
     assert m["n_rows"] == direct.n == n_out
     assert m["n_nulls"] == (direct.nn or 0)
     assert m["min_v"] == direct.mn and m["max_v"] == direct.mx
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a date-partitioned fact to a filtered dim must inject a
+    dynamicpruning subquery into the fact scan — the runtime analog of
+    static partition pruning, and THE mechanism that keeps a
+    fact-to-dim join from scanning all partitions at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events").withColumn(
+        "event_date",
+        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"),
+    )
+    fact_dir = str(tmp_path / "fact_by_date")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("2024-01-05", "campaign"), ("2024-01-06", "other")],
+        "event_date string, tag string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("tag") == "campaign"), "event_date")
+        .groupBy("event_date")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = j.collect()
+    # the hive partition value reads back type-inferred as DATE
+    assert len(rows) == 1 and str(rows[0]["event_date"]) == "2024-01-05"
