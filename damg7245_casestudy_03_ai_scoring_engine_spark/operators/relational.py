@@ -1772,3 +1772,71 @@ def trimmed_mean_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plain_mean"
         ),
     )
+
+
+_Z_BITS = 8
+
+
+def _morton_sql(xcol: str, ycol: str) -> str:
+    """Engine-portable Morton (Z-order) interleave of two 8-bit ints
+    as a sum of literal-multiplier terms — no shift-operator dialect
+    differences, pure integer arithmetic."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xcol} >> {i}) & 1) * {4 ** i}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_stats",
+    survey="§4 layout (extension: Z-order clustering key)",
+    oracle=f"""
+WITH q AS (
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS xq,
+           CAST(epoch_ns(o_orderdate) // 86400000000000 % 256 AS BIGINT) AS yq
+    FROM orders
+),
+z AS (
+    SELECT o_orderkey, xq, yq,
+           CAST({_morton_sql('xq', 'yq')} AS BIGINT) AS zkey
+    FROM q
+)
+SELECT zkey // 1024 AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(xq) - min(xq) AS BIGINT) AS x_span,
+       CAST(max(yq) - min(yq) AS BIGINT) AS y_span
+FROM z
+GROUP BY zkey // 1024
+""",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day):
+    interleaving the two 8-bit quantized dims gives a 1-D sort key
+    whose buckets stay LOCAL in both dimensions — the per-bucket
+    x/y spans this query reports are what make min/max row-group
+    pruning effective on EITHER filter column after a z-sorted write
+    (Delta's ZORDER BY, built from scratch).  The interleave is a sum
+    of literal-multiplier bit terms — portable integer arithmetic, no
+    shift-operator dialect."""
+    o = load(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("bigint").alias("xq"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 256
+        ).cast("bigint").alias("yq"),
+    )
+    z = q.select(
+        "o_orderkey", "xq", "yq",
+        F.expr(f"CAST({_morton_sql('xq', 'yq')} AS BIGINT)").alias("zkey"),
+    )
+    return z.groupBy(F.expr("zkey div 1024").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("xq") - F.min("xq")).cast("bigint").alias("x_span"),
+        (F.max("yq") - F.min("yq")).cast("bigint").alias("y_span"),
+    )

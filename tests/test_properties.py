@@ -184,3 +184,19 @@ def test_sequence_packing_invariants(spark):
         bs.sort(key=lambda b: b.bin_id)
         for prev, nxt in zip(bs, bs[1:]):
             assert prev.last_doc < nxt.first_doc, (lang, prev, nxt)
+
+
+def test_approx_count_distinct_within_hll_error(spark):
+    """approx_count_distinct's default rsd is 5%; the estimate over
+    each table's key column must land within 3x that bound."""
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    for table, col in (("orders", "o_custkey"), ("lineitem", "l_orderkey")):
+        df = load(spark, SF_SMOKE, table)
+        exact, approx = df.agg(
+            F.countDistinct(col), F.approx_count_distinct(col)
+        ).collect()[0]
+        assert abs(approx - exact) <= 0.15 * exact, (table, exact, approx)
