@@ -1840,3 +1840,45 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("xq") - F.min("xq")).cast("bigint").alias("x_span"),
         (F.max("yq") - F.min("yq")).cast("bigint").alias("y_span"),
     )
+
+
+@register(
+    "value_tier_rangejoin",
+    survey="J8 (extension: band/range join against a tier table)",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+    VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0),
+           ('high', 20.0, 100.0), ('extreme', 100.0, 1e18)
+)
+SELECT t.tier,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(e.value), 2) AS min_v,
+       round(max(e.value), 2) AS max_v
+FROM events e
+JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def value_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: each event matched to the tier whose
+    [lo, hi) interval contains its value — the literal-bounds variant
+    of the interval join family (J8).  The tier table is 4 rows, so
+    Spark plans a broadcast nested-loop join with the range predicate
+    evaluated in codegen — the RIGHT plan here; banding only becomes a
+    bucket-key equi-join when BOTH sides are large (see
+    click_error_followups for that shape)."""
+    ev = load(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0),
+         ("high", 20.0, 100.0), ("extreme", 100.0, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    j = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
