@@ -209,3 +209,70 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched = cur.join(F.broadcast(change_keys), "key", "left_anti")
     out = untouched.unionByName(closed).unionByName(opened)
     return out.withColumn("is_current", F.col("effective_to").isNull())
+
+
+@register(
+    "scd2_snapshot_asof",
+    survey="S17,P5 (extension: point-in-time snapshot from SCD2 history)",
+    oracle="""
+WITH cur AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal,
+           DATE '1990-01-01' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to
+    FROM customer
+),
+changes AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal + 100.0, 2) AS acctbal
+    FROM customer WHERE c_custkey % 10 = 3
+),
+closed AS (
+    SELECT cur.key, cur.segment, cur.acctbal, cur.effective_from,
+           DATE '2024-01-01' AS effective_to
+    FROM cur JOIN changes ON cur.key = changes.key
+),
+opened AS (
+    SELECT key, segment, acctbal,
+           DATE '2024-01-01' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to
+    FROM changes
+),
+untouched AS (
+    SELECT cur.* FROM cur LEFT JOIN changes ON cur.key = changes.key
+    WHERE changes.key IS NULL
+),
+hist AS (
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+),
+snap AS (
+    SELECT * FROM hist
+    WHERE effective_from <= DATE '2020-06-15'
+      AND (effective_to IS NULL OR effective_to > DATE '2020-06-15')
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(acctbal), 2) AS total_bal
+FROM snap
+GROUP BY segment
+""",
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from SCD2 history: the dimension
+    AS OF 2020-06-15 is every version whose validity interval covers
+    that date — exactly one row per key, pre-change values (the 2024
+    update is invisible).  This is the query that makes retaining
+    history worth it: training-data snapshots and report re-runs are
+    reproducible at any past date with one predicate."""
+    hist = scd2_apply(spark, sf_dir)
+    asof = F.to_date(F.lit("2020-06-15"))
+    snap = hist.filter(
+        (F.col("effective_from") <= asof)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > asof))
+    )
+    return snap.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )
