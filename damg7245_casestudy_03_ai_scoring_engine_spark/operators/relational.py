@@ -1882,3 +1882,38 @@ def value_tier_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
+
+
+@register(
+    "grouping_sets_census",
+    survey="A17 (extension: explicit GROUPING SETS + grouping_id)",
+    oracle="""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation_key,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS INT) AS gid,
+       count(*) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-segment totals, per-nation totals,
+    and the grand total in ONE pass (neither ROLLUP nor CUBE: the
+    (segment, nation) pair level is deliberately absent), with
+    grouping_id disambiguating which set produced each row.  One
+    Expand + one aggregation — three scans' worth of rollups for one
+    shuffle."""
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("grouping_sets_census_v")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nation_key,
+               CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS INT) AS gid,
+               count(*) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM grouping_sets_census_v
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
