@@ -1917,3 +1917,69 @@ def grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+@register(
+    "k_anonymity_audit",
+    survey="A15 (extension: k-anonymity over quasi-identifiers)",
+    oracle="""
+WITH groups AS (
+    SELECT c_mktsegment, c_nationkey, count(*) AS k
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_5,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+FROM groups
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (segment, nation) quasi-identifier
+    pair: group sizes, the minimum k, and how many rows sit in groups
+    smaller than k=5 — the re-identification check a dataset release
+    (or training-corpus export) runs before publishing.  One partial-
+    aggregated groupBy plus a scalar rollup."""
+    c = load(spark, sf_dir, "customer")
+    groups = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum((F.col("k") < 5).cast("int")).cast("bigint").alias("n_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
+@register(
+    "pii_masking",
+    survey="F5 (extension: deterministic PII masking)",
+    oracle="""
+SELECT c_custkey AS key,
+       substr(c_name, 1, 2) || '***' AS name_masked,
+       substr(md5('pepper-77|' || c_name), 1, 16) AS name_token,
+       CAST(length(c_name) AS INT) AS name_len
+FROM customer
+WHERE c_custkey < 100
+""",
+)
+def pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII masking: a format-hinting partial mask (first
+    two chars + '***') for display, and a peppered-hash pseudonym
+    token that stays JOINABLE across tables and runs without exposing
+    the value — the pattern that lets a masked training corpus still
+    support entity-level dedup and linkage.  Pure column expressions;
+    the pepper would come from a secret store, never the repo."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        F.col("c_custkey").alias("key"),
+        F.concat(F.substring("c_name", 1, 2), F.lit("***")).alias("name_masked"),
+        F.substring(
+            F.md5(F.concat(F.lit("pepper-77|"), F.col("c_name"))), 1, 16
+        ).alias("name_token"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
