@@ -179,3 +179,53 @@ def test_parquet_schema_evolution_merges_additive_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "payload", "quality"}
     rows = {r.id: r.quality for r in df.collect()}
     assert rows[1] is None and abs(rows[2] - 0.7) < 1e-12
+
+
+def test_orc_roundtrip_preserves_rows(spark, tmp_path):
+    """ORC is the second built-in columnar format; a bronze table
+    must round-trip bit-identically (events' ns-longs included)."""
+    from conftest import SF_SMOKE
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    p = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    a = ev.agg(F.count(F.lit(1)), F.sum("event_id"), F.sum(F.col("ts") % 1_000_000_000)).collect()[0]
+    b = back.agg(F.count(F.lit(1)), F.sum("event_id"), F.sum(F.col("ts") % 1_000_000_000)).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert dict(back.dtypes)["ts"] == "bigint"
+
+
+def test_zstd_parquet_smaller_and_readable(spark, tmp_path):
+    """zstd compression must produce a smaller (or equal) footprint
+    than uncompressed and read back identically — the storage knob a
+    100 TB lake turns first."""
+    import os
+
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+
+    def write(codec, d):
+        docs.coalesce(1).write.mode("overwrite").option("compression", codec).parquet(d)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    none_b = write("none", str(tmp_path / "none"))
+    zstd_b = write("zstd", str(tmp_path / "zstd"))
+    assert zstd_b < none_b
+    back = spark.read.parquet(str(tmp_path / "zstd"))
+    assert back.count() == docs.count()
+    got = back.agg(F.sum(F.length("text"))).collect()[0][0]
+    want = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert got == want
