@@ -253,7 +253,10 @@ FROM m
 def rubric_dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17/M18: ordered rubric descent (first satisfied level wins,
     when-chain — NOT a join that could match several levels) over
-    keyword-hit counts + the quant-metric proxy."""
+    keyword-hit counts + the quant-metric proxy.
+
+    Reference: app/scoring_engine/rubric_scorer.py:83-319.
+    """
     ev = demo_evidence(spark, sf_dir)
     agg = keyword_matches(ev, DEMO_KEYWORD_PAIRS).groupBy("company_id", "dimension").agg(
         F.count(F.lit(1)).alias("n_hits"),

@@ -675,7 +675,10 @@ def tolerant_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce(try_to_timestamp(fmt1), try_to_timestamp(fmt2), ...) —
     columnar, null on total failure (TRY semantics), no Python.  All
     formats are naive strings and only FIELDS of the parsed value are
-    emitted, so results are independent of session timezone."""
+    emitted, so results are independent of session timezone.
+
+    Reference: app/pipelines/job_signals.py:39-49; glassdoor_collector.py:560-591.
+    """
     d = load(spark, sf_dir, "documents", fan_out=True)
     raw = F.expr(_RAW_TS_SPARK)
     ts = F.coalesce(

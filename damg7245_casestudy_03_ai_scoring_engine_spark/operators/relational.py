@@ -299,7 +299,10 @@ GROUP BY c.c_mktsegment
 )
 def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS) — customers with at least one large
-    order; complements anti_join_dedup."""
+    order; complements anti_join_dedup.
+
+    Reference: app/scoring_engine/signal_store.py:21-28 existence probe.
+    """
     c = load(spark, sf_dir, "customer")
     big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
     return (
@@ -959,7 +962,10 @@ def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: INTERSECT / EXCEPT (distinct set semantics) — nations that
     have both customers and suppliers vs customer-only nations.
     Spark plans both as aggregated semi/anti joins; at scale these
-    are one shuffle each on the set column."""
+    are one shuffle each on the set column.
+
+    Reference: SURVEY.md §2.7 U4 (absent as SQL in the reference; Spark-native capability).
+    """
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("n_nationkey")
     )
@@ -1039,7 +1045,10 @@ def regional_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/supplier broadcast (zero fact shuffle for them), the date
     filter pushed into the orders scan BEFORE the lineitem join, and
     lineitem⋈orders as the only keyed shuffle.  This is the bench
-    anchor for multi-join planning quality."""
+    anchor for multi-join planning quality.
+
+    Reference: the J1/J2 join chain (sector_config.py:23-41, run_scoring_engine.py:753-773) at TPC-H Q5 shape.
+    """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf_dir, "orders")
     o = o.filter(

@@ -94,7 +94,10 @@ FROM ds
 )
 def dimension_scores_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dimension_scores silver table (reference schema.sql:51-63)
-    derived from raw evidence — one groupBy, partial-agg friendly."""
+    derived from raw evidence — one groupBy, partial-agg friendly.
+
+    Reference: app/scoring_engine/evidence_mapper.py:159-213; schema.sql:51-63.
+    """
     ds = dimension_scores(spark, sf_dir)
     return ds.select(
         "company_id",

@@ -68,7 +68,10 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over l_returnflag — a 3-value key
     (the skew situation: at 100 TB each value is a monster partition
     for a direct groupBy).  The oracle is the plain GROUP BY: salting
-    must be invisible in the result."""
+    must be invisible in the result.
+
+    Reference: SURVEY.md §4 skew posture (no reference analog - pure scale machinery).
+    """
     li = load(spark, sf_dir, "lineitem")
     return salted_sum(
         li, "l_returnflag", ["l_quantity", "l_extendedprice"]
@@ -167,7 +170,10 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew splitting can't help (e.g. a subsequent stateful op
     needs the co-partitioning).  The merge hint forces the shuffle
     path under test so the mechanism is actually exercised; the
-    oracle is the plain join — salting must be invisible."""
+    oracle is the plain join — salting must be invisible.
+
+    Reference: SURVEY.md §4 skew posture (no reference analog - pure scale machinery).
+    """
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )

@@ -76,7 +76,10 @@ GROUP BY user_id, session_id
 def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap sessionization via lag + running-sum
     session flags (analytic frames, W5) — the batch twin of the
-    applyInPandasWithState streaming operator."""
+    applyInPandasWithState streaming operator.
+
+    Reference: SURVEY.md §2.10 (streaming absent in reference; extension batch twin).
+    """
     return sessionize_batch(load(spark, sf_dir, "events"))
 
 

@@ -70,7 +70,10 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17 MERGE upsert: an update batch (BUILDING customers, +100
     balance) plus an insert batch (new synthetic keys) merged into the
     customer snapshot; rollup by row origin proves matched rows were
-    replaced, unmatched kept, new rows inserted."""
+    replaced, unmatched kept, new rows inserted.
+
+    Reference: app/scoring_engine/dimension_pipeline.py:38-74; schema.sql:109-120.
+    """
     c = load(spark, sf_dir, "customer")
     target = c.select(
         "c_custkey",
@@ -116,7 +119,10 @@ FROM (
 )
 def append_dedup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S18 insert-if-absent: re-ingesting the full corpus against a
-    half-loaded table appends only unseen content hashes."""
+    half-loaded table appends only unseen content hashes.
+
+    Reference: app/scoring_engine/signal_store.py:21-69, evidence_store.py:262-290.
+    """
     d = load(spark, sf_dir, "documents")
     existing = d.filter(F.col("doc_id") < 250).select(F.md5("text").alias("content_hash"))
     incoming = d.select("doc_id", F.md5("text").alias("content_hash"))
