@@ -282,3 +282,71 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "scd2_temporal_join",
+    survey="S17,J8 (extension: fact joined to dim version valid at fact time)",
+    oracle="""
+WITH cur AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal,
+           DATE '1990-01-01' AS effective_from,
+           CAST(NULL AS DATE) AS effective_to
+    FROM customer
+),
+changes AS (
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           round(c_acctbal + 100.0, 2) AS acctbal
+    FROM customer WHERE c_custkey % 10 = 3
+),
+hist AS (
+    SELECT cur.key, cur.segment, cur.acctbal, cur.effective_from,
+           DATE '2024-01-01' AS effective_to
+    FROM cur JOIN changes ON cur.key = changes.key
+    UNION ALL
+    SELECT key, segment, acctbal, DATE '2024-01-01', CAST(NULL AS DATE)
+    FROM changes
+    UNION ALL
+    SELECT cur.* FROM cur LEFT JOIN changes ON cur.key = changes.key
+    WHERE changes.key IS NULL
+)
+SELECT h.segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(h.acctbal), 2) AS sum_dim_bal,
+       round(sum(o.o_totalprice), 2) AS sum_order_total
+FROM orders o
+JOIN hist h
+  ON o.o_custkey = h.key
+ AND CAST(o.o_orderdate AS DATE) >= h.effective_from
+ AND (h.effective_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.effective_to)
+GROUP BY h.segment
+""",
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal join: every order matched to the customer VERSION that
+    was valid on its order date (from <= t < to) — the query SCD2
+    history exists to serve, giving reports the attributes as they
+    were, not as they are.  Each fact row matches exactly one version
+    by interval disjointness.
+
+    Scale shape: an equi-join on the key with the interval predicate
+    as a join filter — versions per key are few, so the fan-out is
+    bounded; the dim side is the small one and broadcasts."""
+    hist = scd2_apply(spark, sf_dir).select(
+        "key", "segment", "acctbal", "effective_from", "effective_to"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate"), "o_totalprice"
+    )
+    j = o.join(
+        F.broadcast(hist),
+        (o.o_custkey == hist.key)
+        & (F.col("odate") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("odate") < F.col("effective_to"))),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("acctbal"), 2).alias("sum_dim_bal"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_order_total"),
+    )
