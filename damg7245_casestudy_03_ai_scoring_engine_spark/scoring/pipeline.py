@@ -57,7 +57,17 @@ def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="company_id",
         category="supp_key",
     )
+    return assemble_composite(vr, supplier_hhi, comp)
 
+
+def assemble_composite(
+    vr: DataFrame, supplier_hhi: DataFrame, comp: DataFrame
+) -> DataFrame:
+    """Post-VR assembly shared by the batch flagship and the
+    incremental (partials-fed) path: HHI penalty → HR → synergy →
+    composite + band.  Inputs: vr_scores output, hhi output
+    (company_id, hhi, n_items), companies (company_id, sector,
+    position_factor)."""
     scored = (
         vr.join(supplier_hhi, "company_id")
         .withColumn("hhi_factor", hhi_penalty_factor("hhi", "n_items"))

@@ -40,6 +40,25 @@ def hhi(items: DataFrame, key: str = "company_id", category: str = "job_function
     )
 
 
+def hhi_from_counts(
+    counts: DataFrame, key: str = "company_id", count_col: str = "cnt"
+) -> DataFrame:
+    """HHI from PRE-AGGREGATED (key, category) counts — the mergeable
+    form the incremental pipeline maintains (category identity is
+    already folded into the count rows).  Same output contract as
+    `hhi`: <key>, hhi double, n_items long."""
+    w = Window.partitionBy(key)
+    share = F.col(count_col).cast("double") / F.sum(count_col).over(w)
+    return (
+        counts.withColumn("share", share)
+        .groupBy(key)
+        .agg(
+            F.sum(F.pow("share", 2)).alias("hhi"),
+            F.sum(count_col).cast("long").alias("n_items"),
+        )
+    )
+
+
 def hhi_penalty_factor(
     hhi_col: Column | str, n_col: Column | str, cfg: dict | None = None
 ) -> Column:

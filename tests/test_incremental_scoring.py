@@ -1,0 +1,68 @@
+"""Incremental flagship == batch flagship: streaming evidence merged
+as partials must yield the same composite scores as the one-shot
+batch pipeline over the same data."""
+
+from __future__ import annotations
+
+import math
+
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.demo_domain import evidence_rows
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.incremental import (
+    merge_partials,
+    score_from_partials,
+)
+from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.pipeline import score_portfolio
+
+from conftest import SF_SMOKE
+
+
+def _by_company(rows):
+    return {
+        r.company_id: (
+            round(r.vr_score, 4),
+            round(r.hr_score, 4),
+            round(r.synergy_score, 4),
+            round(r.composite_score, 4),
+            r.score_band,
+            r.n_items,
+        )
+        for r in rows
+    }
+
+
+def test_incremental_partials_match_batch_flagship(spark, tmp_path):
+    """Feed the evidence in TWO halves through the partial merger;
+    the derived scores must match the batch flagship to 4dp (fp
+    accumulation order differs — scores are rounded anyway)."""
+    gold = str(tmp_path / "gold")
+    ev = evidence_rows(spark, SF_SMOKE).persist()
+    upsert = merge_partials(gold)
+    half_a = ev.filter("company_id % 2 = 0")
+    half_b = ev.filter("company_id % 2 = 1")
+    upsert(half_a, 0)
+    upsert(half_b, 1)
+    # second delivery of batch data would double-count — the partial
+    # tables are merged per NEW batch only, which is what foreachBatch
+    # guarantees under exactly-once (checkpointed batch ids)
+
+    got = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
+    want = _by_company(score_portfolio(spark, SF_SMOKE).collect())
+    assert set(got) == set(want)
+    for cid, g in got.items():
+        w = want[cid]
+        assert g[4] == w[4] and g[5] == w[5], (cid, g, w)  # band, n_items
+        for i in range(4):
+            assert math.isclose(g[i], w[i], abs_tol=2e-4), (cid, i, g, w)
+
+
+def test_incremental_updates_shift_scores(spark, tmp_path):
+    """Merging MORE evidence for a company must change its score —
+    i.e. the gold tables actually accumulate rather than overwrite."""
+    gold = str(tmp_path / "gold2")
+    ev = evidence_rows(spark, SF_SMOKE).persist()
+    upsert = merge_partials(gold)
+    upsert(ev, 0)
+    one = {r.company_id: r.n_items for r in score_from_partials(spark, SF_SMOKE, gold).collect()}
+    upsert(ev.limit(500), 1)
+    two = {r.company_id: r.n_items for r in score_from_partials(spark, SF_SMOKE, gold).collect()}
+    assert sum(two.values()) == sum(one.values()) + 500
