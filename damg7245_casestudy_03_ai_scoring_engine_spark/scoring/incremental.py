@@ -100,3 +100,55 @@ def score_from_partials(
     supplier_hhi = hhi_from_counts(supp, key="company_id", count_col="n")
     comp = companies(spark, sf_dir)
     return assemble_composite(vr, supplier_hhi, comp)
+
+
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz, "
+    "l_commitdate timestamp_ntz, l_receiptdate timestamp_ntz"
+)
+
+
+def stream_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence rows as a STREAM: lineitem arrives as files
+    (readStream), orders is the static side of a stream-static join —
+    the same derivation as demo_domain.evidence_rows, incremental."""
+    from .demo_domain import _dimension_expr
+
+    li = (
+        spark.readStream.schema(LINEITEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "lineitem*.parquet")
+        .parquet(sf_dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )
+    from ..sources.catalog import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("company_id"),
+        _dimension_expr(F.col("l_linenumber")).alias("dimension"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 101)
+        .cast("double")
+        .alias("score_raw"),
+        ((F.col("l_orderkey") % 10).cast("double") / 10.0).alias("conf_raw"),
+        F.col("l_suppkey").alias("supp_key"),
+    )
+
+
+def run_incremental_scoring(
+    spark: SparkSession, sf_dir: str, gold_dir: str, checkpoint: str
+) -> None:
+    """One availableNow pass: stream the evidence source and merge
+    partials into the gold tables; call `score_from_partials` to
+    serve.  Exactly-once across restarts comes from the checkpointed
+    batch ids — a replayed batch is never re-merged."""
+    q = (
+        stream_evidence(spark, sf_dir)
+        .writeStream.foreachBatch(merge_partials(gold_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

@@ -66,3 +66,30 @@ def test_incremental_updates_shift_scores(spark, tmp_path):
     upsert(ev.limit(500), 1)
     two = {r.company_id: r.n_items for r in score_from_partials(spark, SF_SMOKE, gold).collect()}
     assert sum(two.values()) == sum(one.values()) + 500
+
+
+def test_streaming_incremental_equals_batch(spark, tmp_path):
+    """The REAL streaming path — readStream lineitem files,
+    stream-static orders join, foreachBatch partial merge — must
+    serve the batch flagship's scores; a second (empty) run must not
+    double-merge (checkpointed exactly-once)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.incremental import (
+        run_incremental_scoring,
+    )
+
+    gold = str(tmp_path / "gold_stream")
+    ckpt = str(tmp_path / "ckpt_inc")
+    run_incremental_scoring(spark, SF_SMOKE, gold, ckpt)
+    got = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
+    want = _by_company(score_portfolio(spark, SF_SMOKE).collect())
+    assert set(got) == set(want)
+    for cid, g in got.items():
+        w = want[cid]
+        assert g[4] == w[4] and g[5] == w[5], (cid, g, w)
+        for i in range(4):
+            assert math.isclose(g[i], w[i], abs_tol=2e-4), (cid, i, g, w)
+
+    # rerun with nothing new: checkpoint prevents re-merging
+    run_incremental_scoring(spark, SF_SMOKE, gold, ckpt)
+    again = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
+    assert again == got
