@@ -1992,3 +1992,73 @@ def pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name_token"),
         F.length("c_name").cast("int").alias("name_len"),
     )
+
+
+# Benford expected first-digit proportions log10(1 + 1/d), d=1..9,
+# precomputed as literals so both engines compare the same constants.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD.items())
+
+
+@register(
+    "benford_digit_audit",
+    survey="A1 (extension: Benford first-digit fraud/quality audit)",
+    oracle=f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+        AS d
+    FROM orders WHERE o_totalprice >= 1
+),
+expected(d, p) AS (VALUES {_BENFORD_VALUES}),
+obs AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs)
+SELECT e.d AS digit,
+       coalesce(o.n, 0) AS n,
+       round(coalesce(o.n, 0) / CAST(t.n_tot AS DOUBLE), 6) AS observed,
+       e.p AS expected,
+       round(abs(coalesce(o.n, 0) / CAST(t.n_tot AS DOUBLE) - e.p), 6) AS abs_dev
+FROM expected e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed vs
+    expected log10(1+1/d) proportions and per-digit deviation — the
+    anomaly screen auditors run on financial facts (fabricated data
+    rarely matches Benford).  Expected proportions ship as literal
+    constants so no log evaluates at query time; the observed ratios
+    divide exact integer counts."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    expected = o.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "d int, p double"
+    )
+    n_tot = digits.count()
+    out = (
+        expected.alias("e")
+        .join(obs.alias("o"), "d", "left")
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(n_tot)), 6
+            ).alias("observed"),
+            F.col("p").alias("expected"),
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(n_tot)) - F.col("p")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+    return out

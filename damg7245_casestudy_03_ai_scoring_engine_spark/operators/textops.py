@@ -804,3 +804,90 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6
         ).alias("bpe_per_word"),
     )
+
+
+@register(
+    "bigram_collocations",
+    survey="text-analysis (extension: collocations by lift)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+    FROM toks WHERE len(ws) >= 2
+),
+uni AS (
+    SELECT unnest(ws) AS w FROM toks
+),
+bg_counts AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_xy FROM bg GROUP BY bigram),
+uni_counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM uni),
+scored AS (
+    SELECT b.bigram, b.n_xy,
+           round((b.n_xy * t.n_tot) / CAST(u1.n * u2.n AS DOUBLE), 6) AS lift
+    FROM bg_counts b
+    JOIN uni_counts u1 ON u1.w = split_part(b.bigram, ' ', 1)
+    JOIN uni_counts u2 ON u2.w = split_part(b.bigram, ' ', 2)
+    CROSS JOIN tot t
+    WHERE b.n_xy >= 5
+)
+SELECT bigram, n_xy, lift, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rk FROM scored
+)
+WHERE rk <= 10
+""",
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-10 bigrams by LIFT
+    n(xy)·N / (n(x)·n(y)) — PMI's ordering with the log dropped, so
+    the score is one division of exact integer products (log differs
+    in the last ulp across libms; the monotone transform doesn't
+    change the ranking).  Minimum count 5 screens noise.  Two
+    partial-agg shuffles plus two joins against the (broadcastable)
+    unigram counts — phrase mining over a 100 TB corpus is this exact
+    plan."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = d.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    uni = d.select(F.explode(ws).alias("w"))
+    n_tot = uni.count()
+    bg_counts = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    ).filter(F.col("n_xy") >= 5)
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bg_counts.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "bigram",
+            "n_xy",
+            F.round(
+                (F.col("n_xy") * F.lit(n_tot)) / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
