@@ -50,17 +50,26 @@ def main() -> None:
     # Two timed runs, keep the min: single-shot wall times on a busy
     # 32-core box swing ±50% from scheduler noise; the min is the
     # honest steady-state figure the warm-up pass set up.
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query reports null, the
+    # other timings still land (a crashed bench run has no numbers at
+    # all, which is strictly worse than a partial one).
+    timings: dict[str, float | None] = {}
+    failures: dict[str, str] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - harness must survive
+            timings[name] = None
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -71,6 +80,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_queries": len(timings),
+                "n_failed": len(failures),
             }
         )
     )

@@ -239,25 +239,73 @@ WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set jaccard near-dup pairs ≥ 0.95, blocked by lang (the
-    blocking key stands in for the length/prefix blocking you'd use at
-    scale to avoid the full n² self-join)."""
+    """Word-set jaccard near-dup pairs ≥ 0.95 within a language.
+
+    Candidate generation is EXACT prefix filtering (the All-Pairs /
+    PPJoin bound), not a lang-blocked n² self-join: order every token
+    by global rarity (document frequency, ties by token); if
+    jaccard(A,B) ≥ t, then A and B must share at least one token among
+    each side's `|X| - ceil(t·|X|) + 1` rarest tokens.  Candidates are
+    therefore an EQUI-JOIN of the two prefix relations on the token —
+    shuffle volume scales with prefix df, not n² — followed by the
+    exact jaccard verify and a `t·|B| ≤ |A|` length filter.  Unlike
+    MinHash banding this loses NOTHING: recall is provably 1.0, so the
+    brute-force oracle matches bit-for-bit."""
+    t = 0.95
     d = load(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("ws")
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("ws").alias("ws_a"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("ws").alias("ws_b"))
+    # Two consumers (prefix build + verify join); materialize the
+    # tokenized form once.
+    d = d.persist()
+    prefix = _rare_prefix(d, threshold=t)
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.w") == F.col("pb.w"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            # length filter: jaccard ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)
+            & (F.col("pa.n") >= F.ceil(F.lit(t) * F.col("pb.n")))
+            & (F.col("pb.n") >= F.ceil(F.lit(t) * F.col("pa.n"))),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = (F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))).cast(
         "double"
     )
     jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
     return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.95)
+        .filter(F.col("jaccard") >= t)
     )
+
+
+def _rare_prefix(d: DataFrame, threshold: float, items_col: str = "ws") -> DataFrame:
+    """Per-doc prefix relation for prefix filtering: the
+    `n - ceil(threshold·n) + 1` globally-rarest items of each doc,
+    one row per (doc_id[, lang], w, n).  Rarity order = (document
+    frequency, item) — any GLOBAL total order is correct; df-order
+    minimizes candidate-join fan-out because prefix tokens are the
+    rare ones."""
+    key_cols = [c for c in ("doc_id", "lang") if c in d.columns]
+    tok = d.select(*key_cols, F.size(items_col).alias("n"), F.explode(items_col).alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("df", "w")
+    ranked = tok.join(dfreq, "w").select(
+        *key_cols, "n", "w", F.row_number().over(by_rarity).alias("rn")
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    return ranked.filter(F.col("rn") <= prefix_len).drop("rn")
 
 
 # --- 3b. connected-component dedup clusters --------------------------------
@@ -605,4 +653,72 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh_b").cast("bigint").alias("n_shingles_container"),
         )
         .filter(F.col("containment") >= 0.8)
+    )
+
+
+@register(
+    "dedup_containment_prefix",
+    survey="S18 (extension: containment near-dup, prefix-filtered scale path)",
+    bench=True,
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()}
+SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles), 6)
+           AS containment,
+       CAST(len(a.shingles) AS BIGINT) AS n_shingles_contained,
+       CAST(len(b.shingles) AS BIGINT) AS n_shingles_container
+FROM sh a
+JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.shingles) > 0
+  AND len(a.shingles) < len(b.shingles)
+  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles), 6) >= 0.8
+""",
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_containment`'s 100 TB path: identical output (same
+    brute-force oracle), candidates from EXACT asymmetric prefix
+    filtering instead of a crossJoin.
+
+    If |A∩B|/|A| ≥ t, B must cover all but < (1-t)·|A| of A's
+    shingles, so B contains at least one of A's `|A| - ceil(t·|A|) + 1`
+    globally-rarest shingles.  Candidate generation is the equi-join of
+    the contained-side PREFIX relation against the container-side FULL
+    shingle inverted index — recall is provably 1.0, and shuffle volume
+    scales with the document frequency of RARE shingles, not n².  The
+    container side cannot be prefix-restricted (containment is
+    one-sided), which is why the contained side's prefix carries the
+    whole pruning load."""
+    t = 0.8
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    prefix_a = _rare_prefix(sh, threshold=t, items_col="shingles")
+    all_b = sh.select(
+        F.col("doc_id").alias("doc_container"),
+        F.size("shingles").alias("n_b"),
+        F.explode("shingles").alias("w"),
+    )
+    cand = (
+        prefix_a.join(
+            all_b,
+            (prefix_a.w == all_b.w)
+            & (prefix_a.doc_id != all_b.doc_container)
+            & (prefix_a.n < all_b.n_b),
+        )
+        .select(F.col("doc_id").alias("doc_contained"), "doc_container")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_contained"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_container"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    containment = F.round(inter / F.size("sh_a").cast("double"), 6)
+    return (
+        cand.join(a, "doc_contained")
+        .join(b, "doc_container")
+        .select(
+            "doc_contained",
+            "doc_container",
+            containment.alias("containment"),
+            F.size("sh_a").cast("bigint").alias("n_shingles_contained"),
+            F.size("sh_b").cast("bigint").alias("n_shingles_container"),
+        )
+        .filter(F.col("containment") >= t)
     )

@@ -13,6 +13,8 @@ is path-based so the same code works on a directory of many files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -46,16 +48,49 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which vanilla Spark
-        # refuses to read; the legacy conf maps it to LongType
-        # (nanoseconds since naive epoch).  We keep it as long — a
-        # plain int64 column: timezone-proof comparisons and full
-        # predicate pushdown.  Use `ns()` for window literals.
+        # Older fixtures store ts as parquet TIMESTAMP(NANOS), which
+        # vanilla Spark refuses to read; this legacy conf maps those to
+        # LongType (ns since naive epoch).  Newer fixtures store
+        # TIMESTAMP_NTZ(µs), where the conf is a no-op — those are
+        # normalized to the same int64-ns contract below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_events_ts(df)
     if fan_out:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to the repo-wide contract: int64 nanoseconds
+    since the NAIVE epoch (a wall-clock instant read as UTC), matching
+    `ns()` literals and DuckDB's naive-TIMESTAMP comparisons exactly.
+
+    Branches on the dtype the scan actually produced:
+
+    - LongType — fixture was TIMESTAMP(NANOS) read under
+      `nanosAsLong`; already ns, pass through.
+    - TimestampNTZType — fixture is TIMESTAMP_NTZ(µs).  Converted with
+      pure-NTZ `timestampdiff` arithmetic against the NTZ epoch, which
+      is session-timezone-proof (`to_utc_timestamp`/`unix_micros` are
+      NOT: they implicitly route NTZ through the session zone and
+      shift the value — verified under America/New_York).
+    - TimestampType (LTZ) — instant-based `unix_micros`, inherently
+      timezone-proof.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        ns_col = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+        )
+    elif isinstance(dt, T.TimestampType):
+        ns_col = F.unix_micros(F.col("ts")) * F.lit(1000)
+    else:  # pragma: no cover - unexpected fixture dtype
+        raise TypeError(f"events.ts has unsupported dtype {dt}")
+    return df.withColumn("ts", ns_col.cast("long"))
 
 
 def ns(iso_date: str) -> int:

@@ -52,25 +52,51 @@ SESSION_GAP_NS = 1_800 * 1_000_000_000  # 30-minute inactivity gap
 
 def event_time_col(ts_ns=None):
     """long ns → TimestampType (microsecond precision) for
-    watermarking; window math itself stays on the raw int64."""
+    watermarking; window math itself stays on the raw int64.
+
+    The ns→µs division goes through decimal(20,0), not double: int64
+    nanosecond epochs (~1.7e18) exceed double's 2^53 integer range, so
+    a float divide can floor to the wrong microsecond at window
+    boundaries.  Decimal division is exact and stays in codegen."""
     if ts_ns is None:
         ts_ns = F.col("ts")
-    return F.timestamp_micros((ts_ns / F.lit(1_000)).cast("long"))
+    micros = F.floor(ts_ns.cast(T.DecimalType(20, 0)) / F.lit(1_000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events table — the incremental
     ingestion path (new parquet files appended to the directory are
-    picked up per micro-batch; maxFilesPerTrigger bounds batch size)."""
+    picked up per micro-batch; maxFilesPerTrigger bounds batch size).
+
+    A file stream needs its schema declared up front, but fixtures have
+    shipped ts as both TIMESTAMP(NANOS)→long and TIMESTAMP_NTZ(µs); a
+    cheap static footer read picks the actual dtype, then
+    `normalize_events_ts` restores the int64-ns contract downstream."""
+    from ..sources.catalog import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_ts = (
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
+    )
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", static_ts)
+            for f in EVENTS_SCHEMA
+        ]
+    )
     # file-stream sources take a DIRECTORY; select the table's files
     # with a glob filter so the same call works on a multi-file bronze
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
+    return normalize_events_ts(stream)
 
 
 # --- tumbling-window rollup (batch/stream shared) ---------------------------

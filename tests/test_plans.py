@@ -110,6 +110,24 @@ def test_minhash_band_join_key_is_band_hash(spark):
     assert "band_hash" in s
 
 
+def test_ngram_jaccard_prefix_equijoin_no_cross(spark):
+    """Candidate generation must be the prefix-filter EQUI-join on the
+    rare-token key — never the lang-blocked theta join (3 lang values
+    ⟹ within-block n², the round-2 scale flag)."""
+    df = _plan(spark, "dedup_ngram_jaccard")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_containment_prefix_equijoin_no_cross(spark):
+    """The prefix-filtered containment twin must plan with no
+    cross/nested-loop node anywhere (the plain dedup_containment
+    crossJoin is the oracle anchor, this is the scale path)."""
+    df = _plan(spark, "dedup_containment_prefix")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Both sides bucketed by the join key → the sort-merge join must
     plan WITHOUT any Exchange: the 100 TB co-location mechanism."""

@@ -34,7 +34,10 @@ def test_lsh_pairs_subset_of_exact_near_dups(spark):
         for r in REGISTRY["lsh_cosine_pairs"].fn(spark, SF_SMOKE).collect()
     }
     assert lsh <= exact
-    assert len(lsh) >= 0.2 * len(exact), (len(lsh), len(exact))
+    # 32 planes × 8 bands of 4 bits measured ~0.70-0.77 recall at
+    # sf0.001/sf0.1; 0.5 is the regression floor (the old 4×4 layout
+    # sat at ~0.53 and would trip this on any further tightening).
+    assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
 
 
 def test_multiprobe_recall_dominates_single_probe(spark):

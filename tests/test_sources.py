@@ -200,6 +200,47 @@ def test_orc_roundtrip_preserves_rows(spark, tmp_path):
     assert dict(back.dtypes)["ts"] == "bigint"
 
 
+def test_events_ts_normalized_across_fixture_dtypes(spark, tmp_path):
+    """Regression for the round-2 ts regression: the driver's testdata
+    has shipped events.ts as parquet TIMESTAMP(NANOS) (read as long via
+    nanosAsLong) and as TIMESTAMP_NTZ(µs) — `load` must normalize BOTH
+    (plus tz-aware TIMESTAMP) to the same int64 ns-since-naive-epoch
+    values, regardless of session timezone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load, ns
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    # 2024-03-15 12:34:56.789123 and an exact-second boundary value
+    expect = [ns("2024-03-15 12:34:56") + 789_123_000, ns("2024-07-01")]
+
+    def fixture(name: str, ts_arr: pa.Array) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({**base, "ts": ts_arr})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    micros = [e // 1_000 for e in expect]
+    cases = {
+        "ntz_us": pa.array(micros, pa.timestamp("us")),
+        "nanos": pa.array(expect, pa.timestamp("ns")),
+        "utc_us": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    for name, arr in cases.items():
+        df = load(spark, fixture(name, arr), "events")
+        assert dict(df.dtypes)["ts"] == "bigint", name
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert got == sorted(expect), name
+
+
 def test_zstd_parquet_smaller_and_readable(spark, tmp_path):
     """zstd compression must produce a smaller (or equal) footprint
     than uncompressed and read back identically — the storage knob a
