@@ -49,10 +49,32 @@ def evidence_partials(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
     return dims, supp
 
 
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _last_applied(path: str) -> int:
+    marker = os.path.join(path, _BATCH_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
 def merge_partials(gold_dir: str):
     """foreachBatch body: merge one micro-batch's evidence partials
     into the gold partial tables (same union+groupBy+atomic-swap
-    pattern as the incremental window rollup; MERGE on Delta)."""
+    pattern as the incremental window rollup; MERGE on Delta).
+
+    Idempotent under replay: Structured Streaming re-runs the last
+    uncommitted batch after a crash, so each table carries the max
+    applied batch id INSIDE the swapped directory (`_last_batch_id`,
+    underscore-prefixed ⇒ invisible to parquet readers).  The marker
+    is written into the temp dir BEFORE the atomic `os.replace`, so
+    data and marker commit together — there is no window where the
+    merge landed but the marker didn't.  A replayed batch id ≤ the
+    marker is skipped per table (the two tables can diverge by one
+    batch after a mid-upsert crash; the replay then tops up only the
+    table that missed it)."""
 
     def upsert(ev_batch: DataFrame, batch_id: int) -> None:
         spark = ev_batch.sparkSession
@@ -63,6 +85,8 @@ def merge_partials(gold_dir: str):
         ):
             path = f"{gold_dir}/{name}"
             if os.path.isdir(path):
+                if batch_id <= _last_applied(path):
+                    continue  # replayed batch already merged here
                 merged = (
                     spark.read.parquet(path)
                     .unionByName(part)
@@ -73,6 +97,8 @@ def merge_partials(gold_dir: str):
                 merged = part
             tmp = f"{path}._tmp_{batch_id}"
             merged.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
+                fh.write(str(batch_id))
             if os.path.isdir(path):
                 shutil.rmtree(path)
             os.replace(tmp, path)

@@ -68,6 +68,61 @@ def test_incremental_updates_shift_scores(spark, tmp_path):
     assert sum(two.values()) == sum(one.values()) + 500
 
 
+def test_replayed_batch_never_double_merges(spark, tmp_path):
+    """Crash-replay semantics: foreachBatch re-delivers the LAST batch
+    if the crash lands between the gold-table swap and the checkpoint
+    commit.  Replaying the same batch id must be a no-op (the marker
+    travels inside the atomically-swapped directory), while the next
+    batch id still merges."""
+    gold = str(tmp_path / "gold_replay")
+    ev = evidence_rows(spark, SF_SMOKE).persist()
+    upsert = merge_partials(gold)
+    upsert(ev, 0)
+    base = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
+
+    upsert(ev, 0)  # replay of batch 0 — must not re-merge
+    assert _by_company(score_from_partials(spark, SF_SMOKE, gold).collect()) == base
+
+    upsert(ev.limit(100), 0)  # replay with different (partial) content, same id
+    assert _by_company(score_from_partials(spark, SF_SMOKE, gold).collect()) == base
+
+    upsert(ev.limit(100), 1)  # genuinely new batch still lands
+    n_after = {
+        r.company_id: r.n_items
+        for r in score_from_partials(spark, SF_SMOKE, gold).collect()
+    }
+    assert sum(n_after.values()) == sum(v[5] for v in base.values()) + 100
+
+
+def test_partial_crash_tops_up_only_missing_table(spark, tmp_path):
+    """Mid-upsert crash: dim partials swapped, supplier counts not.
+    The replay must skip the already-applied table and apply only the
+    missing one — converging to the same state as a clean run."""
+    import os
+    import shutil as sh
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.incremental import (
+        SUPP_COUNTS,
+    )
+
+    gold = str(tmp_path / "gold_crash")
+    ev = evidence_rows(spark, SF_SMOKE).persist()
+    upsert = merge_partials(gold)
+    upsert(ev.filter("company_id % 2 = 0"), 0)
+    supp_before_batch1 = str(tmp_path / "supp_saved")
+    sh.copytree(os.path.join(gold, SUPP_COUNTS), supp_before_batch1)
+
+    upsert(ev.filter("company_id % 2 = 1"), 1)
+    clean = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
+
+    # simulate the crash: roll supp back to its pre-batch-1 state
+    sh.rmtree(os.path.join(gold, SUPP_COUNTS))
+    sh.copytree(supp_before_batch1, os.path.join(gold, SUPP_COUNTS))
+
+    upsert(ev.filter("company_id % 2 = 1"), 1)  # replay
+    assert _by_company(score_from_partials(spark, SF_SMOKE, gold).collect()) == clean
+
+
 def test_streaming_incremental_equals_batch(spark, tmp_path):
     """The REAL streaming path — readStream lineitem files,
     stream-static orders join, foreachBatch partial merge — must

@@ -205,3 +205,59 @@ def test_golden_portfolio_ranges(spark):
     got = {r.ticker: r.composite for r in scored.collect()}
     for ticker, (lo, hi) in C.GOLDEN_RANGES.items():
         assert lo <= got[ticker] <= hi, f"{ticker}: {got[ticker]:.2f} not in [{lo},{hi}]"
+
+
+def test_golden_portfolio_full_flagship_dag(spark):
+    """The FULL flagship DAG (evidence → dimension scores → VR/CV/HHI
+    → HR → synergy → composite + band) over a 5-ticker evidence
+    fixture calibrated to the reference priors must reproduce the
+    golden composite bands (reference portfolio_validation.py:10-16,
+    tests/test_portfolio_validation.py:13-35).  Unlike the closed-form
+    test above, every pipeline stage runs: if the composite math, CV
+    penalty, HHI tiering, or banding drifts from the reference, this
+    fails.
+
+    Calibration: each company's evidence carries score_raw =
+    vr_target on every dimension (⇒ VR raw = target, CV = 0 ⇒ no CV
+    penalty), suppliers fully diversified (HHI = 1/21 < 0.40 with
+    n = 21 ≥ 15 ⇒ factor 1.0), sector Services (hr_base = 75, the
+    reference test's neutral base) and position_factor = pf_target."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.demo_domain import (
+        dimension_scores_from,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.pipeline import (
+        assemble_composite,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.talent import hhi
+    from damg7245_casestudy_03_ai_scoring_engine_spark.scoring.vr import vr_scores
+
+    tickers = list(C.PORTFOLIO_PRIORS)
+    cid = {t: i + 1 for i, t in enumerate(tickers)}
+    ev_rows = [
+        (cid[t], dim, vr_target, 0.9, (k * len(C.DEFAULT_DIM_WEIGHTS) + d_i) + 1)
+        for t, (vr_target, _pf, _tc, _mc) in C.PORTFOLIO_PRIORS.items()
+        for d_i, dim in enumerate(C.DEFAULT_DIM_WEIGHTS)
+        for k in range(3)
+    ]
+    ev = spark.createDataFrame(
+        ev_rows,
+        "company_id long, dimension string, score_raw double, conf_raw double, supp_key long",
+    )
+    comp = spark.createDataFrame(
+        [(cid[t], "Services", pf) for t, (_vr, pf, _tc, _mc) in C.PORTFOLIO_PRIORS.items()],
+        "company_id long, sector string, position_factor double",
+    )
+    out = assemble_composite(
+        vr_scores(dimension_scores_from(ev)),
+        hhi(ev.select("company_id", "supp_key"), key="company_id", category="supp_key"),
+        comp,
+    )
+    rows = {r.company_id: r for r in out.collect()}
+    got = {t: rows[cid[t]] for t in tickers}
+    for t, (lo, hi) in C.GOLDEN_RANGES.items():
+        r = got[t]
+        assert r.hhi_factor == 1.0 and r.n_items == 21, (t, r)
+        assert lo <= r.composite_score <= hi, f"{t}: {r.composite_score} not in [{lo},{hi}]"
+    # the priors impose a strict ordering the composite must preserve
+    comps = [got[t].composite_score for t in ("NVDA", "JPM", "WMT", "GE", "DG")]
+    assert comps == sorted(comps, reverse=True), comps

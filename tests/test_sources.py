@@ -42,9 +42,38 @@ def test_http_fetch_is_stubbed():
         http_fetch("https://example.com")
 
 
-def test_pdf_extract_is_gated():
-    with pytest.raises(NotImplementedError):
-        pdf_text_extract_udf()
+def test_pdf_writer_extractor_roundtrip():
+    """S6 fallback: the simple-PDF writer/extractor pair must
+    round-trip text exactly, compressed and uncompressed, with
+    PDF-special characters escaped."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.ingest import (
+        make_simple_pdf,
+        pdf_extract_pages_pure,
+    )
+
+    text = "balance (net) 100% \\ backslash and (nested (parens)) here"
+    for compress in (True, False):
+        blob = make_simple_pdf(text, compress=compress)
+        assert blob.startswith(b"%PDF-1.4") and blob.rstrip().endswith(b"%%EOF")
+        pages = pdf_extract_pages_pure(blob)
+        assert len(pages) == 1
+        assert pages[0].replace("\n", " ") == text
+
+
+def test_pdf_kernel_over_binary_column(spark):
+    """The S6 mapInPandas kernel consumes a (doc_id, content binary)
+    frame — the binaryFile scan shape — and emits per-page rows."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.ingest import (
+        make_simple_pdf,
+    )
+
+    rows = [(1, make_simple_pdf("alpha beta gamma")), (2, make_simple_pdf("delta"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    out = df.mapInPandas(
+        pdf_text_extract_udf(), "doc_id bigint, page int, text string"
+    ).collect()
+    got = {r.doc_id: (r.page, r.text) for r in out}
+    assert got[1] == (0, "alpha beta gamma") and got[2] == (0, "delta")
 
 
 def test_fetch_urls_distributed(spark):
