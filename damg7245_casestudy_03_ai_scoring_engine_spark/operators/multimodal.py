@@ -91,23 +91,28 @@ def extract_media_features(assets: DataFrame, use_fake_decoder: bool = True) -> 
     decoder = fake_decode if use_fake_decoder else real_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Column-bulk everywhere except the codec call itself: decode
+        # is per-blob by nature (PIL/pyav take one buffer at a time),
+        # but iterrows + per-row dicts around it cost 10-20× the
+        # decode bookkeeping — zip over raw columns and build the
+        # batch as columns, not rows.
         for pdf in it:
-            feats = []
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                d = decoder(content, row["kind"])
-                feats.append(
-                    {
-                        "asset_id": row["asset_id"],
-                        "kind": row["kind"],
-                        "byte_len": len(content),
-                        "checksum_prefix": hashlib.md5(content).hexdigest()[:12],
-                        "width": d.get("width"),
-                        "height": d.get("height"),
-                        "n_frames": d.get("n_frames"),
-                    }
-                )
-            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            contents = [c or b"" for c in pdf["content"]]
+            kinds = pdf["kind"]
+            decoded = [decoder(c, k) for c, k in zip(contents, kinds)]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "kind": kinds.to_numpy(),
+                    "byte_len": [len(c) for c in contents],
+                    "checksum_prefix": [
+                        hashlib.md5(c).hexdigest()[:12] for c in contents
+                    ],
+                    "width": [d.get("width") for d in decoded],
+                    "height": [d.get("height") for d in decoded],
+                    "n_frames": [d.get("n_frames") for d in decoded],
+                }
+            )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
@@ -214,20 +219,22 @@ def resize_images(
         real_decode(b"", "image")  # raises NotImplementedError
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-item work only where the kernel is inherently per-blob
+        # (the resize); pass-through rows are bulk column copies.
         for pdf in it:
-            out = {"asset_id": [], "kind": [], "content": [], "width": [], "height": []}
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                if row["kind"] == "image":
-                    nc, w, h = fake_resize(content, row["kind"], max_side)
-                else:
-                    nc, w, h = content, None, None
-                out["asset_id"].append(row["asset_id"])
-                out["kind"].append(row["kind"])
-                out["content"].append(nc)
-                out["width"].append(w)
-                out["height"].append(h)
-            yield pd.DataFrame(out)
+            resized = [
+                fake_resize(c or b"", k, max_side) if k == "image" else (c or b"", None, None)
+                for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "content": [r[0] for r in resized],
+                    "width": pd.array([r[1] for r in resized], dtype="Int32"),
+                    "height": pd.array([r[2] for r in resized], dtype="Int32"),
+                }
+            )
 
     return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
@@ -253,17 +260,18 @@ def sample_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            vids = pdf[pdf["kind"] == "video"]  # bulk filter, no iterrows
             out = {"asset_id": [], "frame_index": [], "frame": []}
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                content = row["content"] or b""
+            for asset_id, content in zip(vids["asset_id"], vids["content"]):
+                content = content or b""
                 n_frames = fake_decode(content, "video")["n_frames"]
                 chunk = max(1, len(content) // max(1, n_frames))
-                for i in range(0, n_frames, every_nth):
-                    out["asset_id"].append(row["asset_id"])
-                    out["frame_index"].append(i)
-                    out["frame"].append(content[i * chunk : (i + 1) * chunk])
+                idxs = range(0, n_frames, every_nth)
+                out["asset_id"].extend([asset_id] * len(idxs))
+                out["frame_index"].extend(idxs)
+                out["frame"].extend(
+                    content[i * chunk : (i + 1) * chunk] for i in idxs
+                )
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

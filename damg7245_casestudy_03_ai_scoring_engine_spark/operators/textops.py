@@ -891,3 +891,183 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+# --- benchmark decontamination (train/eval n-gram overlap) ------------------
+
+_DECON_N = 5  # 13-gram in GPT-3/C4 practice; 5 fits the short test docs
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    survey="LLM-pipeline extension: train/eval n-gram decontamination",
+    bench=True,
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split,
+           string_split_regex(trim(text), '\s+') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, split,
+           unnest(CASE WHEN len(ws) >= {_DECON_N}
+                THEN list_distinct(list_transform(range(1, len(ws) - {_DECON_N - 2}),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+                ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM toks
+),
+hits AS (
+    SELECT t.doc_id, t.g, e.doc_id AS eval_doc
+    FROM grams t
+    JOIN grams e ON t.g = e.g
+    WHERE t.split = 'train' AND e.split = 'eval'
+)
+SELECT doc_id,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs_hit
+FROM hits
+GROUP BY doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3/C4 pre-training hygiene
+    step: flag TRAIN documents sharing any word-{n}-gram with any EVAL
+    document (split = the same deterministic md5 split as
+    `train_test_split`).  Returns each contaminated train doc with its
+    distinct shared-gram count and the number of eval docs hit.
+
+    Scale shape: both sides explode to DISTINCT n-grams and meet in an
+    EQUI-join on the gram — an inverted-index probe whose shuffle is
+    proportional to gram frequency, never |train|×|eval|.  At 100 TB
+    the eval side (benchmarks) is tiny: broadcast it and the scan of
+    the train corpus stays a single narrow pass."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.trim("text"), r"\s+")
+    n = F.size("ws")
+    grams_arr = F.when(
+        n >= _DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (_DECON_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("ws", i + j) for j in range(_DECON_N)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
+    split = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed-1"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 90,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    grams = (
+        d.select("doc_id", split.alias("split"), ws.alias("ws"))
+        .select("doc_id", "split", F.explode(grams_arr).alias("g"))
+    )
+    train = grams.filter(F.col("split") == "train").select("doc_id", "g")
+    ev = grams.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("bigint").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").cast("bigint").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+# --- Gopher-style repetition flags ------------------------------------------
+
+
+@register(
+    "gopher_repetition_flags",
+    survey="LLM-pipeline extension: repetition/boilerplate quality rules",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(ws) AS w FROM toks
+),
+wc AS (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+),
+wstat AS (
+    SELECT doc_id, max(c) AS top_w, sum(c) AS n_w FROM wc GROUP BY doc_id
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+    FROM toks WHERE len(ws) >= 2
+),
+bc AS (
+    SELECT doc_id, b, count(*) AS c FROM bigrams GROUP BY doc_id, b
+),
+bstat AS (
+    SELECT doc_id, max(c) AS top_b, sum(c) AS n_b FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_w AS BIGINT) AS n_words,
+       round(w.top_w::DOUBLE / w.n_w, 6) AS frac_top_word,
+       round(coalesce(b.top_b::DOUBLE / b.n_b, 0.0), 6) AS frac_top_bigram,
+       w.top_w::DOUBLE / w.n_w > 0.20 AS flag_repetitive_word,
+       coalesce(b.top_b::DOUBLE / b.n_b, 0.0) > 0.18 AS flag_repetitive_bigram
+FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id
+""",
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality rules in the style of the Gopher
+    corpus filters (Rae et al. 2021, appendix A1.1 — published rule
+    set): per document, the frequency share of the single most common
+    word and bigram, with flags at the published-style thresholds
+    (top-word share > 0.20, top-bigram share > 0.18).  Repetitive
+    boilerplate (menus, SEO spam, template text) scores high and is
+    dropped before pre-training.
+
+    Scale shape: explode → two-level partial-aggregated groupBys keyed
+    (doc_id, gram) then doc_id — fully map-side combinable, one
+    shuffle pair per gram order, no Python."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    wstat = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_w"), F.sum("c").alias("n_w"))
+    )
+    bigrams = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+            )
+        ).alias("b"),
+    )
+    bstat = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"), F.sum("c").alias("n_b"))
+    )
+    ftw = F.col("top_w").cast("double") / F.col("n_w")
+    ftb = F.coalesce(F.col("top_b").cast("double") / F.col("n_b"), F.lit(0.0))
+    return wstat.join(bstat, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_w").cast("bigint").alias("n_words"),
+        F.round(ftw, 6).alias("frac_top_word"),
+        F.round(ftb, 6).alias("frac_top_bigram"),
+        (ftw > 0.20).alias("flag_repetitive_word"),
+        (ftb > 0.18).alias("flag_repetitive_bigram"),
+    )
