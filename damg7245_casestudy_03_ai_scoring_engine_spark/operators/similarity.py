@@ -374,9 +374,12 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(n_bands)
     ]
+    # vq rides through the band explode so the bucket stage needs no
+    # join back to the vector table — one narrow stage straight into
+    # the (band, code) shuffle.
     codes = quantized.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bc")
-    ).select("vec_id", "bc.band", "bc.code")
+        "vec_id", "vq", F.explode(F.array(*band_structs)).alias("bc")
+    ).select("vec_id", "vq", "bc.band", "bc.code")
 
     # Bucket-local vectorized candidate generation + EXACT-INTEGER
     # prefilter (applyInPandas/Arrow).  Joining vectors onto the raw
@@ -393,9 +396,7 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB a pathologically hot bucket (degenerate code) would need
     # a size cap or salt+re-verify; band codes on real embeddings
     # spread far better than that.
-    bucket_vecs = codes.join(quantized.select("vec_id", "vq"), "vec_id").select(
-        "band", "code", "vec_id", "vq"
-    )
+    bucket_vecs = codes.select("band", "code", "vec_id", "vq")
 
     def bucket_pairs(pdf):
         import numpy as np

@@ -375,14 +375,30 @@ def merge_gold_window_counts(gold_dir: str):
     re-write becomes `MERGE INTO gold USING partial ON keys WHEN
     MATCHED UPDATE SET n = n + src.n ...` on Delta/Iceberg — here the
     whole (tiny) rollup is re-keyed per batch, written to a temp dir
-    and atomically swapped, which also gives crash-safe re-runs."""
+    and atomically swapped, which also gives crash-safe re-runs.
+
+    Idempotent under replay (same protocol as
+    scoring/incremental.py:merge_partials): the max applied batch id
+    rides INSIDE the swapped directory as `_last_batch_id`
+    (underscore-prefixed ⇒ ignored by parquet readers), so it commits
+    atomically with the data; a re-delivered batch id ≤ the marker is
+    skipped instead of double-counted."""
     import os
     import shutil
+
+    def _last_applied() -> int:
+        marker = os.path.join(gold_dir, "_last_batch_id")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = window_counts_raw(batch_df)
         if os.path.isdir(gold_dir):
+            if batch_id <= _last_applied():
+                return  # replayed batch already merged
             gold = spark.read.parquet(gold_dir)
             merged = (
                 gold.unionByName(partial)
@@ -396,6 +412,8 @@ def merge_gold_window_counts(gold_dir: str):
             merged = partial
         tmp = gold_dir + f"._tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.isdir(gold_dir):
             shutil.rmtree(gold_dir)
         os.replace(tmp, gold_dir)

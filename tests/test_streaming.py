@@ -337,6 +337,28 @@ def test_incremental_gold_equals_full_recompute(spark, tmp_path):
         assert got[k][0] == n
         assert math.isclose(got[k][1], v, abs_tol=1e-6), (k, got[k], (n, v))
 
+    # crash-replay: re-delivering the LAST batch id must be a no-op
+    # (marker inside the swapped dir), so gold never double-counts
+    upsert = merge_gold_window_counts(gold)
+    ev = load(spark, SF_SMOKE, "events")
+    # the availableNow run used ids 0..N-1; merge a fresh larger id
+    # once, then replay the SAME id — the second call must not change
+    # gold
+    upsert(ev.limit(10), 10_000)
+    after_once = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in read_gold_window_counts(spark, gold).collect()
+    }
+    upsert(ev.limit(10), 10_000)
+    after_twice = {
+        (r.window_start_ns, r.event_type): (r.n_events, r.value_sum)
+        for r in read_gold_window_counts(spark, gold).collect()
+    }
+    assert after_twice == after_once
+    assert sum(n for n, _ in after_once.values()) == sum(
+        n for n, _ in got.values()
+    ) + 10
+
 
 def test_sliding_windows_match_builtin_window_function(spark):
     """The explicit 4-offset expansion must equal Spark's built-in
