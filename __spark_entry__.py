@@ -62,7 +62,6 @@ _PRIORITY = (
     "dimension_breakdown_json",
     "rubric_dimension_scores",
     "keyword_taxonomy_match",
-    "source_payloads",
     "evidence_dimension_features",
     "job_posting_analysis",
     "talent_concentration",
@@ -74,16 +73,17 @@ _PRIORITY = (
     "rss_item_parse",
     "submissions_scan",
     "job_board_normalize",
-    "board_proxy_extract",
-    "tolerant_datetime_parse",
+    "pdf_text_extract",
     "merge_upsert_balances",
     "append_dedup_signals",
     "scd2_apply",
-    "scd2_temporal_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
+    "dedup_containment_prefix",
+    "decontaminate_ngram_overlap",
+    "gopher_repetition_flags",
     "ann_ivf_topk",
     "embedding_near_dup",
     "lsh_cosine_pairs",

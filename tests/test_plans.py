@@ -119,6 +119,23 @@ def test_ngram_jaccard_prefix_equijoin_no_cross(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The train×eval gram probe must broadcast the (tiny) eval side
+    and never plan a cartesian/nested-loop node."""
+    df = _plan(spark, "decontaminate_ngram_overlap")
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_gopher_flags_partial_aggregated(spark):
+    """Both gram-count groupBys must map-side combine (partial_)."""
+    df = _plan(spark, "gopher_repetition_flags")
+    s = explain_str(df)
+    assert "partial_" in s
+    assert "CartesianProduct" not in s
+
+
 def test_containment_prefix_equijoin_no_cross(spark):
     """The prefix-filtered containment twin must plan with no
     cross/nested-loop node anywhere (the plain dedup_containment

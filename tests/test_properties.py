@@ -200,3 +200,56 @@ def test_approx_count_distinct_within_hll_error(spark):
             F.countDistinct(col), F.approx_count_distinct(col)
         ).collect()[0]
         assert abs(approx - exact) <= 0.15 * exact, (table, exact, approx)
+
+
+# --- prefix-filter completeness (exact candidate generation) ----------------
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus)
+def test_prefix_filter_candidates_are_complete(spark, docs):
+    """The All-Pairs prefix bound must be LOSSLESS: for any random
+    tiny corpus, every pair with word-set jaccard ≥ t appears among
+    the prefix-join candidates.  (This is the property that makes the
+    brute-force oracle of dedup_ngram_jaccard provably matchable at
+    any scale — unlike MinHash banding, which is probabilistic.)"""
+    from itertools import combinations
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.dedup import _rare_prefix
+
+    t = 0.7  # harsher than production 0.95: more qualifying pairs to miss
+    sets = [sorted(set(ws)) for ws in docs]
+    d = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets)], "doc_id long, ws array<string>"
+    )
+    prefix = _rare_prefix(d, threshold=t)
+    cand = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (r["a"], r["b"])
+            for r in prefix.alias("pa")
+            .join(
+                prefix.alias("pb"),
+                (F.col("pa.w") == F.col("pb.w"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            )
+            .select(F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b"))
+            .distinct()
+            .collect()
+        )
+    }
+    for i, j in combinations(range(len(sets)), 2):
+        a, b = set(sets[i]), set(sets[j])
+        jac = len(a & b) / len(a | b)
+        if jac >= t:
+            assert (i, j) in cand, (i, j, jac, sets[i], sets[j], cand)
