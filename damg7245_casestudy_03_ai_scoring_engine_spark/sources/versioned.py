@@ -63,7 +63,12 @@ class VersionedTable:
             return json.load(fh)
 
     def history(self) -> list[dict]:
-        return [self._read_manifest(v) for v in range(self.latest_version() + 1)]
+        vs = sorted(
+            int(f[1:11])
+            for f in os.listdir(os.path.join(self.path, _LOG))
+            if f.startswith("v") and f.endswith(".json")
+        )
+        return [self._read_manifest(v) for v in vs]
 
     # -- write path --------------------------------------------------------
 
@@ -120,6 +125,52 @@ class VersionedTable:
             raise FileNotFoundError(f"versioned table {self.path} has no commits")
         files = self._read_manifest(v)["files"]
         return spark.read.parquet(*files)
+
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE-style compaction: rewrite the LATEST snapshot into
+        `target_files` files and commit as a new version.  Pure
+        metadata+rewrite — readers of any existing version are
+        untouched, and the result is bit-identical data in fewer,
+        bigger files (the small-file problem is the first thing a
+        streaming ingest path creates at scale)."""
+        compacted = self.read(spark).coalesce(target_files)
+        return self.write(compacted, mode="overwrite")
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Retention: drop manifests older than the last `keep_last`
+        versions and delete data files no surviving version
+        references.  Returns the deleted file paths.  Time travel
+        windows shrink accordingly — same contract as Delta VACUUM."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_version()
+        if latest < 0:
+            return []
+        cutoff = latest - keep_last + 1
+        keep_files: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            keep_files.update(self._read_manifest(v)["files"])
+        removed: list[str] = []
+        for v in range(0, cutoff):
+            for f in self._read_manifest(v)["files"]:
+                if f not in keep_files and os.path.exists(f):
+                    os.unlink(f)
+                    removed.append(f)
+            os.unlink(self._manifest_path(v))
+        # prune emptied staging dirs
+        data_root = os.path.join(self.path, _DATA)
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                import shutil
+
+                shutil.rmtree(full)
+        return removed
 
 
 def transactional_merge(

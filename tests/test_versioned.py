@@ -121,6 +121,35 @@ def test_sem_runs_train_on_pre_run_snapshot_only(spark, tmp_path):
     assert per_run == {1: n_companies, 2: n_companies}
 
 
+def test_compact_preserves_data_reduces_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(4):  # 4 append commits -> >= 4 small files
+        t.write(_df(spark, [(i, f"v{i}")]), mode="append")
+    before = len(t._read_manifest(t.latest_version())["files"])
+    v = t.compact(spark, target_files=1)
+    after = t._read_manifest(v)["files"]
+    assert len(after) == 1 and before >= 4
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3]
+    # the pre-compaction version is still readable (time travel intact)
+    assert sorted(r.k for r in t.read(spark, v - 1).collect()) == [0, 1, 2, 3]
+
+
+def test_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")  # v1 orphans v0's files
+    t.write(_df(spark, [(3, "c")]), mode="append")  # v2 shares v1's files
+    removed = t.vacuum(keep_last=2)  # keep v1, v2
+    assert removed  # v0's files are referenced by nobody -> deleted
+    assert [m["version"] for m in t.history()] == [1, 2]
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == [2]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
+
+
 def test_data_files_are_immutable_across_commits(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="overwrite")
