@@ -252,6 +252,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash banding this loses NOTHING: recall is provably 1.0, so the
     brute-force oracle matches bit-for-bit."""
     t = 0.95
+    return _jaccard_pairs_prefix(spark, sf_dir, t=0.95)
+
+
+def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
+    """Shared same-lang word-set jaccard ≥ t pair generator (prefix
+    candidates + exact verify) — feeds both the pair query and the
+    cluster resolution."""
     d = load(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("ws")
     )
@@ -355,7 +362,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipeline: pairs (word-set jaccard ≥ 0.95, lang-blocked) form
     an undirected graph; each doc gets its connected component's min
     doc_id as cluster id, and the min member is the canonical doc to
-    keep.
+    keep.  Pair generation shares the prefix-filtered candidate
+    equi-join with `dedup_ngram_jaccard` (recall provably 1.0), never
+    a blocked theta join.
 
     Spark shape: iterative min-label propagation (the GraphX /
     large-star algorithm's simple form) — each round joins current
@@ -364,22 +373,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ ~3 in practice), so 100 TB runs converge in a handful of
     shuffles, each a (node, comp) join — no driver-side graph.  The
     DuckDB oracle replays it as a recursive reachability CTE."""
-    d = load(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("ws").alias("ws_a"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("ws").alias("ws_b"))
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = (
-        F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
-    ).cast("double")
-    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
-    pairs = (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= 0.95)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _jaccard_pairs_prefix(spark, sf_dir, t=0.95).select("doc_a", "doc_b")
     # localCheckpoint (not persist): each round's plan must TRUNCATE,
     # or the logical plan nests one level deeper per iteration and
     # driver-side analysis comes to dominate the loop (measured 24 s →

@@ -128,12 +128,12 @@ def score_from_partials(
     return assemble_composite(vr, supplier_hhi, comp)
 
 
-LINEITEM_SCHEMA = (
-    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
-    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
-    "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz, "
-    "l_commitdate timestamp_ntz, l_receiptdate timestamp_ntz"
-)
+# Only the columns the evidence derivation reads: declaring unused
+# columns (the timestamp ones especially) couples the stream to the
+# fixture's exact parquet dtypes — the failure class that broke the
+# events table in round 2.  A parquet file stream reads a SUBSET
+# schema fine; extra file columns are simply never decoded.
+LINEITEM_SCHEMA = "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int"
 
 
 def stream_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
