@@ -258,16 +258,22 @@ def test_events_ts_normalized_across_fixture_dtypes(spark, tmp_path):
         return str(d)
 
     micros = [e // 1_000 for e in expect]
+    millis = [e // 1_000_000 for e in expect]
     cases = {
-        "ntz_us": pa.array(micros, pa.timestamp("us")),
-        "nanos": pa.array(expect, pa.timestamp("ns")),
-        "utc_us": pa.array(micros, pa.timestamp("us", tz="UTC")),
+        "ntz_us": (pa.array(micros, pa.timestamp("us")), [m * 1_000 for m in micros]),
+        "nanos": (pa.array(expect, pa.timestamp("ns")), expect),
+        "utc_us": (pa.array(micros, pa.timestamp("us", tz="UTC")), [m * 1_000 for m in micros]),
+        # plain int64 columns with no declared unit: the loader infers
+        # the unit from footer max statistics and rescales to ns
+        "raw_int_us": (pa.array(micros, pa.int64()), [m * 1_000 for m in micros]),
+        "raw_int_ns": (pa.array(expect, pa.int64()), expect),
+        "raw_int_ms": (pa.array(millis, pa.int64()), [m * 1_000_000 for m in millis]),
     }
-    for name, arr in cases.items():
+    for name, (arr, want) in cases.items():
         df = load(spark, fixture(name, arr), "events")
         assert dict(df.dtypes)["ts"] == "bigint", name
         got = sorted(r.ts for r in df.select("ts").collect())
-        assert got == sorted(expect), name
+        assert got == sorted(want), name
 
 
 def test_zstd_parquet_smaller_and_readable(spark, tmp_path):
