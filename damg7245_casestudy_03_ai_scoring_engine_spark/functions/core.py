@@ -62,3 +62,19 @@ def score_band(col: Column | str) -> Column:
         .when(c <= 80, F.lit("Advanced"))
         .otherwise(F.lit("Leading"))
     )
+
+
+def round_stable(col: Column | str, scale: int) -> Column:
+    """Cross-engine-stable fixed-point rounding for NON-NEGATIVE
+    doubles: floor(x·10^s + 0.5)/10^s.
+
+    Spark's `round()` rounds the exact decimal expansion of the double
+    (BigDecimal HALF_UP) while DuckDB rounds the SCALED double — at a
+    .5-ULP boundary the two disagree (first observed on
+    org_air_flagship.hr_score at sf0.1: 5 of 15k rows off by 1e-4).
+    Using this identical IEEE multiply+add+floor on BOTH sides (the
+    oracle SQL spells out the same formula) makes the rounded value
+    bit-identical in every engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)

@@ -182,25 +182,25 @@ syn AS (
 ),
 agg AS (
     SELECT *,
-           round(least(greatest(
+           floor(least(greatest(
                (1.0 - 0.12) * (0.60 * vr_final + 0.40 * hr_final) + 0.12 * syn_final,
-           0.0), 100.0), 4) AS composite_score
+           0.0), 100.0) * 10000.0 + 0.5) / 10000.0 AS composite_score
     FROM syn
 )"""
 
 _FLAGSHIP_SQL = f"""
 WITH {_FLAGSHIP_CTES}
 SELECT company_id, sector,
-       round(vr_final, 4) AS vr_score,
-       round(hr_final, 4) AS hr_score,
-       round(syn_final, 4) AS synergy_score,
+       floor(vr_final * 10000.0 + 0.5) / 10000.0 AS vr_score,
+       floor(hr_final * 10000.0 + 0.5) / 10000.0 AS hr_score,
+       floor(syn_final * 10000.0 + 0.5) / 10000.0 AS synergy_score,
        composite_score,
        CASE WHEN composite_score <= 20 THEN 'Nascent'
             WHEN composite_score <= 40 THEN 'Developing'
             WHEN composite_score <= 60 THEN 'Progressing'
             WHEN composite_score <= 80 THEN 'Advanced'
             ELSE 'Leading' END AS score_band,
-       round(hhi, 6) AS hhi,
+       floor(hhi * 1000000.0 + 0.5) / 1000000.0 AS hhi,
        hhi_factor,
        n_items
 FROM agg

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import clamp
+from ..functions.core import clamp, round_stable
 from .composite import composite_score, with_score_band
 from .config import DEFAULT_HR_BASE, SECTOR_HR_BASE
 from .demo_domain import companies, dimension_scores_from, evidence_rows
@@ -80,18 +80,18 @@ def assemble_composite(
         .withColumn("syn_final", formula_synergy("vr_final", "hr_final"))
         .withColumn(
             "composite_score",
-            F.round(composite_score("vr_final", "hr_final", "syn_final"), 4),
+            round_stable(composite_score("vr_final", "hr_final", "syn_final"), 4),
         )
     )
     out = with_score_band(scored).select(
         "company_id",
         "sector",
-        F.round("vr_final", 4).alias("vr_score"),
-        F.round("hr_final", 4).alias("hr_score"),
-        F.round("syn_final", 4).alias("synergy_score"),
+        round_stable("vr_final", 4).alias("vr_score"),
+        round_stable("hr_final", 4).alias("hr_score"),
+        round_stable("syn_final", 4).alias("synergy_score"),
         "composite_score",
         "score_band",
-        F.round("hhi", 6).alias("hhi"),
+        round_stable("hhi", 6).alias("hhi"),
         F.col("hhi_factor"),
         F.col("n_items"),
     )

@@ -37,7 +37,12 @@ def _canon(rows, colnames):
             pass
         return v
 
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+    # sort key stringifies values: tuples mixing None/date/str are not
+    # orderable in Python (first seen at sf0.1 where SCD2 ties reach a
+    # NULL valid_to column); the comparison itself still uses the
+    # typed tuples so 1 != "1" cannot false-match
+    canon = [tuple(norm(r[i]) for i in idx) for r in rows]
+    return sorted(canon, key=lambda t: tuple((v is None, repr(v)) for v in t))
 
 
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
