@@ -1071,3 +1071,105 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ftw > 0.20).alias("flag_repetitive_word"),
         (ftb > 0.18).alias("flag_repetitive_bigram"),
     )
+
+
+# --- dataset mixture resampling ---------------------------------------------
+
+# Target mixture weights: source srcK gets weight ∝ (K+1) — a
+# deterministic non-uniform target over the fixture's 20 uniform
+# sources, exercising a different keep-rate per source.
+_MIX_WEIGHTS = tuple((f"src{k}", float(k + 1)) for k in range(20))
+_MIX_VALUES = ",\n           ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+
+
+@register(
+    "mixture_resample",
+    survey="LLM-pipeline extension: dataset mixture resampling",
+    oracle=rf"""
+WITH w(source, wgt) AS (
+    VALUES {_MIX_VALUES}
+),
+counts AS (
+    SELECT d.source, count(*) AS n_docs, any_value(w.wgt) AS wgt
+    FROM documents d JOIN w ON d.source = w.source
+    GROUP BY d.source
+),
+t AS (
+    SELECT min(n_docs / wgt) AS t_per_wgt FROM counts
+),
+rates AS (
+    SELECT source, n_docs,
+           least(wgt * t.t_per_wgt / n_docs, 1.0) AS rate
+    FROM counts CROSS JOIN t
+),
+kept AS (
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-seed-1'), 1, 8))::BIGINT
+          % 1000000 < CAST(floor(r.rate * 1000000.0 + 0.5) AS BIGINT)
+    GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       floor(r.rate * 1000000.0 + 0.5) / 1000000.0 AS keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+""",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture resampling — the pre-training data-mixing step
+    (Pile/LLaMA style): given target per-source weights, compute the
+    largest total that honors the mixture without upsampling
+    (T = min_s n_s/w_s), derive per-source keep rates w_s·T/n_s, and
+    keep documents by a deterministic seeded hash — the same doc is
+    kept or dropped on every run and on every engine.
+
+    Scale shape: one count aggregate, a broadcast rates join, one
+    hash-filter scan, one final rollup — the rates table is
+    |sources|-sized no matter how big the corpus, and the sample
+    needs no shuffle beyond the counts.  Stable floor-rounding on the
+    rate (not engine round()) keeps the integer hash threshold
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source")
+    wdf = F.broadcast(
+        spark.createDataFrame(list(_MIX_WEIGHTS), "source string, wgt double")
+    )
+    counts = (
+        d.join(wdf, "source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.first("wgt").alias("wgt"))
+    )
+    t_per_wgt = counts.agg(
+        F.min(F.col("n_docs") / F.col("wgt")).alias("t")
+    )
+    rates = counts.crossJoin(F.broadcast(t_per_wgt)).select(
+        "source",
+        "n_docs",
+        F.least(F.col("wgt") * F.col("t") / F.col("n_docs"), F.lit(1.0)).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix-seed-1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    threshold = F.floor(F.col("rate") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < threshold)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.floor(F.col("rate") * 1_000_000.0 + F.lit(0.5)) / F.lit(1_000_000.0)).alias(
+            "keep_rate"
+        ),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
