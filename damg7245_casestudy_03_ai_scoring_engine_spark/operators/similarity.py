@@ -343,10 +343,24 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles until the candidate join.  That join is a
     self-equi-join on (band, code) — at 100 TB the band buckets ARE
     the blocking structure, replacing the O(n²) cross join with
-    per-bucket joins.  Verification touches only colliding pairs, and
-    per-vector L2 norms are precomputed ONCE and carried through the
-    join, so each pair folds just the 64-dim dot product instead of
-    dot + both norms (3× less per-pair work)."""
+    per-bucket joins.  The per-pair prefilter is a pure-INTEGER
+    quantized cosine evaluated inside whole-stage codegen
+    (qdot ≥ 0.39·‖qa‖·‖qb‖ — multiply-compare, no division): int64
+    dots of floor(x·1000) values stay < 2^53, so the test is exact
+    and order-free, and quantization error ≲ 2e-3 means qcos ≥ 0.39
+    provably retains every true cosine ≥ 0.4 pair — the prefilter is
+    output-invisible (the oracle replays only the band structure +
+    exact verify).  Survivors (~0.1% of candidates) are distinct-ed
+    and verified with the exact cosine via two broadcast joins of the
+    tiny vector table, whose L2 norms are precomputed once.
+
+    (An earlier applyInPandas revision GEMM-ed each (band, code)
+    bucket in numpy; at bench scale the Python-worker/Arrow round
+    trip cost ~1.1 s for 16k bucket rows where this codegen pipeline
+    spends ~0.1 s — and staying JVM-side also keeps every shuffle
+    AQE-coalescible.  At 100 TB a pathologically hot bucket
+    (degenerate code) would need a size cap or salt+re-verify; band
+    codes on real embeddings spread far better than that.)"""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
 
     vq = F.transform(
@@ -354,73 +368,65 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quantized = emb.select("vec_id", "embedding", vq.alias("vq"))
 
-    def plane_bit(p: int):
-        w = F.array(*[F.lit(_plane_weight(p, i)) for i in range(1, _DIM + 1)])
-        dot_int = F.aggregate(
-            F.zip_with(F.col("vq"), w, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+    # The 2048 constant plane weights are spliced into SQL strings and
+    # parsed JVM-side in ONE round trip per band: building them as
+    # 2048 individual F.lit Column objects costs ~2 s of py4j traffic
+    # per DataFrame CONSTRUCTION (measured — it dominated the query's
+    # own 0.9 s execution), which matters because the driver/bench
+    # rebuild the DataFrame on every call.
+    def plane_bit_sql(p: int) -> str:
+        ws = ",".join(str(_plane_weight(p, i)) for i in range(1, _DIM + 1))
+        return (
+            f"IF(aggregate(zip_with(vq, array({ws}), (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0, 1, 0)"
         )
-        return F.when(dot_int >= 0, F.lit(1)).otherwise(F.lit(0))
 
     n_bands = _N_PLANES // _BAND_BITS
     band_structs = [
         F.struct(
             F.lit(b).cast("bigint").alias("band"),
-            sum(
-                (plane_bit(b * _BAND_BITS + j) * F.lit(1 << j) for j in range(_BAND_BITS)),
-                start=F.lit(0),
+            F.expr(
+                " + ".join(
+                    f"{plane_bit_sql(b * _BAND_BITS + j)} * {1 << j}"
+                    for j in range(_BAND_BITS)
+                )
             ).cast("bigint").alias("code"),
         )
         for b in range(n_bands)
     ]
-    # vq rides through the band explode so the bucket stage needs no
-    # join back to the vector table — one narrow stage straight into
-    # the (band, code) shuffle.
+    # vq + its integer norm ride through the band explode so the
+    # candidate stage needs no join back to the vector table — one
+    # narrow stage straight into the (band, code) shuffle.
+    qdot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     codes = quantized.select(
-        "vec_id", "vq", F.explode(F.array(*band_structs)).alias("bc")
-    ).select("vec_id", "vq", "bc.band", "bc.code")
+        "vec_id",
+        "vq",
+        F.sqrt(qdot.cast("double")).alias("qn"),
+        F.explode(F.array(*band_structs)).alias("bc"),
+    ).select("vec_id", "vq", "qn", "bc.band", "bc.code")
 
-    # Bucket-local vectorized candidate generation + EXACT-INTEGER
-    # prefilter (applyInPandas/Arrow).  Joining vectors onto the raw
-    # candidate PAIRS would shuffle |pairs|·2·64·8B (~1 GB at sf0.1:
-    # the band join emits ~40% of all pairs on this near-random
-    # corpus); instead each vector ships ONCE PER BAND into its
-    # (band, code) bucket — n·bands·64·8B, ~8 MB — and the
-    # within-bucket all-pairs cosine is one numpy GEMM per bucket.
-    # The quantized int64 dots stay < 2^53, so the float64 GEMM is
-    # EXACT and order-free; quantization error on the cosine is
-    # ≲ 2e-3, so keeping qcos ≥ 0.39 provably retains every true
-    # cosine ≥ 0.4 pair — the prefilter is output-invisible (the
-    # oracle replays only the band structure + exact verify).  At
-    # 100 TB a pathologically hot bucket (degenerate code) would need
-    # a size cap or salt+re-verify; band codes on real embeddings
-    # spread far better than that.
-    bucket_vecs = codes.select("band", "code", "vec_id", "vq")
-
-    def bucket_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64")})
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["vq"].to_numpy()).astype("float64")
-        g = m @ m.T
-        nrm = np.sqrt(np.diag(g))
-        denom = np.outer(nrm, nrm)
-        qcos = np.divide(g, denom, out=np.zeros_like(g), where=denom > 0)
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = qcos[ia, ib] >= 0.39
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame(
-            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
-        )
-
+    a = codes.select(
+        "band", "code", F.col("vec_id").alias("vec_a"),
+        F.col("vq").alias("qa"), F.col("qn").alias("qna"),
+    )
+    b = codes.select(
+        "band", "code", F.col("vec_id").alias("vec_b"),
+        F.col("vq").alias("qb"), F.col("qn").alias("qnb"),
+    )
+    pair_qdot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     cand = (
-        bucket_vecs.groupBy("band", "code")
-        .applyInPandas(lambda _, pdf: bucket_pairs(pdf), "vec_a bigint, vec_b bigint")
+        a.join(b, ["band", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(pair_qdot.cast("double") >= F.lit(0.39) * F.col("qna") * F.col("qnb"))
+        .select("vec_a", "vec_b")
         .distinct()
     )
 
