@@ -699,6 +699,11 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("doc_contained"), "doc_container")
         .distinct()
+        # The candidate list is tiny in BYTES but each surviving row
+        # pays an array_intersect over full shingle arrays in the
+        # verify join — AQE's byte-based coalescing would serialize
+        # that onto 1-2 tasks, so spread the pairs explicitly.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     a = sh.select(F.col("doc_id").alias("doc_contained"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_container"), F.col("shingles").alias("sh_b"))
