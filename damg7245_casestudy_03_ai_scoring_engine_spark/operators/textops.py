@@ -1173,3 +1173,146 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@register(
+    "bm25_retrieval",
+    survey="text-analysis extension: BM25 ranked retrieval",
+    oracle=rf"""
+WITH d2 AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_tokens
+    FROM d3
+),
+tf AS (
+    SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d3)
+    WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+    GROUP BY doc_id, dl, w
+),
+dfq AS (
+    SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tf GROUP BY w
+),
+s AS (
+    SELECT t.doc_id, t.w,
+           ((CAST(st.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0}) /
+              (CAST(t.tf AS DOUBLE)
+               + {_BM25_K1} * ({1.0 - _BM25_B}
+                  + ({_BM25_B} * CAST(t.dl * st.n_docs AS DOUBLE))
+                    / CAST(st.total_tokens AS DOUBLE)))) AS sc
+    FROM tf t JOIN dfq d USING (w) CROSS JOIN stats st
+),
+p AS (
+    SELECT doc_id,
+{", ".join(f"           max(CASE WHEN w = '{t}' THEN sc ELSE 0.0 END) AS s{i}" for i, t in enumerate(_BM25_TERMS))},
+           CAST(count(DISTINCT w) AS BIGINT) AS n_terms
+    FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       round({" + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))}, 6) AS bm25,
+       CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY round({" + ".join(f"s{i}" for i in range(len(_BM25_TERMS)))}, 6) DESC, doc_id
+    ) AS rk
+    FROM p
+)
+WHERE rk <= {_BM25_TOPK}
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 ranked retrieval for a fixed query over `documents`
+    (k1=1.2, b=0.75), top-10 docs — the ranked-retrieval counterpart
+    of `tfidf_top_terms` for training-data curation (e.g. pulling the
+    most on-topic documents for a target domain mix).
+
+    Engine-determinism (repo oracle discipline): the idf is the BM25
+    RATIONAL core (N - df + ½)/(df + ½) with the ln() dropped — ln
+    differs in the last ulp across libms and a 6-dp rounding boundary
+    would flip; ranking for each term is unchanged (ln is monotone)
+    and the fixed-order sum across the query's terms is spelled
+    s0 + s1 + s2 identically in both engines, so the total is
+    bit-identical (no engine-ordered float summation anywhere).
+    avgdl is carried as the exact pair (Σdl, N) and folded in as
+    dl·N/Σdl — one double division, no pre-averaged intermediate.
+
+    Scale shape: the `w IN (query terms)` filter lands BEFORE any
+    aggregation, so the posting lists of the query terms are the only
+    rows shuffled (at 100 TB: ~df(t) rows per term, not the corpus);
+    df is a |q|-row broadcast; the per-doc pivot is one partial-agg
+    groupBy; top-k is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-k, no
+    single-partition global sort even when a common query term
+    matches millions of docs.  The rank window then runs over just
+    the k survivors.  No vocabulary or score table ever materializes
+    beyond the matched docs."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    d3 = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws"),
+    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+    stats = d3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    tf = (
+        d3.select("doc_id", "dl", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    norm = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + (F.lit(_BM25_B) * (F.col("dl") * F.col("n_docs")).cast("double"))
+            / F.col("total_tokens").cast("double")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", (idf * norm).alias("sc"))
+    )
+    pivot = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("w") == t, F.col("sc")).otherwise(F.lit(0.0))).alias(
+                f"s{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        F.countDistinct("w").cast("bigint").alias("n_terms"),
+    )
+    total = sum(
+        (F.col(f"s{i}") for i in range(1, len(_BM25_TERMS))), start=F.col("s0")
+    )
+    from pyspark.sql import Window
+
+    topk = (
+        pivot.withColumn("bm25", F.round(total, 6))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "doc_id", "n_terms", "bm25", "rk"
+    )

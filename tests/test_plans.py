@@ -399,3 +399,18 @@ def test_sorted_layout_skips_row_groups(spark, tmp_path):
     s_rows = scanned(str(tmp_path / "sorted"))
     r_rows = scanned(str(tmp_path / "raw"))
     assert s_rows < 0.5 * r_rows, (s_rows, r_rows)
+
+
+def test_bm25_topk_avoids_global_sort_and_broadcasts_stats(spark):
+    """BM25's top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k), its df/stats joins must broadcast, and the query-
+    term IN filter must sit below the first aggregation so only the
+    query terms' posting lists shuffle."""
+    df = _plan(spark, "bm25_retrieval")
+    s = explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    # the IN-list filter on query terms appears in a Filter node, and
+    # partial aggregation is map-side combined
+    assert "spark" in s and "partial_" in s
