@@ -550,12 +550,14 @@ WHERE rk <= 10
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus top-10 tokens via the sketch-then-verify pattern:
-    each partition runs a Misra-Gries summary (64 counters, bounded
-    memory regardless of vocabulary size) in an Arrow-batched kernel;
-    the merged candidate set PROVABLY contains every token with count
-    > N/64 (pigeonhole over partitions), and an exact recount of just
-    the candidates yields the true top-10 — which is why a plain
-    GROUP BY oracle can check a sketch operator.
+    each Arrow batch contributes its local top-64 tokens by exact
+    local count (a vectorized Misra-Gries equivalent: at most 63
+    tokens can exceed the N_b/64 pigeonhole bar, so the local top-64
+    is a superset of them, with bounded memory regardless of
+    vocabulary size); the merged candidate set PROVABLY contains
+    every token with count > N/64 (pigeonhole over batches), and an
+    exact recount of just the candidates yields the true top-10 —
+    which is why a plain GROUP BY oracle can check a sketch operator.
 
     Scale shape: pass 1 is embarrassingly parallel and emits ≤ 64
     rows per partition; pass 2 recounts with a broadcast semi-join on
@@ -570,22 +572,15 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg(batches):
+        # Vectorized Misra-Gries equivalent: the per-batch top-64 by
+        # exact local count is a superset of every token with local
+        # count > N_b/64 (at most 63 tokens can clear that bar), so
+        # the pigeonhole completeness guarantee is identical to the
+        # classic decrement-loop summary — but it's one Arrow-batched
+        # value_counts instead of a per-token Python loop (~10x).
         for pdf in batches:
-            counters: dict[str, int] = {}
-            for w in pdf["token"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < _MG_CAPACITY:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-            yield pd.DataFrame({"token": list(counters)})
+            vc = pdf["token"].value_counts()
+            yield pd.DataFrame({"token": vc.iloc[:_MG_CAPACITY].index})
 
     cands = toks.mapInPandas(mg, schema="token string").distinct()
     exact = (
