@@ -721,3 +721,69 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= t)
     )
+
+
+# --- 7. canonical representative selection ---------------------------------
+
+
+@register(
+    "exact_dedup_keep_best",
+    survey="S18,U3,W2 (extension: canonical-representative selection)",
+    oracle=r"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           md5(lower(trim(text))) AS content_key,
+           row_number() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY n_chars DESC, doc_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies,
+           sum(n_chars) OVER (PARTITION BY md5(lower(trim(text)))) AS total_chars
+    FROM documents
+)
+SELECT content_key,
+       doc_id AS keep_doc_id,
+       lang,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(n_chars AS BIGINT) AS kept_chars,
+       CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+FROM keyed
+WHERE rk = 1
+""",
+)
+def exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: the dedup stage AFTER
+    cluster discovery — each exact-duplicate cluster (md5 of the
+    normalized text) keeps its best member (longest, doc_id
+    tie-break) and reports the bytes the drop saves.  This is the
+    keep-policy step every production dedup pipeline runs between
+    "find duplicates" and "write the canonical corpus"
+    (`dedup_exact` reports the clusters; this emits the corpus).
+
+    Scale shape: one window over the content-key partition — a
+    single hash shuffle, no join, no driver state."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+    )
+    w = Window.partitionBy("content_key")
+    w_rank = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("total_chars", F.sum("n_chars").over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "content_key",
+            F.col("doc_id").alias("keep_doc_id"),
+            "lang",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+            (F.col("total_chars") - F.col("n_chars")).cast("bigint").alias(
+                "chars_dropped"
+            ),
+        )
+    )

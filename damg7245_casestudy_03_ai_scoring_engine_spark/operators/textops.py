@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import clamp
+from ..functions.core import clamp, round_stable
 from ..functions.text import STOPWORDS_EN, stopword_ratio, token_count, word_tokens
 from ..sources.catalog import load
 from .registry import register
@@ -1310,4 +1310,224 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("int")).select(
         "doc_id", "n_terms", "bm25", "rk"
+    )
+
+
+@register(
+    "unigram_ll_quality",
+    survey="text-analysis (extension: CCNet-style LM perplexity bucketing)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lm-seed-1'), 1, 8))::BIGINT
+               % 100 < 90 AS is_train,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+),
+lm AS (
+    SELECT w, count(*)::DOUBLE AS c FROM toks WHERE is_train GROUP BY w
+),
+consts AS (
+    SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM lm
+),
+scored AS (
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           -avg(ln(coalesce(l.c + 1.0, 1.0) / (consts.n + consts.v + 1.0))) AS nll
+    FROM toks t
+    LEFT JOIN lm l ON t.w = l.w, consts
+    WHERE NOT t.is_train
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       floor(nll * 1e6 + 0.5) / 1e6 AS nll,
+       CAST(ntile(4) OVER (ORDER BY floor(nll * 1e6 + 0.5) / 1e6, doc_id) AS INT)
+           AS ppl_bucket
+FROM scored
+""",
+)
+def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing: train an add-one-smoothed
+    unigram LM on the deterministic 90% doc split, score each held-out
+    doc by mean negative log-likelihood, and quartile-bucket (bucket 1
+    = most in-distribution — the docs a perplexity filter keeps).
+
+    Scale shape: the LM is a token-keyed aggregate (one vocab-sized
+    shuffle with map-side combine); scoring is an equi-join on the
+    token key — at 100 TB both partition on the same key and nothing
+    is collected to the driver.  The (N, V) scalars ride along as a
+    broadcast single row."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|lm-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 90
+    )
+    toks = d.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    lm = toks.filter("is_train").groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    consts = lm.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    denom = F.col("n") + F.col("v") + F.lit(1.0)
+    scored = (
+        toks.filter(~F.col("is_train"))
+        .join(lm, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg(F.ln(F.coalesce(F.col("c") + 1.0, F.lit(1.0)) / denom))).alias(
+                "nll"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    nll_r = round_stable(F.col("nll"), 6)
+    w = Window.orderBy(nll_r, F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        nll_r.alias("nll"),
+        F.ntile(4).over(w).cast("int").alias("ppl_bucket"),
+    )
+
+
+_SPAN_N = 8  # tokens per span gram
+_SPAN_DF = 2  # duplicated = the span occurs in >= 2 distinct docs
+_SPAN_KEEP = 0.3  # keep docs with <= 30% of tokens inside duplicated spans
+
+
+@register(
+    "cross_doc_dup_spans",
+    survey="text-analysis (extension: corpus-duplicate span coverage, Lee et al. 2022 style)",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+           unnest(list_transform(range(1, greatest(len(ws) - {_SPAN_N - 1}, 0) + 1),
+               i -> md5(array_to_string(
+                        ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_N - 1}], ' '))))
+               AS gram
+    FROM toks
+),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {_SPAN_DF}
+),
+flagged AS (
+    SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gram = dup.gram
+),
+cov AS (
+    SELECT doc_id, count(DISTINCT p) AS covered_tokens, count(*) AS n_dup_positions
+    FROM (
+        SELECT doc_id, pos, unnest(range(pos, pos + {_SPAN_N})) AS p FROM flagged
+    )
+    GROUP BY doc_id
+),
+ndup AS (
+    SELECT doc_id, count(*) AS n_dup_grams FROM flagged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS INT) AS n_tokens,
+       CAST(coalesce(n.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       floor(coalesce(c.covered_tokens, 0)::DOUBLE / len(t.ws) * 1e6 + 0.5) / 1e6
+           AS covered_frac,
+       CAST(CASE WHEN coalesce(c.covered_tokens, 0)::DOUBLE / len(t.ws)
+                      <= {_SPAN_KEEP} THEN 1 ELSE 0 END AS INT) AS keep
+FROM toks t
+LEFT JOIN ndup n ON t.doc_id = n.doc_id
+LEFT JOIN cov c ON t.doc_id = c.doc_id
+""",
+)
+def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-span detection (the substring-dedup idea
+    of Lee et al. 2022, *Deduplicating Training Data Makes Language
+    Models Better*, re-expressed relationally): hash every 8-token
+    span, find spans occurring in >= 2 distinct docs, and per doc
+    measure the fraction of token positions covered by the union of
+    duplicated spans; docs over 30% coverage are flagged for drop.
+
+    Scale shape: span hashing is narrow per-doc work; the duplicate
+    set is one hash-keyed aggregate and one equi-join back on the
+    span key (no pairwise comparison anywhere); the interval union is
+    position-explode + distinct within each doc's partition.  Every
+    stage partitions on an equi-key, so the plan survives a 100x
+    corpus."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("n_tokens")
+    )
+    gp = F.when(
+        F.col("n_tokens") >= _SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(_SPAN_N - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("ws"), i, _SPAN_N), " ")).alias(
+                    "gram"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    grams = base.select("doc_id", F.explode(gp).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _SPAN_DF)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram")
+    cov = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_N - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("covered_tokens"))
+    )
+    ndup = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+    frac = covered / F.col("n_tokens").cast("double")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(ndup, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            round_stable(frac, 6).alias("covered_frac"),
+            (frac <= F.lit(_SPAN_KEEP)).cast("int").alias("keep"),
+        )
     )
