@@ -89,7 +89,7 @@ _PRIORITY = (
     "lsh_cosine_pairs",
     "text_quality_scores",
     "multimodal_meta",
-    "regional_revenue_q5",
+    "unigram_ll_quality",
 )
 
 

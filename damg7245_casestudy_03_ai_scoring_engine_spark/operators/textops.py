@@ -1416,6 +1416,7 @@ _SPAN_KEEP = 0.3  # keep docs with <= 30% of tokens inside duplicated spans
 @register(
     "cross_doc_dup_spans",
     survey="text-analysis (extension: corpus-duplicate span coverage, Lee et al. 2022 style)",
+    bench=True,
     oracle=rf"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -1491,8 +1492,13 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
-    grams = base.select("doc_id", F.explode(gp).alias("g")).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    # The span-hash frame feeds BOTH the duplicate-set aggregate and
+    # the join-back; persist it so the tokenize+md5 narrow stage runs
+    # once (at scale: the silver span table written once per run).
+    grams = (
+        base.select("doc_id", F.explode(gp).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .persist()
     )
     dup = (
         grams.groupBy("gram")
@@ -1501,22 +1507,27 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     flagged = grams.join(dup, "gram")
+    # One grouped pass computes BOTH stats: positions are unique per
+    # (doc, gram instance), so n_dup_grams == countDistinct(pos) on
+    # the exploded frame — no second aggregation or join needed.
     cov = (
         flagged.select(
             "doc_id",
+            "pos",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_N - 1))
             ).alias("p"),
         )
         .groupBy("doc_id")
-        .agg(F.countDistinct("p").alias("covered_tokens"))
+        .agg(
+            F.countDistinct("p").alias("covered_tokens"),
+            F.countDistinct("pos").alias("n_dup_grams"),
+        )
     )
-    ndup = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
     covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
     frac = covered / F.col("n_tokens").cast("double")
     return (
         base.select("doc_id", "n_tokens")
-        .join(ndup, "doc_id", "left")
         .join(cov, "doc_id", "left")
         .select(
             "doc_id",
