@@ -1542,3 +1542,89 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= F.lit(_SPAN_KEEP)).cast("int").alias("keep"),
         )
     )
+
+
+_BPE_MERGES = 20
+
+
+@register(
+    "bpe_merge_induction",
+    survey="text-analysis (extension: BPE tokenizer-merge learning, Sennrich et al. 2016)",
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 20 BPE merges from the corpus — actual
+    tokenizer TRAINING, not just tokenization: start from characters,
+    and per round (a) count adjacent symbol pairs weighted by word
+    frequency, (b) pick the argmax pair (exact integer counts,
+    count-desc / left-asc / right-asc tie-break → fully
+    deterministic), (c) apply the merge corpus-wide as a native
+    higher-order-function fold (greedy non-overlapping left-to-right,
+    the reference BPE scan), localCheckpoint truncating the plan per
+    round.
+
+    Distribution shape: state is the word-frequency symbol table (one
+    row per distinct word — vocabulary-sized, stays partitioned); each
+    round is one partial-agg shuffle over pair keys plus a 1-row
+    collect (the chosen rule is a scalar decision, exactly like a
+    k-means centroid update).  No per-word driver loop at any scale.
+
+    Checked rows-only: tests/test_rows_only.py replays the identical
+    algorithm in pure Python on the collected word-frequency table and
+    asserts the full merge sequence matches."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    syms = words.select("cnt", chars.alias("symbols")).localCheckpoint()
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, _BPE_MERGES + 1):
+        pair_structs = F.when(
+            F.size("symbols") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("symbols") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("symbols"), i).alias("l"),
+                    F.element_at(F.col("symbols"), i + F.lit(1)).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            syms.select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0].l, best[0].r, int(best[0].n)
+        merged = l + r
+        rules.append((step, l, r, merged, n))
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select("cnt", fold.alias("symbols")).localCheckpoint()
+
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_count bigint"
+    )

@@ -89,3 +89,48 @@ def test_pca_eta_scores_rows_match_companies(spark):
     assert rows
     cols = set(rows[0].asDict())
     assert "company_id" in cols or "eta" in cols or len(cols) > 0
+
+
+def test_bpe_merges_match_reference_python(spark):
+    """The distributed BPE learner must reproduce the exact merge
+    sequence of a pure-Python reference implementation run on the
+    same word-frequency table (argmax + greedy-scan semantics are
+    fully deterministic)."""
+    import re
+    from collections import Counter
+
+    out = sorted(
+        (
+            (r.step, r.left, r.right, r.merged, r.pair_count)
+            for r in REGISTRY["bpe_merge_induction"].fn(spark, SF_SMOKE).collect()
+        )
+    )
+
+    docs = [r.text for r in load(spark, SF_SMOKE, "documents").select("text").collect()]
+    wc = Counter(
+        w for t in docs for w in re.split(r"\s+", t.lower().strip()) if w
+    )
+    symtab = {w: tuple(w) for w in wc}
+    rules = []
+    for step in range(1, 21):
+        pc = Counter()
+        for w, syms in symtab.items():
+            c = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((step, l, r, l + r, n))
+        for w, syms in symtab.items():
+            merged_syms = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged_syms.append(l + r)
+                    i += 2
+                else:
+                    merged_syms.append(syms[i])
+                    i += 1
+            symtab[w] = tuple(merged_syms)
+    assert out == rules
