@@ -374,3 +374,68 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("streak_days").cast("bigint").alias("active_days"),
     )
+
+
+_HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "stream_dedup_twin",
+    survey="§2.10 stream dedup (batch twin of dropDuplicatesWithinWatermark), W1",
+    oracle=f"""
+WITH keyed AS (
+    SELECT user_id, event_type, event_id, value,
+           epoch_ns(ts) // {_HOUR_NS} AS hour_idx,
+           epoch_ns(ts) AS ts_ns,
+           row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_ns(ts) // {_HOUR_NS}
+               ORDER BY ts, event_id
+           ) AS rk
+    FROM events
+)
+SELECT user_id, event_type,
+       CAST(hour_idx AS BIGINT) AS hour_idx,
+       event_id AS first_event_id,
+       ts_ns AS first_ts_ns,
+       round(value, 4) AS first_value
+FROM keyed
+WHERE rk = 1
+""",
+)
+def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream dedup
+    (streaming/jobs.py:258 `dedup_stream` /
+    `dropDuplicatesWithinWatermark`): keep the EARLIEST event per
+    (user, event_type, hour) — exactly what the streaming operator
+    converges to once the watermark passes each hour bucket, which is
+    why a deterministic batch window can oracle-check it.  ts/event_id
+    ordering makes the kept row unique, unlike a bare dropDuplicates.
+
+    Scale shape: one window over the dedup-key partition — the same
+    single hash shuffle the streaming state store partitions by."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.expr(f"ts div {_HOUR_NS}").alias("hour_idx"),
+        F.col("ts").alias("ts_ns"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "hour_idx").orderBy(
+        "ts_ns", "event_id"
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("hour_idx").cast("bigint").alias("hour_idx"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts_ns").alias("first_ts_ns"),
+            F.round("value", 4).alias("first_value"),
+        )
+    )
