@@ -201,3 +201,69 @@ def grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("grp").applyInPandas(
         fit, schema="grp string, n long, slope double, intercept double"
     )
+
+
+@register(
+    "mllib_text_classifier",
+    survey="§2.11/M-extension: full MLlib Pipeline (Tokenizer→HashingTF→IDF→LogisticRegression)",
+)
+def mllib_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MLlib `Pipeline` estimator chain — the literal
+    "MLlib pipeline" of the north star: RegexTokenizer → HashingTF
+    (2^15 features) → IDF → multinomial LogisticRegression, trained to
+    predict `lang` on the deterministic 90% doc split and evaluated on
+    the held-out 10% as a confusion matrix (actual_lang, predicted,
+    n).
+
+    Scale shape: every stage is a distributed MLlib transformer;
+    HashingTF keeps the feature space fixed-width (no vocab build /
+    driver dictionary), so the same pipeline trains on a 100 TB corpus
+    via treeAggregate-based LBFGS.  Rows-only in the driver gate
+    (iterative solver — not expressible in portable SQL);
+    tests/test_rows_only.py pins the structural invariants (the
+    matrix partitions the held-out split; predictions stay in the
+    training label domain — on the synthetic testdata `lang` is
+    independent of `text`, so accuracy itself is chance)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, IndexToString, RegexTokenizer, StringIndexer
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|lm-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 90
+    )
+    d = d.select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("text"),
+                 is_train.alias("is_train"))
+    train, test = d.filter("is_train"), d.filter("NOT is_train")
+
+    indexer = StringIndexer(
+        inputCol="lang", outputCol="label", stringOrderType="alphabetAsc"
+    )
+    pipe = Pipeline(
+        stages=[
+            indexer,
+            RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+"),
+            HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 15),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=20, regParam=0.01, family="multinomial"),
+        ]
+    )
+    model = pipe.fit(train)
+    labels = model.stages[0].labelsArray[0]
+    pred = IndexToString(
+        inputCol="prediction", outputCol="predicted", labels=list(labels)
+    ).transform(model.transform(test))
+    return (
+        pred.groupBy(F.col("lang").alias("actual_lang"), "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -134,3 +134,35 @@ def test_bpe_merges_match_reference_python(spark):
                     i += 1
             symtab[w] = tuple(merged_syms)
     assert out == rules
+
+
+def test_mllib_text_classifier_partitions_heldout(spark):
+    """Structural invariants of the MLlib Pipeline classifier: the
+    confusion matrix partitions exactly the held-out 10% split, and
+    every predicted label comes from the training label domain.  (On
+    the synthetic testdata `lang` is independent of `text`, so an
+    accuracy floor would only measure noise — the pinned behavior is
+    the pipeline mechanics.)"""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["mllib_text_classifier"].fn(spark, SF_SMOKE).collect()
+    total = sum(r.n for r in rows)
+    langs = {
+        r.lang
+        for r in load(spark, SF_SMOKE, "documents").select("lang").distinct().collect()
+    }
+    docs = load(spark, SF_SMOKE, "documents")
+    heldout = docs.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|lm-seed-1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= 90
+    ).count()
+    assert total == heldout
+    assert {r.actual_lang for r in rows} <= langs
+    assert {r.predicted for r in rows} <= langs
