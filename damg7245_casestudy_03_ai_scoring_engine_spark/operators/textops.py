@@ -1398,13 +1398,47 @@ def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    nll_r = round_stable(F.col("nll"), 6)
-    w = Window.orderBy(nll_r, F.asc("doc_id"))
-    return scored.select(
+    # Distributed exact ntile(4): a bare `ntile().over(orderBy(...))`
+    # window funnels EVERY row through one partition.  Instead:
+    # (a) per-value rank j — a window PARTITIONED by the rounded nll
+    #     value (distributed);
+    # (b) cumulative count over the DISTINCT rounded values (the only
+    #     global window, but over the value dictionary, which the
+    #     groupBy already reduced by orders of magnitude);
+    # (c) global rank i = cum_before + j, then the closed-form ntile
+    #     bucket split (first n mod 4 buckets get ceil(n/4) rows).
+    # The DuckDB oracle keeps the plain ntile — outputs are identical.
+    base = scored.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
-        nll_r.alias("nll"),
-        F.ntile(4).over(w).cast("int").alias("ppl_bucket"),
+        round_stable(F.col("nll"), 6).alias("nll"),
+    )
+    vals = base.groupBy("nll").agg(F.count(F.lit(1)).alias("c"))
+    w_vals = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, -1)
+    vals = vals.select(
+        "nll", F.coalesce(F.sum("c").over(w_vals), F.lit(0)).alias("cum_before")
+    )
+    totals = base.agg(F.count(F.lit(1)).alias("n_total"))
+    w_in_val = Window.partitionBy("nll").orderBy("doc_id")
+    ranked = (
+        base.withColumn("j", F.row_number().over(w_in_val))
+        .join(vals, "nll")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("i", F.col("cum_before") + F.col("j"))
+    )
+    n, i = F.col("n_total"), F.col("i")
+    size_small = F.floor(n / F.lit(4))
+    size_big = size_small + F.lit(1)
+    n_big = n % 4
+    cut = n_big * size_big
+    bucket = F.when(i <= cut, F.ceil(i / size_big)).otherwise(
+        n_big + F.ceil((i - cut) / size_small)
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "nll",
+        bucket.cast("int").alias("ppl_bucket"),
     )
 
 
