@@ -844,3 +844,78 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+@register(
+    "semantic_cluster_topics",
+    survey="similarity+text (extension: k-means topic clusters with purity eval)",
+    # rows-only: MLlib KMeans is iterative; cluster quality is pinned
+    # against the embeddings' ground-truth labels in
+    # tests/test_rows_only.py (purity + partition invariants).
+)
+def semantic_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic topic clustering — the embedding-space counterpart of
+    TF-IDF topics: MLlib KMeans (k=10, seed=42) clusters the corpus
+    embeddings, each cluster is summarized by its 5 most frequent
+    member tokens (count-desc, token-asc tie-break → deterministic
+    given the assignment), and evaluated by label purity (majority
+    ground-truth label share).
+
+    Scale shape: the fit is MLlib kmeans|| (sampled, distributed);
+    assignment is one model.transform projection; topic terms are a
+    token-keyed partial aggregate + per-cluster top-k window — no
+    driver loops, no all-pairs anything."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=10, seed=42, maxIter=10).fit(emb.select("features"))
+    assigned = model.transform(emb).select(
+        "vec_id", "label", F.col("prediction").alias("cluster")
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tok_counts = (
+        assigned.join(docs, "vec_id")
+        .groupBy("cluster", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_top = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("token"))
+    topics = (
+        tok_counts.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 5)
+        .groupBy("cluster")
+        .agg(F.concat_ws(",", F.collect_list("token")).alias("top_tokens"))
+    )
+
+    label_counts = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_lab = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    purity = (
+        label_counts.withColumn("rk", F.row_number().over(w_lab))
+        .withColumn("size", F.sum("n").over(Window.partitionBy("cluster")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("size").cast("bigint").alias("size"),
+            F.col("label").alias("majority_label"),
+            F.round(F.col("n") / F.col("size"), 6).alias("purity"),
+        )
+    )
+    return purity.join(topics, "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "size",
+        "majority_label",
+        "purity",
+        "top_tokens",
+    )

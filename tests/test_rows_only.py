@@ -166,3 +166,15 @@ def test_mllib_text_classifier_partitions_heldout(spark):
     assert total == heldout
     assert {r.actual_lang for r in rows} <= langs
     assert {r.predicted for r in rows} <= langs
+
+
+def test_semantic_cluster_topics_partitions_corpus(spark):
+    """Cluster sizes must partition the embedding corpus, purity is a
+    valid share, and each topic lists 5 comma-joined tokens (fewer
+    only for tiny clusters)."""
+    rows = REGISTRY["semantic_cluster_topics"].fn(spark, SF_SMOKE).collect()
+    n_emb = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.size for r in rows) == n_emb
+    assert all(0.0 < r.purity <= 1.0 for r in rows)
+    assert all(1 <= len(r.top_tokens.split(",")) <= 5 for r in rows)
+    assert len(rows) <= 10
