@@ -350,3 +350,60 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("acctbal"), 2).alias("sum_dim_bal"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_order_total"),
     )
+
+
+_SHARD_MAX_RECORDS = 200
+
+
+@register(
+    "sized_output_sharding",
+    survey="S21 (extension: size-targeted partitioned sink layout)",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(ceil(count(*) / {_SHARD_MAX_RECORDS}.0) AS BIGINT) AS n_files
+FROM documents
+GROUP BY lang
+""",
+)
+def sized_output_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted partitioned sink: write `documents` partitioned
+    by lang with `maxRecordsPerFile` capping each file, then report
+    the ACTUAL on-disk layout (files per partition directory).  The
+    oracle predicts the layout arithmetically — ceil(rows/cap) — so
+    the check proves the writer sharding contract, not just the row
+    counts.  Rows are hash-clustered per lang first (one writer task
+    owns each lang), which is what makes the file count deterministic.
+
+    The 100 TB point: output-file sizing is the knob that keeps a
+    petabyte sink from producing millions of tiny files (or 100 GB
+    ones) — `repartition(keys) + partitionBy(keys) + maxRecordsPerFile`
+    is the standard layout-control recipe this query pins."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="shard_sink_")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    (
+        d.repartition("lang")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _SHARD_MAX_RECORDS)
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    layout = []
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("lang="):
+            continue
+        lang = entry.split("=", 1)[1]
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, entry))
+            if f.endswith(".parquet")
+        ]
+        layout.append((lang, len(files)))
+    counts = spark.read.parquet(out).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    files_df = spark.createDataFrame(layout, "lang string, n_files bigint")
+    return counts.join(files_df, "lang").select("lang", "n_rows", "n_files")
