@@ -439,3 +439,58 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("first_value"),
         )
     )
+
+
+_EWMA_ALPHA = 0.25
+
+
+@register(
+    "ewma_user_values",
+    survey="W5 (extension: per-key exponential smoothing fold)",
+    oracle=f"""
+WITH g AS (
+    SELECT user_id,
+           list_sort(list({{'ts': epoch_ns(ts), 'event_id': event_id,
+                            'value': value}})) AS items
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(items) AS BIGINT) AS n_events,
+       items[len(items)].ts AS last_ts_ns,
+       floor(list_reduce(list_transform(items, x -> x.value),
+                         (acc, x) -> acc * CAST({1 - _EWMA_ALPHA} AS DOUBLE)
+                                     + x * CAST({_EWMA_ALPHA} AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS ewma
+FROM g
+""",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.25) of event values in event-time order —
+    the trend-smoothing aggregate behind anomaly baselines, computed
+    as a NATIVE higher-order fold over the per-key ordered value list
+    (no Python, no window-frame re-scan per row).  The DuckDB oracle
+    runs the IDENTICAL left fold via list_reduce, so the doubles agree
+    bit-for-bit before rounding.
+
+    Scale shape: one groupBy shuffle on user_id; state per key is the
+    ordered value array (bounded by per-user event count — the same
+    bound a streaming EWMA's state store carries).  (ts, event_id)
+    struct ordering makes the fold order total and deterministic."""
+    ev = load(spark, sf_dir, "events")
+    items = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value")))
+    )
+    g = ev.groupBy("user_id").agg(items.alias("items"))
+    vals = F.transform(F.col("items"), lambda x: x["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return g.select(
+        "user_id",
+        F.size("items").cast("bigint").alias("n_events"),
+        F.element_at(F.col("items"), -1)["ts"].alias("last_ts_ns"),
+        (F.floor(fold * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("ewma"),
+    )
