@@ -494,3 +494,92 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("items"), -1)["ts"].alias("last_ts_ns"),
         (F.floor(fold * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("ewma"),
     )
+
+
+_CUSUM_K = 60.0  # target + slack: drift means sustained values above this
+_CUSUM_H = 300.0  # decision threshold on the max CUSUM statistic
+
+
+@register(
+    "cusum_drift_flags",
+    survey="W5,M-extension (CUSUM change detection via prefix-sum/running-min closed form)",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value - {_CUSUM_K} AS d
+    FROM events
+),
+s1 AS (
+    SELECT user_id, ts_ns, event_id,
+           sum(d) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                        ROWS UNBOUNDED PRECEDING) AS s_run
+    FROM o
+),
+s AS (
+    SELECT user_id, s_run,
+           least(min(s_run) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                  ROWS UNBOUNDED PRECEDING), 0.0) AS s_low
+    FROM s1
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(max(s_run - s_low) * 1e6 + 0.5) / 1e6 AS max_cusum,
+       CAST(CASE WHEN max(s_run - s_low) > {_CUSUM_H} THEN 1 ELSE 0 END AS INT)
+           AS drift_flag
+FROM s
+GROUP BY user_id
+""",
+)
+def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user: the textbook
+    recursion C_t = max(0, C_{t-1} + (x_t - k)) equals
+    S_t - min(0, S_1..S_t) for the prefix sum S of (x - k), so the
+    whole statistic is two analytic-frame windows — prefix sum and
+    running minimum — with NO sequential recursion anywhere.  Users
+    whose max CUSUM exceeds h carry a sustained upward value drift
+    (the monitoring primitive behind rate/fraud/quality alarms).
+
+    Cross-engine exactness: both engines evaluate the running frames
+    in the same (ts, event_id) total order, so the doubles agree
+    bit-for-bit before the shared floor-rounding formula.
+
+    Scale shape: one hash shuffle on user_id; both windows share the
+    same sort — Catalyst plans a single WindowExec pass."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        "event_id",
+        (F.col("value") - F.lit(_CUSUM_K)).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = o.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.sum("d").over(w).alias("s_run"),
+    ).select(
+        "user_id",
+        "s_run",
+        F.least(
+            F.min("s_run").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_ns", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(0.0),
+        ).alias("s_low"),
+    )
+    cusum = F.col("s_run") - F.col("s_low")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.floor(F.max(cusum) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "max_cusum"
+        ),
+        (F.max(cusum) > F.lit(_CUSUM_H)).cast("int").alias("drift_flag"),
+    )
