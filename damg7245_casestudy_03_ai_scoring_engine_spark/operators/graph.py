@@ -88,12 +88,15 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier")).otherwise(
         F.lit("customer")
     )
+    # Distributed top-20: TakeOrdered via orderBy+limit, so the global
+    # ranking window only numbers the 20 surviving rows.
+    top = (
+        ranks.select("node", kind.alias("kind"), F.round("rank", 8).alias("r8"))
+        .orderBy(F.desc("r8"), F.asc("node"))
+        .limit(20)
+    )
     w = Window.orderBy(F.desc("r8"), F.asc("node"))
     return (
-        ranks.select(
-            "node", kind.alias("kind"), F.round("rank", 8).alias("r8")
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
         .select("rk", "node", "kind", F.col("r8").alias("pagerank"))
     )

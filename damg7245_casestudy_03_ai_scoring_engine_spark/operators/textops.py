@@ -880,12 +880,12 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Distributed top-10: orderBy+limit is a TakeOrdered (per-partition
+    # top-k, O(k) merge) — the global row_number window only ever sees
+    # the 10 surviving rows, never the full bigram table.
+    top = scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(10)
     w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 # --- benchmark decontamination (train/eval n-gram overlap) ------------------
