@@ -267,3 +267,69 @@ def mllib_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy(F.col("lang").alias("actual_lang"), "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+_FP_MIN_SUPPORT = 0.02
+
+
+@register(
+    "fpgrowth_brand_itemsets",
+    survey="M-extension (MLlib FP-Growth market-basket), J2,A15",
+    oracle=f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+singles AS (
+    SELECT brand AS itemset, 1 AS size, count(*) AS support_count
+    FROM baskets GROUP BY brand
+),
+pairs AS (
+    SELECT a.brand || ',' || b.brand AS itemset, 2 AS size,
+           count(*) AS support_count
+    FROM baskets a JOIN baskets b
+      ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1
+),
+u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+SELECT itemset, CAST(size AS INT) AS size,
+       CAST(support_count AS BIGINT) AS support_count
+FROM u, n
+WHERE support_count >= ceil({_FP_MIN_SUPPORT} * n.n_orders)
+""",
+)
+def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FP-Growth market-basket mining over TPC-H: each order's
+    basket is its distinct part brands; frequent itemsets at 2%
+    support.  The output is RESTRICTED to sizes 1-2, which makes an
+    EXACT SQL oracle possible (single and pair supports are plain
+    distinct-pair counts) — an iterative MLlib miner checked
+    hash-exactly against relational algebra.
+
+    Scale shape: basket build is one equi-join with the broadcast
+    `part` dim + a distinct; FP-Growth itself is MLlib's parallel
+    PFP (per-partition conditional trees, group-dependent shuffle) —
+    the standard 100 TB itemset algorithm."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.concat_ws(",", F.array_sort("items")).alias("itemset"),
+            F.size("items").cast("int").alias("size"),
+            F.col("freq").cast("bigint").alias("support_count"),
+        )
+    )
