@@ -333,3 +333,84 @@ def fpgrowth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("bigint").alias("support_count"),
         )
     )
+
+
+@register(
+    "fpgrowth_brand_rules",
+    survey="M-extension (association rules with exact confidence/lift oracle)",
+    oracle=f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+singles AS (
+    SELECT brand, count(*) AS supp FROM baskets GROUP BY brand
+),
+pairs AS (
+    SELECT a.brand AS ant, b.brand AS cons, count(*) AS supp_ab
+    FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand <> b.brand
+    GROUP BY 1, 2
+)
+SELECT p.ant AS antecedent, p.cons AS consequent,
+       CAST(p.supp_ab AS BIGINT) AS support_count,
+       floor(p.supp_ab / CAST(sa.supp AS DOUBLE) * 1e6 + 0.5) / 1e6 AS confidence,
+       floor((p.supp_ab / CAST(sa.supp AS DOUBLE)) / (sc.supp / CAST(n.n_orders AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs p
+JOIN singles sa ON p.ant = sa.brand
+JOIN singles sc ON p.cons = sc.brand, n
+WHERE p.supp_ab >= ceil({_FP_MIN_SUPPORT} * n.n_orders)
+  AND p.supp_ab / CAST(sa.supp AS DOUBLE) >= 0.1
+""",
+)
+def fpgrowth_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the FP-Growth model, restricted to
+    1-item antecedent → 1-item consequent so confidence
+    (supp(a,b)/supp(a)) and lift (conf / P(b)) have an EXACT
+    relational oracle.  MLlib computes both from the same integer
+    supports, so the doubles agree bit-for-bit before the shared
+    floor-rounding."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.1
+    ).fit(baskets)
+    n_orders = baskets.count()
+    singles = model.freqItemsets.filter(F.size("items") == 1).select(
+        F.element_at("items", 1).alias("cons_item"),
+        F.col("freq").alias("supp_cons"),
+    )
+    rules = model.associationRules.filter(
+        (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+    ).select(
+        F.element_at("antecedent", 1).alias("antecedent"),
+        F.element_at("consequent", 1).alias("consequent"),
+        "confidence",
+        "support",
+    )
+    conf = F.col("confidence")
+    lift = conf / (F.col("supp_cons") / F.lit(float(n_orders)))
+    return (
+        rules.join(
+            F.broadcast(singles), rules.consequent == singles.cons_item
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(F.col("support") * F.lit(float(n_orders))).cast("bigint").alias(
+                "support_count"
+            ),
+            (F.floor(conf * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("confidence"),
+            (F.floor(lift * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("lift"),
+        )
+    )
