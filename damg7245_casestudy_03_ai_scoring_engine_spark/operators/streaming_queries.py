@@ -583,3 +583,84 @@ def cusum_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max(cusum) > F.lit(_CUSUM_H)).cast("int").alias("drift_flag"),
     )
+
+
+_WM_DELAYS_NS = (60_000_000_000, 600_000_000_000, 3_600_000_000_000)  # 1m/10m/1h
+
+
+@register(
+    "watermark_drop_audit",
+    survey="§2.10 (extension: watermark-policy what-if audit)",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_id, epoch_ns(ts) AS ts_ns,
+           max(epoch_ns(ts)) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                                   ROWS UNBOUNDED PRECEDING) AS max_seen_ns
+    FROM events
+),
+lateness AS (
+    SELECT event_id, greatest(max_seen_ns - ts_ns, 0) AS late_ns FROM arr
+),
+d AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS_NS)}]) AS delay_ns)
+SELECT CAST(d.delay_ns AS BIGINT) AS delay_ns,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ns > d.delay_ns THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       floor(sum(CASE WHEN late_ns > d.delay_ns THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS drop_frac,
+       CAST(max(late_ns) AS BIGINT) AS max_late_ns
+FROM lateness, d
+GROUP BY d.delay_ns
+""",
+)
+def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy what-if: replaying the events in a
+    DETERMINISTIC hash-shuffled arrival order (md5 of event_id — the
+    driver testdata arrives perfectly time-sorted, so an adversarial
+    arrival model is simulated), an event's lateness is how far its
+    event time trails the running max event time at its arrival; for each
+    candidate watermark delay (1 min / 10 min / 1 h) report how many
+    events a `withWatermark(delay)` stream would DROP.  This is the
+    sizing query you run before picking a production watermark —
+    too short silently loses data, too long bloats state.
+
+    Scale note: the running max over arrival order is the one global
+    sequential scan in the repo — unavoidable for exact watermark
+    replay (the stream itself is a sequential arrival order); at
+    scale this runs per ingest partition, which is exactly how
+    Spark's per-partition watermark actually advances."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("arr_key", F.md5(F.col("event_id").cast("string")))
+    w = Window.orderBy("arr_key", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    late = ev.select(
+        F.greatest(
+            F.max("ts").over(w) - F.col("ts"), F.lit(0).cast("long")
+        ).alias("late_ns")
+    )
+    delays = spark.createDataFrame(
+        [(d,) for d in _WM_DELAYS_NS], "delay_ns bigint"
+    )
+    return (
+        late.crossJoin(F.broadcast(delays))
+        .groupBy("delay_ns")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late_ns") > F.col("delay_ns")).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.floor(
+                    F.sum((F.col("late_ns") > F.col("delay_ns")).cast("int"))
+                    / F.count(F.lit(1)).cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("drop_frac"),
+            F.max("late_ns").cast("bigint").alias("max_late_ns"),
+        )
+    )
