@@ -100,3 +100,82 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rk", F.row_number().over(w).cast("int"))
         .select("rk", "node", "kind", F.col("r8").alias("pagerank"))
     )
+
+
+_TRI_MIN_CO = 0.02  # edge = brands co-occurring in >= 2% of orders
+
+
+@register(
+    "brand_triangle_counts",
+    survey="graph-extension (triangle counting on the co-occurrence graph)",
+    oracle=f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+edges AS (
+    SELECT a.brand AS u, b.brand AS v
+    FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand, n
+    GROUP BY a.brand, b.brand, n.n_orders
+    HAVING count(*) >= ceil({_TRI_MIN_CO} * n.n_orders)
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+    SELECT a AS brand FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY brand
+""",
+)
+def brand_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting on the brand co-occurrence graph
+    (edge = two brands bought together in >= 2% of orders) via the
+    ordered-edge join: with every edge oriented u < v, each triangle
+    is enumerated exactly once as e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the
+    standard distributed triangle algorithm (two equi-joins, no
+    wedges double-counted, no per-node adjacency state).
+
+    At 100 TB the same plan holds with the usual refinement (orient
+    edges by degree, not id, to bound the join fan-out on hubs); the
+    integer co-occurrence threshold keeps the edge list sparse."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.select("okey").distinct().count()
+    import math
+
+    min_co = math.ceil(_TRI_MIN_CO * n_orders)
+    b2 = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    edges = (
+        baskets.join(b2, "okey")
+        .filter(F.col("brand") < F.col("brand_b"))
+        .groupBy(F.col("brand").alias("u"), F.col("brand_b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+        .select("u", "v")
+        .persist()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("brand"))
+        .unionAll(tri.select(F.col("b").alias("brand")))
+        .unionAll(tri.select(F.col("c").alias("brand")))
+    )
+    return member.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
