@@ -2069,3 +2069,77 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "weighted_median_grouped_agg",
+    survey="§2.11 (grouped-agg pandas UDF custom aggregate), W3",
+    oracle=r"""
+WITH w AS (
+    SELECT l_returnflag AS grp, l_extendedprice AS v,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem
+),
+c AS (
+    SELECT grp, v,
+           sum(wt) OVER (PARTITION BY grp ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(wt) OVER (PARTITION BY grp) AS tw
+    FROM w
+)
+SELECT grp,
+       CAST((SELECT count(*) FROM w w2 WHERE w2.grp = c.grp) AS BIGINT) AS n_rows,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       min(v) AS weighted_median
+FROM c
+WHERE cw * 2 >= tw
+GROUP BY grp
+""",
+)
+def weighted_median_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag via a
+    GROUPED-AGG pandas UDF — the custom-aggregate flavor of the UDF
+    surface (§2.11): the kernel receives each group's columns as
+    pandas Series and returns one scalar (Spark forbids mixing it
+    with JVM aggregates, so the native count/sum stats run as their
+    own pass and broadcast-join back).  The statistic is rank-SELECTED
+    (smallest value whose cumulative weight reaches half the total),
+    so it returns an exact input value and both engines agree
+    bit-for-bit — no interpolation formula to drift.
+
+    Scale note: grouped-agg UDFs hold one group in memory per call —
+    the right tool for per-group statistics with no algebraic
+    decomposition; with 3 return-flag groups the parallelism is the
+    group count, which is why the native rank-select twin
+    (`median_metric`) remains the high-cardinality path."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module-level `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature-based eval-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, wt):
+        df = pd.DataFrame({"v": v, "wt": wt}).sort_values("v")
+        cw = df["wt"].cumsum()
+        total = int(df["wt"].sum())
+        return float(df.loc[cw * 2 >= total, "v"].iloc[0])
+
+    li = load(spark, sf_dir, "lineitem", fan_out=True).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    # grouped-agg UDFs cannot share an .agg() with JVM aggregates —
+    # the native stats ride a separate (cheap, partial-agg) pass,
+    # joined back on the 3-row group key
+    native = li.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("wt").cast("bigint").alias("total_weight"),
+    )
+    medians = li.groupBy("grp").agg(
+        wmedian(F.col("v"), F.col("wt")).alias("weighted_median")
+    )
+    return native.join(F.broadcast(medians), "grp").select(
+        "grp", "n_rows", "total_weight", "weighted_median"
+    )
