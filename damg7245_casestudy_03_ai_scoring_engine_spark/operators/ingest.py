@@ -896,3 +896,45 @@ def udtf_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.lang
         """
     )
+
+
+@register(
+    "python_datasource_scan",
+    survey="S-extension (custom Python DataSource, Spark 4 API)",
+    oracle="""
+WITH gen AS (
+    SELECT p.p, i.i,
+           md5(CAST(p.p AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)) AS h
+    FROM (SELECT unnest(range(0, 4)) AS p) p,
+         (SELECT unnest(range(0, 2000)) AS i) i
+)
+SELECT substr(h, 1, 2) AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(sum(('0x' || substr(h, 3, 8))::BIGINT / 4294967296.0)
+             * 1e6 + 0.5) / 1e6 AS val_sum
+FROM gen
+GROUP BY 1
+""",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the custom Python DataSource
+    (`sources/pydatasource.py`, Spark 4 `pyspark.sql.datasource`
+    API) and aggregate per key.  The source is deterministic
+    (md5-derived rows per InputPartition), so the DuckDB oracle
+    REGENERATES the identical rows with range()+md5 and the hash
+    check covers the whole source→scan→aggregate path — proof the
+    partition-parallel source contract produces exactly the declared
+    data."""
+    from ..sources.pydatasource import SyntheticSignalsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSignalsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("synthetic_signals").load()
+    return df.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.floor(F.sum("val") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "val_sum"
+        ),
+    )
