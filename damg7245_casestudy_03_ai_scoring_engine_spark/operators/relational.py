@@ -2143,3 +2143,43 @@ def weighted_median_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return native.join(F.broadcast(medians), "grp").select(
         "grp", "n_rows", "total_weight", "weighted_median"
     )
+
+
+@register(
+    "unpivot_profit_metrics",
+    survey="A4-inverse (extension: unpivot/melt wide metrics to long)",
+    oracle="""
+WITH wide AS (
+    SELECT o_orderpriority AS priority,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+)
+SELECT priority, metric, CAST(value AS DOUBLE) AS value
+FROM wide
+UNPIVOT (value FOR metric IN (total_price, n_orders, avg_price))
+""",
+)
+def unpivot_profit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the manual-pivot operator (A4):
+    a wide per-priority metrics row becomes (priority, metric, value)
+    long form, the shape BI metric stores and ML feature tables want.
+    Native `DataFrame.unpivot` (Expand under the hood — no shuffle,
+    no UDF); the oracle is DuckDB's UNPIVOT clause.
+
+    avg is derived as a rounded division of exact aggregates on both
+    sides, so the melted doubles hash-match."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["priority"],
+        values=["total_price", "n_orders", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
