@@ -2183,3 +2183,106 @@ def unpivot_profit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "data_quality_expectations",
+    survey="P-extension (declarative data-quality expectation suite)",
+    oracle="""
+SELECT * FROM (
+    SELECT 'orders.o_orderkey.not_null' AS expectation,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.range_0_1e7',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1e7
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.fk_orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_discount.range_0_1',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+)
+""",
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the dbt-test /
+    Great-Expectations pattern as one DataFrame): not-null, key
+    uniqueness, value ranges, and referential integrity evaluated in
+    a single pass per table and emitted as (expectation, n_checked,
+    n_violations) — the audit row a pipeline gate consumes.
+
+    Scale shape: each expectation is a partial-agg scan or an anti
+    join (the FK probe) — no row-level materialization of violations;
+    at 100 TB the same suite runs as one pass per source table."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def row(name, df):
+        return df.select(
+            F.lit(name).alias("expectation"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    not_null = row(
+        "orders.o_orderkey.not_null",
+        o.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_violations"),
+        ),
+    )
+    unique = row(
+        "orders.o_orderkey.unique",
+        o.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+        ),
+    )
+    price_range = row(
+        "orders.o_totalprice.range_0_1e7",
+        o.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(
+                ((F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1e7)).cast(
+                    "int"
+                )
+            ).alias("n_violations"),
+        ),
+    )
+    orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    fk = (
+        li.agg(F.count(F.lit(1)).alias("n_checked"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+        .transform(lambda df: row("lineitem.l_orderkey.fk_orders", df))
+    )
+    disc_range = row(
+        "lineitem.l_discount.range_0_1",
+        li.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")
+            ).alias("n_violations"),
+        ),
+    )
+    return not_null.unionAll(unique).unionAll(price_range).unionAll(fk).unionAll(
+        disc_range
+    )
