@@ -16,7 +16,12 @@ one shard.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 N_PARTS = 4
 ROWS_PER_PART = 2000
@@ -45,3 +50,69 @@ class _SyntheticReader(DataSourceReader):
         for i in range(ROWS_PER_PART):
             h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()
             yield (p, i, h[:2], int(h[2:10], 16) / 4294967296.0)
+
+
+# --- streaming variant: offset-managed micro-batch source ------------------
+
+STREAM_BATCH_ROWS = 500
+STREAM_MAX_ROWS = 2000
+
+
+class SyntheticSignalsStreamSource(DataSource):
+    """Streaming twin of the batch source: a custom
+    `DataSourceStreamReader` with explicit offset management — the
+    Python form of a Kafka-like micro-batch source.  Offsets are
+    `{"idx": n}`; every trigger advances the high-watermark by
+    STREAM_BATCH_ROWS until STREAM_MAX_ROWS, and `partitions(start,
+    end)` splits each batch's index range into two InputPartitions so
+    even a single micro-batch scans in parallel.
+
+    Row content depends ONLY on the global index (md5(i)), never on
+    batch boundaries — so however the trigger slices the offsets, the
+    drained stream equals the deterministic regeneration
+    (tests/test_streaming.py pins stream == closed form)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_signals_stream"
+
+    def schema(self) -> str:
+        return "i int, key string, val double"
+
+    def streamReader(self, schema):
+        return _SyntheticStreamReader()
+
+
+def _gen_row(i: int):
+    import hashlib
+
+    h = hashlib.md5(f"{i}".encode()).hexdigest()
+    return (i, h[:2], int(h[2:10], 16) / 4294967296.0)
+
+
+class _SyntheticStreamReader(DataSourceStreamReader):
+    def __init__(self):
+        self._watermark = 0
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def latestOffset(self):
+        self._watermark = min(self._watermark + STREAM_BATCH_ROWS, STREAM_MAX_ROWS)
+        return {"idx": self._watermark}
+
+    def partitions(self, start, end):
+        lo, hi = start["idx"], end["idx"]
+        mid = (lo + hi) // 2
+        return [InputPartition((lo, mid)), InputPartition((mid, hi))]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield _gen_row(i)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass

@@ -414,3 +414,55 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_python_stream_source_drains_deterministically(spark, tmp_path):
+    """The custom Python DataSourceStreamReader must drain exactly
+    STREAM_MAX_ROWS rows whose content equals the closed-form
+    regeneration, regardless of how triggers sliced the offset range
+    (row content depends only on the global index)."""
+    import hashlib
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.pydatasource import (
+        STREAM_MAX_ROWS,
+        SyntheticSignalsStreamSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticSignalsStreamSource)
+    except Exception:
+        pass
+    sink = str(tmp_path / "pyds_sink")
+    ckpt = str(tmp_path / "pyds_ckpt")
+    # processingTime trigger (not availableNow): the reader advances
+    # its offset watermark one STREAM_BATCH_ROWS step per trigger, so
+    # draining requires several genuine micro-batches — which is the
+    # offset-progression behavior this test pins.
+    q = (
+        spark.readStream.format("synthetic_signals_stream")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(sink).count() >= STREAM_MAX_ROWS:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(0.5)
+    q.stop()
+
+    got = sorted(
+        (r.i, r.key, round(r.val, 9)) for r in spark.read.parquet(sink).collect()
+    )
+    expect = []
+    for i in range(STREAM_MAX_ROWS):
+        h = hashlib.md5(f"{i}".encode()).hexdigest()
+        expect.append((i, h[:2], round(int(h[2:10], 16) / 4294967296.0, 9)))
+    assert got == expect
