@@ -2286,3 +2286,39 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return not_null.unionAll(unique).unionAll(price_range).unionAll(fk).unionAll(
         disc_range
     )
+
+
+@register(
+    "hll_sketch_rollup",
+    survey="A16 (extension: re-aggregatable HLL sketch merge)",
+    # rows-only: Datasketches HLL binaries are engine-specific; the
+    # estimate-vs-exact error bound is pinned in tests/test_rows_only.py
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB cardinality
+    pattern: build ONE HyperLogLog sketch of distinct users per
+    event_type (`hll_sketch_agg`), then UNION the stored sketches
+    (`hll_union_agg`) for the all-types cardinality WITHOUT rescanning
+    the events — the re-aggregation a naive countDistinct can never
+    do (distincts don't add).  Emits per-type estimates plus the
+    merged 'ALL' row from the same sketch column.
+
+    This is how a petabyte metrics store answers "distinct users last
+    quarter" from daily sketch rows instead of a quarter-long scan."""
+    ev = load(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    per_type = sketches.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("est_distinct"),
+        "exact_distinct",
+    )
+    merged = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.lit(None).cast("bigint").alias("exact_distinct"),
+    ).select(F.lit("ALL").alias("event_type"), "est_distinct", "exact_distinct")
+    return per_type.unionAll(merged)

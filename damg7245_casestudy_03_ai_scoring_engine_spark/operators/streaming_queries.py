@@ -664,3 +664,60 @@ def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_ns").cast("bigint").alias("max_late_ns"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    survey="W5 (extension: first-order Markov transition matrix)",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS cur, next_type AS nxt FROM o WHERE next_type IS NOT NULL
+),
+c AS (
+    SELECT cur, nxt, count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY cur) AS n_cur
+    FROM pairs GROUP BY cur, nxt
+)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       floor(n / CAST(n_cur AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p
+FROM c
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=b | cur=a) from lead() pairs in (ts, event_id)
+    order — the sequence-model feature behind next-action prediction
+    and anomaly scoring.  Probabilities are integer-count ratios, so
+    both engines divide the same exact ints.
+
+    Scale shape: one user-partitioned window for the lead, one
+    partial-agg groupBy on the (cur, nxt) pair — both partition on
+    their natural keys."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    n_cur = F.sum("n").over(Window.partitionBy("cur"))
+    return c.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(F.col("n") / n_cur.cast("double") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
+    )

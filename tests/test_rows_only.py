@@ -178,3 +178,23 @@ def test_semantic_cluster_topics_partitions_corpus(spark):
     assert all(0.0 < r.purity <= 1.0 for r in rows)
     assert all(1 <= len(r.top_tokens.split(",")) <= 5 for r in rows)
     assert len(rows) <= 10
+
+
+def test_hll_sketch_rollup_within_error(spark):
+    """Per-type HLL estimates must sit within 5% of the exact
+    distincts carried alongside, and the merged ALL row within 5% of
+    the true all-types distinct user count."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["hll_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    per_type = [r for r in rows if r.event_type != "ALL"]
+    assert per_type
+    for r in per_type:
+        assert abs(r.est_distinct - r.exact_distinct) <= max(
+            2, 0.05 * r.exact_distinct
+        )
+    all_row = next(r for r in rows if r.event_type == "ALL")
+    exact_all = (
+        load(spark, SF_SMOKE, "events").agg(F.countDistinct("user_id")).collect()[0][0]
+    )
+    assert abs(all_row.est_distinct - exact_all) <= max(2, 0.05 * exact_all)
