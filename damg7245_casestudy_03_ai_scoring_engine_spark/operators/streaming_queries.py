@@ -594,8 +594,10 @@ _WM_DELAYS_NS = (60_000_000_000, 600_000_000_000, 3_600_000_000_000)  # 1m/10m/1
     oracle=f"""
 WITH arr AS (
     SELECT event_id, epoch_ns(ts) AS ts_ns,
-           max(epoch_ns(ts)) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
-                                   ROWS UNBOUNDED PRECEDING) AS max_seen_ns
+           max(epoch_ns(ts)) OVER (
+               PARTITION BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT % 16
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ROWS UNBOUNDED PRECEDING) AS max_seen_ns
     FROM events
 ),
 lateness AS (
@@ -624,17 +626,23 @@ def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing query you run before picking a production watermark —
     too short silently loses data, too long bloats state.
 
-    Scale note: the running max over arrival order is the one global
-    sequential scan in the repo — unavoidable for exact watermark
-    replay (the stream itself is a sequential arrival order); at
-    scale this runs per ingest partition, which is exactly how
-    Spark's per-partition watermark actually advances."""
+    The replay is sharded 16 ways by a hash of the arrival key and
+    the running max advances PER SHARD — exactly how Spark's
+    watermark really advances (per ingest partition, with the global
+    watermark as their min), and it keeps the window
+    partition-parallel instead of a global sequential scan."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
     ev = ev.withColumn("arr_key", F.md5(F.col("event_id").cast("string")))
-    w = Window.orderBy("arr_key", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    shard = (
+        F.conv(F.substring("arr_key", 1, 2), 16, 10).cast("bigint") % 16
+    ).alias("shard")
+    ev = ev.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("arr_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     late = ev.select(
         F.greatest(
