@@ -75,7 +75,7 @@ _PRIORITY = (
     "job_board_normalize",
     "pdf_text_extract",
     "merge_upsert_balances",
-    "append_dedup_signals",
+    "versioned_snapshot_diff",
     "scd2_apply",
     "dedup_exact",
     "dedup_minhash_lsh",

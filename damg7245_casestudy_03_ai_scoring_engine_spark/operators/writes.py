@@ -407,3 +407,88 @@ def sized_output_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files_df = spark.createDataFrame(layout, "lang string, n_files bigint")
     return counts.join(files_df, "lang").select("lang", "n_rows", "n_files")
+
+
+@register(
+    "versioned_snapshot_diff",
+    survey="S17,S20 (extension: time-travel diff across MERGE versions)",
+    oracle="""
+WITH v0 AS (
+    SELECT c_custkey AS k, round(c_acctbal, 2) AS bal
+    FROM customer WHERE c_custkey % 3 = 0
+),
+src AS (
+    SELECT c_custkey AS k, round(c_acctbal + 100.0, 2) AS bal
+    FROM customer WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS k, round(c_acctbal, 2) AS bal
+    FROM customer WHERE c_custkey % 10 = 0
+),
+v1 AS (
+    SELECT k, bal FROM v0 WHERE k NOT IN (SELECT k FROM src)
+    UNION ALL
+    SELECT k, bal FROM src
+),
+j AS (
+    SELECT coalesce(a.k, b.k) AS k, a.bal AS bal0, b.bal AS bal1
+    FROM v0 a FULL OUTER JOIN v1 b ON a.k = b.k
+)
+SELECT CASE WHEN bal0 IS NULL THEN 'inserted'
+            WHEN bal1 IS NULL THEN 'deleted'
+            WHEN bal0 <> bal1 THEN 'updated'
+            ELSE 'unchanged' END AS change,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(coalesce(bal1, bal0)), 2) AS bal_total
+FROM j
+GROUP BY 1
+""",
+)
+def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel made queryable: seed a versioned table (manifest-log
+    format, `sources/versioned.py`) with a deterministic customer
+    snapshot, run a snapshot-isolated `transactional_merge` (updates
+    for every 6th key, inserts above 1e6 for every 10th), then diff
+    `read(version=0)` against `read(version=1)` with a full outer join
+    — the inserted/updated/unchanged census an auditor asks of any
+    Delta-style table.  Both versions stay readable AFTER the merge;
+    that is the property the oracle reconstructs relationally.
+
+    Scale shape: version reads are plain parquet scans behind the
+    manifest; the diff is one full-outer hash join on the key."""
+    import tempfile
+
+    from ..sources.versioned import VersionedTable, transactional_merge
+
+    c = load(spark, sf_dir, "customer")
+    v0_df = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    )
+    src = (
+        c.filter(F.col("c_custkey") % 6 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("k"),
+                F.round("c_acctbal", 2).alias("bal"),
+            )
+        )
+    )
+    table = VersionedTable(tempfile.mkdtemp(prefix="versioned_diff_"))
+    table.write(v0_df, mode="overwrite")
+    transactional_merge(table, src, ["k"])
+    v0 = table.read(spark, version=0).select("k", F.col("bal").alias("bal0"))
+    v1 = table.read(spark, version=1).select("k", F.col("bal").alias("bal1"))
+    j = v0.join(v1, "k", "full_outer")
+    change = (
+        F.when(F.col("bal0").isNull(), F.lit("inserted"))
+        .when(F.col("bal1").isNull(), F.lit("deleted"))
+        .when(F.col("bal0") != F.col("bal1"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.coalesce("bal1", "bal0")), 2).alias("bal_total"),
+    )
