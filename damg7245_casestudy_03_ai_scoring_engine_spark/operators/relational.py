@@ -2322,3 +2322,78 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_distinct"),
     ).select(F.lit("ALL").alias("event_type"), "est_distinct", "exact_distinct")
     return per_type.unionAll(merged)
+
+
+@register(
+    "recursive_key_chain",
+    survey="SQL-surface extension (WITH RECURSIVE hierarchy traversal, Spark 4)",
+    oracle="""
+WITH RECURSIVE chain(k, cur, depth) AS (
+    SELECT c_custkey, c_custkey, 0
+    FROM customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    SELECT k, cur // 10, depth + 1 FROM chain WHERE cur >= 10
+)
+SELECT k, CAST(cur AS BIGINT) AS root, CAST(max(depth) AS INT) AS depth
+FROM chain
+WHERE cur < 10
+GROUP BY k, cur
+""",
+)
+def recursive_key_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): walk the synthetic
+    digit-hierarchy parent(k) = k div 10 from every 50th customer key
+    to its single-digit root, returning (key, root, depth) — the
+    org-chart / bill-of-materials traversal shape, expressed as the
+    standard recursive CTE in BOTH engines (Spark's iterative
+    union-all expansion vs DuckDB's recursive evaluator must
+    converge to identical fixpoints)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("rkc_customer")
+    return spark.sql(
+        """
+WITH RECURSIVE chain(k, cur, depth) AS (
+    SELECT c_custkey, c_custkey, 0
+    FROM rkc_customer WHERE c_custkey % 50 = 0
+    UNION ALL
+    SELECT k, cur div 10, depth + 1 FROM chain WHERE cur >= 10
+)
+SELECT k, CAST(cur AS BIGINT) AS root, CAST(max(depth) AS INT) AS depth
+FROM chain
+WHERE cur < 10
+GROUP BY k, cur
+"""
+    )
+
+
+@register(
+    "lateral_top_orders",
+    survey="SQL-surface extension (correlated LATERAL subquery with per-row LIMIT)",
+    oracle="""
+SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+WHERE c.c_custkey % 25 = 0
+""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    the "top-N related rows per outer row" SQL idiom (Spark 4 lateral
+    join surface).  Catalyst decorrelates it into the same
+    window/top-k plan `topk_per_group` builds by hand, which is why
+    the two answer shapes agree; this entry pins the SQL route."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lto_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lto_orders")
+    return spark.sql(
+        """
+SELECT c.c_custkey, l.o_orderkey, round(l.o_totalprice, 2) AS price
+FROM lto_customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM lto_orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+WHERE c.c_custkey % 25 = 0
+"""
+    )
