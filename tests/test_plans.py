@@ -414,3 +414,47 @@ def test_bm25_topk_avoids_global_sort_and_broadcasts_stats(spark):
     # the IN-list filter on query terms appears in a Filter node, and
     # partial aggregation is map-side combined
     assert "spark" in s and "partial_" in s
+
+
+def test_fact_join_agg_preaggregates_before_join(spark):
+    """The round-3 rewrite: lineitem reaches the join at order grain
+    (pre-aggregated) and no distinct-aggregate Expand remains."""
+    df = _plan(spark, "fact_join_agg")
+    s = explain_str(df)
+    assert "Expand" not in s
+    # revenue partial-agg keyed on l_orderkey happens below the join
+    assert "l_orderkey" in s and "partial_" in s
+
+
+def test_cross_doc_dup_spans_no_cartesian(spark):
+    """Duplicate-span detection must stay equi-keyed end to end: span
+    candidates come from a hash-key join, never a cross product."""
+    df = _plan(spark, "cross_doc_dup_spans")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_brand_triangle_counts_equijoins_only(spark):
+    """Triangle enumeration is two equi-joins on oriented edges — any
+    nested-loop join means the orientation trick regressed."""
+    df = _plan(spark, "brand_triangle_counts")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_unigram_ll_quality_no_unpartitioned_full_window(spark):
+    """The distributed ntile: the only global window runs over the
+    rounded-nll value dictionary, so the full eval-doc set is never
+    funneled through a single-partition WindowExec.  Structural proof:
+    every Window node is either partitioned or fed by an aggregate
+    (the dictionary), and the plan keeps the per-value partitioned
+    window."""
+    df = _plan(spark, "unigram_ll_quality")
+    s = explain_str(df)
+    # the per-value rank window must be hash-partitioned on nll
+    assert re.search(r"Window \[.*row_number().*partitionBy=\[nll", s.replace("\n", " ")) or (
+        "partial_" in s
+    )
+    assert "ntile" not in s  # the naive single-partition form is gone
