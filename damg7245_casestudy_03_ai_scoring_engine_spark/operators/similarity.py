@@ -919,3 +919,55 @@ def semantic_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purity",
         "top_tokens",
     )
+
+
+@register(
+    "embedding_dim_profile",
+    survey="similarity+M (extension: per-dimension feature-scaling profile)",
+    oracle="""
+WITH flat AS (
+    SELECT CAST(unnest(range(0, len(embedding))) AS INT) AS dim_idx,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+)
+SELECT dim_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(avg(x) * 1e6 + 0.5) / 1e6 AS mean,
+       floor(stddev_pop(x) * 1e6 + 0.5) / 1e6 AS std,
+       floor(min(x) * 1e6 + 0.5) / 1e6 AS min_x,
+       floor(max(x) * 1e6 + 0.5) / 1e6 AS max_x
+FROM flat
+GROUP BY dim_idx
+""",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding column — the
+    feature-scaling profile (mean/std/min/max per coordinate) every
+    normalization or whitening step consumes, computed by posexplode
+    over the vector column into (dim_idx, value) rows and one
+    partial-agg groupBy on the 64 dimension keys.
+
+    This is the vector-column analog of `column_profile`: at 100 TB
+    the explode is narrow (64 rows out per vector, no shuffle until
+    the 64-key aggregate), and the profile table is what a serving
+    layer broadcasts to z-scale incoming queries consistently with
+    the indexed corpus.
+
+    floor-rounding note: stddev_pop accumulates in float64 on both
+    engines; the shared floor formula absorbs the sub-1e-9
+    order-of-summation jitter."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    flat = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim_idx", "x")
+    ).select("dim_idx", F.col("x").cast("double").alias("x"))
+
+    def fr(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return flat.groupBy(F.col("dim_idx").cast("int").alias("dim_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fr(F.avg("x")).alias("mean"),
+        fr(F.stddev_pop("x")).alias("std"),
+        fr(F.min("x")).alias("min_x"),
+        fr(F.max("x")).alias("max_x"),
+    )
