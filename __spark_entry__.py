@@ -47,19 +47,20 @@ _PRIORITY = (
     "stream_window_counts",
     "user_sessionization",
     "click_error_followups",
-    "sliding_window_counts",
     "session_conversion_funnel",
     "cohort_retention",
-    "activity_streaks",
     "asof_join_events",
     "asof_join_forward",
-    "asof_join_tolerance",
     "rule_synergy_scores",
     "sem_spearman_brown",
+    "sem_ols_ci",
+    "sem_bootstrap_ci",
+    "pca_one_factor_eta",
+    "grouped_ols",
+    "fpgrowth_brand_rules",
     "hr_position_stack",
     "portfolio_range_validation",
     "dimension_scores_table",
-    "dimension_breakdown_json",
     "rubric_dimension_scores",
     "keyword_taxonomy_match",
     "evidence_dimension_features",
@@ -80,7 +81,6 @@ _PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_banded",
     "dedup_containment_prefix",
     "decontaminate_ngram_overlap",
     "gopher_repetition_flags",

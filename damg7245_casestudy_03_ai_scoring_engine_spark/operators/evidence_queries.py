@@ -184,31 +184,47 @@ def source_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evidence_dimension_features",
     survey="A7,J6",
     oracle=f"""
-WITH {_EVIDENCE_SQL.lstrip()}
+WITH {_EVIDENCE_SQL.lstrip()},
+scored AS (
+    SELECT *,
+           40 + (evidence_id * 7 + length(keyword) * 13) % 61 AS raw_i,
+           CAST(round(confidence * 10) AS BIGINT) AS c_i,
+           CAST(round(reliability * 100) AS BIGINT) AS r_i
+    FROM matches
+)
 SELECT company_id, dimension,
-       round(CASE WHEN sum(confidence * reliability) <> 0
-                  THEN sum(100.0 * confidence * reliability) / sum(confidence * reliability)
-                  ELSE 50.0 END, 4) AS weighted_score,
-       CASE WHEN count(*) > 0
-            THEN sum(confidence * reliability) / count(*)
-            ELSE 0.5 END AS confidence,
+       floor((CASE WHEN sum(c_i * r_i) <> 0
+                   THEN CAST(sum(raw_i * c_i * r_i) AS DOUBLE) / CAST(sum(c_i * r_i) AS DOUBLE)
+                   ELSE 50.0 END) * 10000.0 + 0.5) / 10000.0 AS weighted_score,
+       floor((CASE WHEN count(*) > 0
+                   THEN CAST(sum(c_i * r_i) AS DOUBLE) / (1000.0 * count(*))
+                   ELSE 0.5 END) * 1000000.0 + 0.5) / 1000000.0 AS confidence,
        count(*) AS evidence_count
-FROM matches
+FROM scored
 GROUP BY company_id, dimension
 """,
 )
 def evidence_dimension_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: reliability·confidence-weighted dimension features
-    (reference evidence_mapper.py:159-213)."""
+    """A7/J6: reliability·confidence-weighted dimension features with a
+    *varying* per-hit raw score (reference evidence_mapper.py:159-213 —
+    the weighted mean must actually weight; a constant raw score is
+    degenerate).
+
+    Hash-stability: sums run on SCALED INTEGERS (exact, order-
+    independent across any partitioning), with one final IEEE division
+    per output — bit-identical between Spark and DuckDB at every sf,
+    unlike double-sum aggregates whose low bits depend on summation
+    order (the round-3 driver flake)."""
+    from ..functions.core import round_stable
     from ..scoring.evidence import weighted_dimension_features
 
     ev = demo_evidence(spark, sf_dir)
-    out = weighted_dimension_features(ev, DEMO_KEYWORD_PAIRS)
+    out = weighted_dimension_features(ev, DEMO_KEYWORD_PAIRS, fixed_point=(10, 100))
     return out.select(
         "company_id",
         "dimension",
-        F.round("weighted_score", 4).alias("weighted_score"),
-        F.col("confidence"),
+        round_stable("weighted_score", 4).alias("weighted_score"),
+        round_stable("confidence", 6).alias("confidence"),
         "evidence_count",
     )
 

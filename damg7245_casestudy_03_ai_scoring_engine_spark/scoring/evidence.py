@@ -82,6 +82,18 @@ def keyword_matches(evidence: DataFrame, keywords) -> DataFrame:
     )
 
 
+def hit_raw_score(evidence_id: Column, keyword: Column) -> Column:
+    """Deterministic varying per-hit raw score in [40, 100]:
+    40 + (evidence_id·7 + len(keyword)·13) mod 61.  Pure integer
+    arithmetic → bit-identical between Spark and any ANSI-SQL oracle;
+    varies across hit rows so A7's weighted mean actually weights
+    (reference evidence_mapper.py:159-213)."""
+    return (
+        F.lit(40)
+        + (evidence_id * F.lit(7) + F.length(keyword) * F.lit(13)) % F.lit(61)
+    ).cast("double")
+
+
 def dimension_hits(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
     """Per (company, dimension): keyword hit stats from J5 matches."""
     m = keyword_matches(evidence, keywords)
@@ -92,16 +104,61 @@ def dimension_hits(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
     )
 
 
-def weighted_dimension_features(evidence: DataFrame, keywords: DataFrame) -> DataFrame:
+def weighted_dimension_features(
+    evidence: DataFrame,
+    keywords: DataFrame,
+    raw: Column | None = None,
+    fixed_point: tuple[int, int] | None = None,
+) -> DataFrame:
     """A7: per (company, dimension) weighted score & confidence.
 
-    raw per-hit score = 50 + 5·(hits per evidence piece capped 10)…
-    simplified to the reference's weighted-mean form with raw=100 for
-    a hit row, aggregated as Σ(raw·conf·rel)/Σ(conf·rel); empty
-    dimensions get the 50/0.5 defaults downstream via coalesce.
+    `raw` is the per-hit raw score column (reference
+    evidence_mapper.py:159-213 weights *varying* raw scores with
+    Σ(raw·conf·rel)/Σ(conf·rel)); callers must supply one that varies
+    across hit rows — a constant would make the weighted mean
+    degenerate (identically that constant).  Defaults to a
+    deterministic doc/keyword-derived score in [40, 100] so the
+    weighting path is always exercised.  Confidence is
+    Σ(conf·rel)/count; empty dimensions get the 50/0.5 defaults
+    downstream via coalesce.
+
+    `fixed_point=(conf_scale, rel_scale)` switches the sums to exact
+    scaled-integer arithmetic (order-independent, reproducible at any
+    partitioning — see inline comment) when confidence/reliability are
+    fixed-point decimals (e.g. (10, 100) for 1dp confidence × 2dp
+    reliability).  `raw` must be integer-valued on this path.
     """
     m = keyword_matches(evidence, keywords)
-    num = F.sum(F.lit(100.0) * F.col("confidence") * F.col("reliability"))
+    if raw is None:
+        raw = hit_raw_score(F.col("evidence_id"), F.col("keyword"))
+    if fixed_point is not None:
+        # Exact integer fixed-point path: double-sum aggregates are NOT
+        # reproducible across partitionings (summation order changes
+        # the low bits; at a rounding boundary that flips the rounded
+        # value — observed live on this query's `confidence` at sf0.01
+        # / 32 partitions).  When confidence/reliability are fixed-
+        # point decimals, scale them to integers, sum LONGS (exact,
+        # order-independent), and divide ONCE at the end — the single
+        # IEEE division is bit-identical in every engine and every
+        # partitioning.  This is the path to use at 100 TB.
+        conf_scale, rel_scale = fixed_point
+        c_i = F.round(F.col("confidence") * conf_scale).cast("long")
+        r_i = F.round(F.col("reliability") * rel_scale).cast("long")
+        raw_i = raw.cast("long")
+        den_i = F.sum(c_i * r_i)
+        num_i = F.sum(raw_i * c_i * r_i)
+        cnt = F.count(F.lit(1))
+        scale = float(conf_scale * rel_scale)
+        return m.groupBy("company_id", "dimension").agg(
+            F.when(den_i != 0, num_i.cast("double") / den_i.cast("double"))
+            .otherwise(F.lit(50.0))
+            .alias("weighted_score"),
+            F.when(cnt > 0, den_i.cast("double") / (F.lit(scale) * cnt))
+            .otherwise(F.lit(0.5))
+            .alias("confidence"),
+            cnt.alias("evidence_count"),
+        )
+    num = F.sum(raw * F.col("confidence") * F.col("reliability"))
     den = F.sum(F.col("confidence") * F.col("reliability"))
     return m.groupBy("company_id", "dimension").agg(
         F.when(den != 0, num / den).otherwise(F.lit(50.0)).alias("weighted_score"),
