@@ -48,6 +48,46 @@ def _canon(rows, colnames):
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 WEAK_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 
+# Float-hygiene lint allowlist: (query, column) pairs whose DOUBLE
+# output is NOT a fixed-point-rounded value but is still hash-stable by
+# construction — either a verbatim parquet passthrough (both engines
+# read identical bits) or a single exact-integer-ratio division (one
+# IEEE op on order-independent operands).  Everything else must go
+# through functions/core.round_stable on BOTH sides: an unrounded
+# float AGGREGATE is summation-order-dependent and WILL eventually
+# flip the driver's value-hash (round-3 red row).
+FLOAT_LINT_OK: set[tuple[str, str]] = set()
+
+
+def _lint_double_outputs(name, sdf, srows):
+    """Every finite double output must be idempotent under the
+    round_stable transform at 7dp (true for any value produced by
+    round_stable(·, ≤6)) unless explicitly allowlisted."""
+    import math as _m
+
+    dbl_idx = [
+        i
+        for i, f in enumerate(sdf.schema.fields)
+        if f.dataType.typeName() in ("double", "float")
+        and (name, f.name.lower()) not in FLOAT_LINT_OK
+    ]
+    if not dbl_idx:
+        return
+    for r in srows:
+        for i in dbl_idx:
+            v = r[i]
+            if v is None or not isinstance(v, float):
+                continue
+            if _m.isnan(v) or _m.isinf(v) or abs(v) > 1e9:
+                continue
+            rounded = _m.floor(v * 1e7 + 0.5) / 1e7
+            assert rounded == v, (
+                f"{name}.{sdf.schema.fields[i].name}: value {v!r} is not "
+                f"fixed-point at <=7dp — unrounded double output; wrap it in "
+                f"round_stable on both sides or allowlist it in FLOAT_LINT_OK "
+                f"with a stability justification"
+            )
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
@@ -63,6 +103,7 @@ def test_oracle_parity(spark, duck, name):
     assert sorted(scols) == sorted(dcols), f"schema mismatch: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"row count {len(srows)} vs {len(drows)}"
     assert _canon(srows, scols) == _canon(drows, dcols)
+    _lint_double_outputs(name, sdf, srows)
 
 
 @pytest.mark.parametrize("name", WEAK_QUERIES)

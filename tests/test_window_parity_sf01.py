@@ -1,0 +1,82 @@
+"""Driver-window parity at sf0.01 with 32 shuffle partitions — the
+EXACT environment where the round-3 float-hash flake appeared (the
+sf0.001/8-partition suite could not reproduce it).
+
+Unlike test_oracle_parity's 9-significant-figure comparison, this is
+a BIT-EXACT float comparison: it mirrors the driver's value-hash,
+which tolerates zero ULP drift.  Any query that fails here would have
+flaked on the driver's board eventually.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+from conftest import SF_CORRECTNESS
+
+WINDOW = [n for n in list(entry.queries())[:50] if REGISTRY[n].oracle]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        p = os.path.join(SF_CORRECTNESS, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def spark32(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _canon_exact(rows, colnames):
+    """Columns sorted by name, rows order-insensitive, floats EXACT."""
+    import decimal
+
+    idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return v
+
+    out = [tuple(norm(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, repr(v)) for v in t))
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_window_exact_parity_sf01(spark32, duck01, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark32, SF_CORRECTNESS)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+
+    res = duck01.execute(spec.oracle)
+    drows = res.fetchall()
+    dcols = [d[0].lower() for d in res.description]
+
+    assert sorted(scols) == sorted(dcols), f"schema: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"rows: {len(srows)} vs {len(drows)}"
+    cs, cd = _canon_exact(srows, scols), _canon_exact(drows, dcols)
+    if cs != cd:
+        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        raise AssertionError(
+            f"bit-exact value mismatch ({sum(1 for a, b in zip(cs, cd) if a != b)}"
+            f"/{len(cs)} rows); first diffs: {diff}"
+        )
