@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all  # noqa: E402
 from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY  # noqa: E402
 from damg7245_casestudy_03_ai_scoring_engine_spark.session import get_spark  # noqa: E402
 
@@ -46,28 +47,34 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a warm-up failure must never sink the bench run
+        release_all()  # no cross-query cache accumulation
 
-    # Two timed runs, keep the min: single-shot wall times on a busy
-    # 32-core box swing ±50% from scheduler noise; the min is the
-    # honest steady-state figure the warm-up pass set up.
+    # Three timed runs, report the MEDIAN: single-shot wall times on a
+    # busy 32-core box swing ±50% from scheduler noise; min overstates
+    # (one lucky run), mean is polluted by one unlucky run — median-of-3
+    # is the robust middle that makes round-over-round comparisons mean
+    # something (round-3 verdict: driver-machine variance masqueraded
+    # as a 1.57× regression under min-of-2).
     # Per-query fault isolation: one broken query reports null, the
     # other timings still land (a crashed bench run has no numbers at
     # all, which is strictly worse than a partial one).
     timings: dict[str, float | None] = {}
     failures: dict[str, str] = {}
     for name, spec in bench_specs.items():
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+                release_all()
+            timings[name] = round(sorted(runs)[1], 3)
         except Exception as exc:  # noqa: BLE001 - harness must survive
             timings[name] = None
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+            release_all()
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(

@@ -1,0 +1,50 @@
+"""Tracked DataFrame persistence.
+
+Query functions return LAZY DataFrames, so a `.persist()` inside one
+cannot be paired with an in-function `.unpersist()` — the cache must
+outlive the function for the caller's collect to benefit.  Before
+this module, every such cache leaked for the life of the session; a
+~170-query driver/pytest run accumulated cached blocks from each
+persisting query and added executor memory pressure at larger scale
+factors.
+
+`tracked_persist(df, tag)` bounds that: at most ONE live cache per
+tag — re-invoking the same query first unpersists the previous
+invocation's frame — and `release_all()` (wired into test teardown
+and bench.py's per-query loop) drops everything between queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict[str, DataFrame] = {}
+
+
+def tracked_persist(df: DataFrame, tag: str) -> DataFrame:
+    """Persist `df` (MEMORY_AND_DISK) under `tag`, unpersisting any
+    previous frame cached under the same tag."""
+    prev = _LIVE.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session may be gone; nothing to release
+    out = df.persist()
+    _LIVE[tag] = out
+    return out
+
+
+def release_all() -> int:
+    """Unpersist every tracked cache; returns how many were dropped.
+    Safe to call between queries — never while a returned-but-not-yet-
+    collected DataFrame still needs its cache."""
+    n = 0
+    for tag in list(_LIVE):
+        df = _LIVE.pop(tag)
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n

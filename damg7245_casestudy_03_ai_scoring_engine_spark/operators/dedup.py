@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import tracked_persist
 from ..sources.catalog import load
 from .registry import register
 
@@ -169,7 +170,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the jaccard verify); without materialization Catalyst re-derives
     # the whole tokenize->shingle->md5 lineage for each.  At scale the
     # same role is played by checkpointing the signature table.
-    hashed = sh.select("doc_id", "shingles", base.alias("hs")).persist()
+    hashed = tracked_persist(sh.select("doc_id", "shingles", base.alias("hs")), "dedup_minhash_lsh.hashed")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(_K - 1)),
         lambda s: F.array_min(
@@ -264,7 +265,7 @@ def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str, t: float) -> DataFra
     )
     # Two consumers (prefix build + verify join); materialize the
     # tokenized form once.
-    d = d.persist()
+    d = tracked_persist(d, "dedup_ngram_jaccard.tokens")
     prefix = _rare_prefix(d, threshold=t)
     cand = (
         prefix.alias("pa")
@@ -566,7 +567,8 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("simhash")
-    ).persist()  # two consumers: band explode + both verify sides
+    )
+    sim = tracked_persist(sim, "dedup_simhash.sim")  # two consumers: band explode + both verify sides
 
     band = F.explode(F.sequence(F.lit(0), F.lit(_SIM_BANDS - 1))).alias("band")
     banded = sim.select("doc_id", band, "simhash").select(
@@ -683,7 +685,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided), which is why the contained side's prefix carries the
     whole pruning load."""
     t = 0.8
-    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    sh = tracked_persist(_shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0), "dedup_containment.shingled")
     prefix_a = _rare_prefix(sh, threshold=t, items_col="shingles")
     all_b = sh.select(
         F.col("doc_id").alias("doc_container"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cache import tracked_persist
 from ..sources.catalog import load
 from .registry import register
 
@@ -165,8 +166,8 @@ def brand_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= min_co)
         .select("u", "v")
-        .persist()
     )
+    edges = tracked_persist(edges, "brand_triangle_counts.edges")
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -938,3 +938,118 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3/S4: throttled fetch + raw artifact sink/scan (registered coverage)
+# ---------------------------------------------------------------------------
+
+_FILING_URL_PREFIX = "https://example.test/filings/"
+
+
+def _offline_filing_client(url: str) -> bytes:
+    """Deterministic stand-in for the SEC download client (reference
+    app/pipelines/sec_edgar.py:42-61) — this sandbox has no egress, so
+    the fetch operator runs against a pure function of the URL.  Every
+    10th filing raises, exercising the per-row error-capture path."""
+    if url.endswith("0.html"):
+        raise ValueError(f"simulated HTTP 429: {url}")
+    return f"<FILING {url}>".encode()
+
+
+def _filing_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    return d.select(
+        F.concat(
+            F.lit(_FILING_URL_PREFIX), F.col("doc_id").cast("string"), F.lit(".html")
+        ).alias("url")
+    )
+
+
+@register(
+    "throttled_fetch_artifacts",
+    survey="S3",
+    oracle=f"""
+WITH u AS (
+    SELECT doc_id,
+           '{_FILING_URL_PREFIX}' || CAST(doc_id AS VARCHAR) || '.html' AS url
+    FROM documents
+)
+SELECT url,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE CAST(length('<FILING ' || url || '>') AS BIGINT) END AS nbytes,
+       CASE WHEN doc_id % 10 = 0 THEN 'ValueError: simulated HTTP 429: ' || url
+            ELSE NULL END AS error,
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            ELSE substr('<FILING ' || url || '>', 1, 24) END AS preview
+FROM u
+""",
+)
+def throttled_fetch_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: executor-side throttled fetch as a distributed operator —
+    `mapInPandas` over the URL frame, each partition running its own
+    token-bucket `RateLimitedFetcher` (reference sec_edgar.py:42-61),
+    per-row error capture instead of job failure.  The oracle
+    reconstructs content length / preview / error text from the URL,
+    covering the whole fetch plumbing (URL build → partition client →
+    bytes → row) relationally."""
+    from ..sources.fetch import fetch_urls
+
+    fetched = fetch_urls(
+        _filing_urls(spark, sf_dir), fetch_fn=_offline_filing_client, max_per_sec=1e6
+    )
+    return fetched.select(
+        "url",
+        F.length("content").cast("bigint").alias("nbytes"),
+        "error",
+        F.substring(F.decode(F.col("content"), "UTF-8"), 1, 24).alias("preview"),
+    )
+
+
+@register(
+    "binaryfile_artifact_scan",
+    survey="S4,S21",
+    oracle=f"""
+WITH ok AS (
+    SELECT '<FILING {_FILING_URL_PREFIX}' || CAST(doc_id AS VARCHAR) || '.html>' AS line
+    FROM documents
+    WHERE doc_id % 10 <> 0
+)
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(sum(length(line) + 1) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM ok
+""",
+)
+def binaryfile_artifact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 round trip: fetched filing bytes → raw artifact sink →
+    `binaryFile` scan of the written files (reference
+    sec_edgar.py:129-162 writes raw filings then re-reads them).
+
+    The sink is `write_artifacts` (text, 4 explicit shards); the audit
+    side reads the SAME directory twice — once with the `binaryFile`
+    datasource (file count + on-disk byte totals; works on any Hadoop
+    FS, no driver-local listing) and once as text (line count) — and
+    the oracle predicts all three numbers arithmetically from
+    `documents`, proving the bytes on disk are exactly the fetched
+    payloads plus one newline per record."""
+    from ..sources.fetch import fetch_urls, write_artifacts
+    from ..sources.scratch import scratch_dir
+
+    fetched = fetch_urls(
+        _filing_urls(spark, sf_dir), fetch_fn=_offline_filing_client, max_per_sec=1e6
+    )
+    ok = fetched.filter(F.col("error").isNull()).select(
+        F.decode(F.col("content"), "UTF-8").alias("value")
+    )
+    out = scratch_dir("raw_artifacts_")
+    write_artifacts(ok.repartition(4), out, fmt="text")
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+    stats = files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("length").cast("bigint").alias("total_bytes"),
+    )
+    n_lines = spark.read.text(out).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return stats.crossJoin(n_lines)

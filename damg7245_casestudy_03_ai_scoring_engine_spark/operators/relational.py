@@ -805,6 +805,39 @@ def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pagination_keyset",
+    survey="O3",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey > 100
+ORDER BY c_custkey
+LIMIT 50
+""",
+)
+def pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 scale path: KEYSET pagination (seek predicate + limit,
+    reference app/routers/companies.py:113-170 semantics).
+
+    The window form (`pagination`) funnels the whole table through one
+    task (`row_number() OVER (ORDER BY …)` with no partition key) —
+    correct but dead at 100 TB.  Keyset pagination filters
+    `key > last_seen` (pushed to the parquet scan) and takes a
+    distributed top-k: Spark plans TakeOrderedAndProject — every
+    partition keeps 50 rows, the driver merges — no global sort, no
+    single-partition exchange, O(page) memory at any scale.
+    Plan-pinned in tests/test_plans.py.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") > 100)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Set operations / §2.8 scalar function suite
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cache import tracked_persist
 from ..functions.core import clamp, round_stable
 from ..functions.text import STOPWORDS_EN, stopword_ratio, token_count, word_tokens
 from ..sources.catalog import load
@@ -1333,18 +1334,22 @@ consts AS (
 scored AS (
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           -avg(ln(coalesce(l.c + 1.0, 1.0) / (consts.n + consts.v + 1.0))) AS nll
+           sum(floor(ln(coalesce(l.c + 1.0, 1.0)
+                        / (consts.n + consts.v + 1.0)) * 1e6 + 0.5)) AS sum_k
     FROM toks t
     LEFT JOIN lm l ON t.w = l.w, consts
     WHERE NOT t.is_train
     GROUP BY t.doc_id
+),
+nlls AS (
+    SELECT doc_id, n_tokens, -(sum_k / (1e6 * n_tokens)) AS nll FROM scored
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
        floor(nll * 1e6 + 0.5) / 1e6 AS nll,
        CAST(ntile(4) OVER (ORDER BY floor(nll * 1e6 + 0.5) / 1e6, doc_id) AS INT)
            AS ppl_bucket
-FROM scored
+FROM nlls
 """,
 )
 def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,7 +1362,15 @@ def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle with map-side combine); scoring is an equi-join on the
     token key — at 100 TB both partition on the same key and nothing
     is collected to the driver.  The (N, V) scalars ride along as a
-    broadcast single row."""
+    broadcast single row.
+
+    Hash-stability: each token's log-likelihood is QUANTIZED to an
+    integer (floor(ln·1e6 + 0.5)) before the per-doc aggregation, so
+    the sum is an exact bigint (order-independent across partitionings)
+    and the per-doc nll is one final IEEE division — an unquantized
+    avg(ln(...)) differs from DuckDB's in the low bits by summation
+    order, and at a 1e-6 rounding boundary that flips the displayed
+    nll and the ntile bucket (ADVICE r3)."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     is_train = (
         F.conv(
@@ -1384,6 +1397,10 @@ def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
     )
     denom = F.col("n") + F.col("v") + F.lit(1.0)
+    tok_k = F.floor(
+        F.ln(F.coalesce(F.col("c") + 1.0, F.lit(1.0)) / denom) * F.lit(1e6)
+        + F.lit(0.5)
+    )
     scored = (
         toks.filter(~F.col("is_train"))
         .join(lm, "w", "left")
@@ -1391,9 +1408,17 @@ def unigram_ll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (-F.avg(F.ln(F.coalesce(F.col("c") + 1.0, F.lit(1.0)) / denom))).alias(
-                "nll"
-            ),
+            F.sum(tok_k).alias("sum_k"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                -(
+                    F.col("sum_k").cast("double")
+                    / (F.lit(1e6) * F.col("n_tokens").cast("double"))
+                )
+            ).alias("nll"),
         )
     )
     from pyspark.sql import Window
@@ -1532,8 +1557,8 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         base.select("doc_id", F.explode(gp).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-        .persist()
     )
+    grams = tracked_persist(grams, "cross_doc_dup_spans.grams")
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))

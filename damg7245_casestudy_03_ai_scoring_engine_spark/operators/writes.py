@@ -378,11 +378,15 @@ def sized_output_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB point: output-file sizing is the knob that keeps a
     petabyte sink from producing millions of tiny files (or 100 GB
     ones) — `repartition(keys) + partitionBy(keys) + maxRecordsPerFile`
-    is the standard layout-control recipe this query pins."""
-    import os
-    import tempfile
+    is the standard layout-control recipe this query pins.
 
-    out = tempfile.mkdtemp(prefix="shard_sink_")
+    The layout audit reads the files back and counts DISTINCT
+    `input_file_name()` per partition value — works against any
+    Hadoop filesystem (the executors may not share the driver's local
+    disk), unlike a driver-side directory listing."""
+    from ..sources.scratch import scratch_dir
+
+    out = scratch_dir("shard_sink_")
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     (
         d.repartition("lang")
@@ -391,22 +395,16 @@ def sized_output_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("lang")
         .parquet(out)
     )
-    layout = []
-    for entry in sorted(os.listdir(out)):
-        if not entry.startswith("lang="):
-            continue
-        lang = entry.split("=", 1)[1]
-        files = [
-            f
-            for f in os.listdir(os.path.join(out, entry))
-            if f.endswith(".parquet")
-        ]
-        layout.append((lang, len(files)))
-    counts = spark.read.parquet(out).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    return (
+        spark.read.parquet(out)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("_file").cast("bigint").alias("n_files"),
+        )
+        .select("lang", "n_rows", "n_files")
     )
-    files_df = spark.createDataFrame(layout, "lang string, n_files bigint")
-    return counts.join(files_df, "lang").select("lang", "n_rows", "n_files")
 
 
 @register(
@@ -455,8 +453,7 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: version reads are plain parquet scans behind the
     manifest; the diff is one full-outer hash join on the key."""
-    import tempfile
-
+    from ..sources.scratch import scratch_dir
     from ..sources.versioned import VersionedTable, transactional_merge
 
     c = load(spark, sf_dir, "customer")
@@ -476,7 +473,7 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    table = VersionedTable(tempfile.mkdtemp(prefix="versioned_diff_"))
+    table = VersionedTable(scratch_dir("versioned_diff_"))
     table.write(v0_df, mode="overwrite")
     transactional_merge(table, src, ["k"])
     v0 = table.read(spark, version=0).select("k", F.col("bal").alias("bal0"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cache import tracked_persist
 from ..functions.core import clamp, round_stable
 from .composite import composite_score, with_score_band
 from .config import DEFAULT_HR_BASE, SECTOR_HR_BASE
@@ -47,7 +48,7 @@ def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the supplier HHI — persist it instead of re-running the
     # lineitem⋈orders join per consumer (at scale: the silver
     # evidence table written once per run).
-    ev = evidence_rows(spark, sf_dir).persist()
+    ev = tracked_persist(evidence_rows(spark, sf_dir), "org_air_flagship.evidence")
     ds = dimension_scores_from(ev)
 
     vr = vr_scores(ds)  # company_id, vr_raw, cv, cv_penalty, vr_score(=raw·pen)

@@ -98,11 +98,25 @@ class _SyntheticStreamReader(DataSourceStreamReader):
         return {"idx": 0}
 
     def latestOffset(self):
+        # Offsets must stay MONOTONIC across checkpoint restarts: a
+        # fresh reader instance starts _watermark at 0, but the engine
+        # may resume from a committed offset > 0 — without the clamp in
+        # partitions() below, end < start would yield reversed/empty
+        # ranges and a silently stalled stream.  commit() re-seeds the
+        # in-memory watermark from the engine's durable progress so the
+        # next latestOffset() continues from where the checkpoint left
+        # off rather than replaying from zero.
         self._watermark = min(self._watermark + STREAM_BATCH_ROWS, STREAM_MAX_ROWS)
         return {"idx": self._watermark}
 
     def partitions(self, start, end):
-        lo, hi = start["idx"], end["idx"]
+        lo = start["idx"]
+        hi = max(end["idx"], lo)  # never a reversed range, even mid-recovery
+        # partitions() is the first place a restarted reader SEES the
+        # checkpoint's offsets — fast-forward the watermark so the next
+        # latestOffset() advances from the restored position instead of
+        # replaying from zero.
+        self._watermark = max(self._watermark, hi)
         mid = (lo + hi) // 2
         return [InputPartition((lo, mid)), InputPartition((mid, hi))]
 
@@ -112,7 +126,9 @@ class _SyntheticStreamReader(DataSourceStreamReader):
             yield _gen_row(i)
 
     def commit(self, end):
-        pass
+        # Durable-progress callback: keep the in-memory watermark at
+        # least at the committed offset (restart-safe monotonicity).
+        self._watermark = max(self._watermark, end["idx"])
 
     def stop(self):
         pass

@@ -24,6 +24,17 @@ def sf_dir():
     return SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist tracked caches after every test — a ~170-query session
+    must not accumulate cached blocks (each test fully collects its
+    result before teardown, so dropping caches here is always safe)."""
+    yield
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
+
+    release_all()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

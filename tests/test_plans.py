@@ -453,8 +453,33 @@ def test_unigram_ll_quality_no_unpartitioned_full_window(spark):
     window."""
     df = _plan(spark, "unigram_ll_quality")
     s = explain_str(df)
-    # the per-value rank window must be hash-partitioned on nll
-    assert re.search(r"Window \[.*row_number().*partitionBy=\[nll", s.replace("\n", " ")) or (
-        "partial_" in s
+    # the per-doc rank window must be partitioned on the rounded nll
+    # value: in windowspecdefinition(partitionExprs..., orderSpec...,
+    # frame) the partition expr comes first, so an unpartitioned
+    # row_number would start with the doc_id order column instead
+    assert re.search(r"row_number\(\) windowspecdefinition\(nll#\d+", s), (
+        "per-value rank window lost its nll partitioning — full eval set "
+        "would funnel through one WindowExec task"
     )
+    # the only permissible unpartitioned window is the cumulative sum
+    # over the value DICTIONARY (distinct rounded nll values, tiny);
+    # rank-family functions must never run unpartitioned
+    for m in re.finditer(r"(row_number|rank|dense_rank)\(\) windowspecdefinition\(([^,]+)", s):
+        assert "nll#" in m.group(2), f"unpartitioned {m.group(1)} window: {m.group(0)}"
     assert "ntile" not in s  # the naive single-partition form is gone
+
+
+def test_pagination_keyset_no_global_window(spark):
+    """O3 scale path: keyset pagination must plan as pushed-filter scan
+    + TakeOrderedAndProject — no WindowExec, no Exchange, no global
+    sort.  (The portable `pagination` window form is the known
+    single-partition funnel; this twin is the one that survives
+    100 TB.)"""
+    df = _plan(spark, "pagination_keyset")
+    s = explain_str(df)
+    assert "TakeOrderedAndProject" in s
+    assert "Window" not in s
+    assert "Exchange" not in s
+    assert "Sort " not in s  # no separate global sort node
+    pushed = " ".join(pushed_filters(df))
+    assert "c_custkey" in pushed  # seek predicate reaches the scan

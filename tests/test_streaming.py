@@ -466,3 +466,38 @@ def test_python_stream_source_drains_deterministically(spark, tmp_path):
         h = hashlib.md5(f"{i}".encode()).hexdigest()
         expect.append((i, h[:2], round(int(h[2:10], 16) / 4294967296.0, 9)))
     assert got == expect
+
+
+def test_python_stream_reader_offsets_monotonic_across_restart():
+    """A restarted reader instance must never hand the engine a
+    reversed offset range: the checkpoint can hold a committed offset
+    larger than a fresh instance's in-memory watermark (which restarts
+    at 0).  partitions() clamps and fast-forwards; commit() re-seeds —
+    so progress resumes from the checkpoint instead of stalling or
+    replaying (ADVICE r3)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.pydatasource import (
+        STREAM_BATCH_ROWS,
+        _SyntheticStreamReader,
+    )
+
+    r = _SyntheticStreamReader()
+    # Simulate recovery: the engine replans a batch whose START is the
+    # checkpoint's committed offset (1000) while the fresh reader's
+    # latestOffset() only reaches STREAM_BATCH_ROWS.
+    latest = r.latestOffset()
+    assert latest == {"idx": STREAM_BATCH_ROWS}
+    parts = r.partitions({"idx": 1000}, latest)
+    for p in parts:
+        lo, hi = p.value
+        assert lo <= hi, f"reversed range {p.value}"
+    # No phantom rows from the clamped (empty) recovery batch...
+    assert sum(len(list(r.read(p))) for p in parts) == 0
+    # ...and the next trigger advances PAST the restored watermark.
+    nxt = r.latestOffset()["idx"]
+    assert nxt > 1000
+
+    # commit() alone must also re-seed (engine may commit before
+    # planning the next batch).
+    r2 = _SyntheticStreamReader()
+    r2.commit({"idx": 1500})
+    assert r2.latestOffset()["idx"] > 1500
