@@ -873,14 +873,39 @@ def section_splitter_udtf():
 @register(
     "udtf_section_split",
     survey="§2.11,S7 (extension: Python UDTF lateral table function)",
-    # rows-only: Python UDTFs have no SQL-engine twin; equivalence to
-    # the native split/posexplode form is pinned in tests/test_ingest.py
+    oracle="""
+WITH paras AS (
+    SELECT doc_id, lang,
+           unnest(string_split(text, chr(10) || chr(10))) AS para
+    FROM documents
+),
+secs AS (
+    SELECT doc_id, lang, length(para) AS n_chars
+    FROM paras
+    WHERE trim(para, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+),
+perdoc AS (
+    SELECT doc_id, lang, count(*) AS n_secs, sum(n_chars) AS chars
+    FROM secs
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(sum(n_secs) AS BIGINT) AS n_sections,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(max(n_secs) AS INT) AS max_sections_per_doc
+FROM perdoc
+GROUP BY lang
+""",
 )
 def udtf_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language rollup of UDTF-split sections: the table function
     runs in a `lateral join` over documents — Spark plans it as a
     Generate-style operator, partition-parallel like any UDF, with
-    Arrow batching under `spark.sql.execution.pythonUDTF.arrow.enabled`."""
+    Arrow batching under `spark.sql.execution.pythonUDTF.arrow.enabled`.
+    The oracle replays the paragraph splitter relationally (split on
+    double-newline, drop whitespace-only paragraphs — Python
+    `str.strip()` ≙ trim over the full ASCII whitespace class), so the
+    UDTF surface is hash-checked, not just rows-only."""
     SectionSplitter = section_splitter_udtf()
     spark.udtf.register("split_sections", SectionSplitter)
     d = load(spark, sf_dir, "documents")

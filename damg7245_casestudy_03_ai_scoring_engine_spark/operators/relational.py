@@ -1542,8 +1542,13 @@ def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pandas_api_bridge",
     survey="§2.11 (extension: pandas-on-Spark API surface)",
-    # rows-only: exercises the pyspark.pandas API; equivalence to the
-    # native DataFrame aggregation is pinned in tests/test_properties.py
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
 )
 def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pandas-on-Spark bridge: a pandas-shaped groupby/agg over
@@ -1551,16 +1556,21 @@ def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_spark() — the migration path for pandas-fluent teams.  Every
     ps operation here compiles to the same Catalyst plan the native
     DataFrame API produces (verified by the equivalence test); the
-    bridge costs nothing at execution time."""
+    bridge costs nothing at execution time.
+
+    Hash-stability: totals are summed as exact integer CENTS (2dp
+    prices scaled before the aggregate) with one final division — a
+    double-sum + pandas round(2) is summation-order dependent."""
     import pyspark.pandas as ps
 
     psdf = ps.DataFrame(load(spark, sf_dir, "orders"))
+    psdf["cents"] = (psdf["o_totalprice"] * 100).round(0).astype("int64")
     out = (
         psdf.groupby("o_orderpriority")
-        .agg(n=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+        .agg(n=("o_orderkey", "count"), cents=("cents", "sum"))
         .reset_index()
     )
-    out["total"] = out["total"].round(2)
+    out["total"] = out["cents"] / 100.0
     sdf = out.to_spark()
     return sdf.select(
         F.col("o_orderpriority").alias("priority"),
