@@ -71,10 +71,10 @@ _PRIORITY = (
     "html_text_extract",
     "section_split_10k",
     "token_window_chunks",
-    "rss_item_parse",
     "submissions_scan",
-    "job_board_normalize",
     "pdf_text_extract",
+    "throttled_fetch_artifacts",
+    "binaryfile_artifact_scan",
     "merge_upsert_balances",
     "versioned_snapshot_diff",
     "scd2_apply",
