@@ -262,6 +262,76 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "semantic_dedup",
+    survey="S18,similarity (extension: SemDeDup cluster-blocked semantic dedup)",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+    SELECT b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                      AND sqrt(list_dot_product(b.v, b.v)) > 0
+                     THEN list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     ELSE 0.0 END, 6) >= {_SEMDEDUP_TAU}
+),
+dc AS (
+    SELECT vec_b, count(*) AS n FROM pairs GROUP BY vec_b
+)
+SELECT e.vec_id, e.label,
+       CAST(coalesce(dc.n, 0) AS BIGINT) AS n_dups_earlier,
+       coalesce(dc.n, 0) = 0 AS keep
+FROM e LEFT JOIN dc ON e.vec_id = dc.vec_b
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, compare
+    cosines ONLY within a cluster, and drop every vector that
+    duplicates (cos ≥ τ) an earlier-id vector — the canonical
+    keep-the-first policy.
+
+    Cluster-blocking is the entire scale story: the O(n²) semantic
+    pair space becomes Σ O(|c|²) via a label equi-join (no cross-
+    cluster pairs, no CartesianProduct — plan-pinned).  Here the
+    coarse clusters are the corpus labels so the DuckDB oracle can
+    replay the whole pipeline; at 100 TB the cluster id comes from a
+    learned coarse quantizer instead (`ann_ivf_kmeans` is that
+    variant) and nothing else changes.
+
+    Output: one row per vector with its earlier-duplicate count and
+    the keep/drop verdict a curation pipeline would apply."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(
+        "label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    dup_of_earlier = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cosine_similarity("va", "vb"), 6) >= _SEMDEDUP_TAU)
+        .groupBy("vec_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        e.join(dup_of_earlier, e.vec_id == dup_of_earlier.vec_b, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_dups_earlier"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 _N_PLANES = 32
 _BAND_BITS = 4
 _DIM = 64

@@ -483,3 +483,13 @@ def test_pagination_keyset_no_global_window(spark):
     assert "Sort " not in s  # no separate global sort node
     pushed = " ".join(pushed_filters(df))
     assert "c_custkey" in pushed  # seek predicate reaches the scan
+
+
+def test_semantic_dedup_is_cluster_blocked(spark):
+    """SemDeDup's pair space must stay label-blocked: an equi-join on
+    the cluster id, never an all-pairs product (that is the entire
+    difference between O(n^2) and sum-of-cluster-squares at scale)."""
+    df = _plan(spark, "semantic_dedup")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
