@@ -165,17 +165,49 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_pipeline",
     survey="multimodal (extension)",
-    oracle=None,  # mapInPandas decode pipeline — rows-only check
+    oracle="""
+WITH a AS (
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'image'
+                WHEN doc_id % 4 = 1 THEN 'audio'
+                WHEN doc_id % 4 = 2 THEN 'video'
+                ELSE 'text' END AS kind,
+           octet_length(encode(text)) AS byte_len
+    FROM documents
+),
+decoded AS (
+    SELECT kind, byte_len,
+           CASE WHEN kind = 'image' THEN (byte_len % 640) + 1 END AS width,
+           CASE WHEN kind = 'video' THEN (byte_len % 24) + 1 END AS n_frames
+    FROM a
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       floor(avg(byte_len) * 1e4 + 0.5) / 1e4 AS avg_byte_len,
+       floor(avg(width) * 1e4 + 0.5) / 1e4 AS avg_width,
+       floor(avg(n_frames) * 1e4 + 0.5) / 1e4 AS avg_frames
+FROM decoded
+GROUP BY kind
+""",
 )
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end binary→decode→feature rollup via mapInPandas (fake
-    decoder): per kind, count + avg byte_len + avg pseudo-width."""
+    decoder): per kind, count + avg byte_len + avg pseudo-width.
+
+    The fake decoder is a pure function of the byte length, so the
+    oracle replays decode + rollup relationally and the whole Arrow-
+    batched mapInPandas path is value-hash-checked (a PIL/pyav kernel
+    swaps in without touching the plumbing under test).  Averages are
+    exact integer sums / count (order-independent) with floor-stable
+    rounding on both sides."""
+    from ..functions.core import round_stable
+
     feats = extract_media_features(documents_as_assets(spark, sf_dir))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.round(F.avg("byte_len"), 4).alias("avg_byte_len"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("n_frames"), 4).alias("avg_frames"),
+        round_stable(F.avg("byte_len"), 4).alias("avg_byte_len"),
+        round_stable(F.avg("width"), 4).alias("avg_width"),
+        round_stable(F.avg("n_frames"), 4).alias("avg_frames"),
     )
 
 
@@ -280,19 +312,78 @@ def sample_frames(
 @register(
     "multimodal_resize_rollup",
     survey="multimodal resize/frame-sample (extension)",
-    oracle=None,  # mapInPandas binary transform — rows-only check
+    oracle="""
+WITH a AS (
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'image'
+                WHEN doc_id % 4 = 1 THEN 'audio'
+                WHEN doc_id % 4 = 2 THEN 'video'
+                ELSE 'text' END AS kind,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+img AS (
+    SELECT asset_id, n, (n % 640) + 1 AS w, (n % 480) + 1 AS h
+    FROM a WHERE kind = 'image'
+),
+img2 AS (
+    SELECT asset_id, n, w, h,
+           CASE WHEN greatest(w, h) <= 256 THEN w
+                ELSE greatest(1, CAST(trunc(w * (256.0 / greatest(w, h))) AS INT))
+           END AS nw,
+           CASE WHEN greatest(w, h) <= 256 THEN h
+                ELSE greatest(1, CAST(trunc(h * (256.0 / greatest(w, h))) AS INT))
+           END AS nh
+    FROM img
+),
+img3 AS (
+    SELECT asset_id, nw,
+           CASE WHEN n = 0 THEN 0
+                ELSE greatest(1, CAST(trunc(CAST(n * nw * nh AS DOUBLE) / (w * h)) AS BIGINT))
+           END AS bytes_out
+    FROM img2
+),
+rollup AS (
+    SELECT 'image' AS kind,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(bytes_out) AS BIGINT) AS total_bytes,
+           floor(avg(nw) * 100.0 + 0.5) / 100.0 AS avg_width
+    FROM img3
+    UNION ALL
+    SELECT kind, CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM a WHERE kind <> 'image' GROUP BY kind
+),
+vids AS (
+    SELECT ((n % 24) + 1 + 3) // 4 AS nf FROM a WHERE kind = 'video'
+)
+SELECT kind, n_assets, total_bytes, avg_width FROM rollup
+UNION ALL
+SELECT 'video_frames', CAST(sum(nf) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM vids
+""",
 )
 def multimodal_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample rollup: per kind, resized byte volume and
     sampled frame counts — exercises both binary transforms
-    end-to-end on the synthetic asset table."""
+    end-to-end on the synthetic asset table.
+
+    The fake resize/frame kernels are pure integer/IEEE functions of
+    the byte length, so the oracle replays both mapInPandas transforms
+    relationally (scale = min(1, 256/max(w,h)) with Python-int
+    truncation ≙ trunc(); frames per video = ceil(n_frames/4)) and the
+    binary one-to-one AND one-to-many transform plumbing is
+    value-hash-checked end to end."""
+    from ..functions.core import round_stable
+
     assets = documents_as_assets(spark, sf_dir)
     resized = resize_images(assets)
     frames = sample_frames(assets)
     r = resized.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.sum(F.octet_length("content")).alias("total_bytes"),
-        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.sum(F.octet_length("content")).cast("bigint").alias("total_bytes"),
+        round_stable(F.avg("width"), 2).alias("avg_width"),
     )
     f = frames.agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
