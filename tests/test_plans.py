@@ -493,3 +493,46 @@ def test_semantic_dedup_is_cluster_blocked(spark):
     s = explain_str(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bucketed_join_has_no_joinside_exchange(spark):
+    """Bucketed co-located J2: both scans carry the bucket spec and the
+    sort-merge join consumes them with NO Exchange on either side —
+    the only shuffle left is the final 5-row aggregate.  This is the
+    layout contract that deletes the workload's biggest shuffle at
+    100 TB."""
+    df = _plan(spark, "bucketed_colocated_join")
+    s = explain_str(df)
+    assert "SortMergeJoin" in s
+    assert s.count("Bucketed: true") == 2
+    # plan tree prints top-down: everything AFTER the SMJ line in the
+    # tree section feeds the join — assert no Exchange among join inputs
+    # (the one Exchange above the SMJ is the final 5-row aggregate)
+    tree = s.split("== Physical Plan ==", 1)[1].split("(1) Scan", 1)[0]
+    smj_idx = tree.index("SortMergeJoin")
+    assert "Exchange" not in tree[smj_idx:], (
+        "join input re-shuffled — bucket co-location lost"
+    )
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    """P5 layout twin: the month predicate must land in the scan's
+    PartitionFilters (directory pruning), not a post-scan Filter over
+    the data."""
+    df = _plan(spark, "partition_pruned_scan")
+    s = explain_str(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+    assert m and "ship_month" in m.group(1) and "1997-03" in m.group(1)
+    # no residual ship_month predicate on the data path
+    data_filters = re.findall(r"^\(\d+\) Filter\n(?:Input.*\n)?Condition : (.*)$", s, re.M)
+    assert not any("ship_month" in c for c in data_filters)
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """DPP: the fact scan's PartitionFilters must contain a
+    dynamicpruningexpression fed by the filtered month dim — the fact
+    never lists the 21 non-Q1 month directories."""
+    df = _plan(spark, "dynamic_partition_pruned_join")
+    s = explain_str(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+    assert m and "dynamicpruning" in m.group(1)
