@@ -84,6 +84,49 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_rollup",
+    survey="§2.10 native session windows (F.session_window, batch+stream shared plan)",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, epoch_ns(ts) AS ts, value,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP_NS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM o
+),
+s AS (
+    SELECT user_id, ts, value,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS grp
+    FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start_ns,
+       max(ts) + {SESSION_GAP_NS} AS session_end_ns,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM s
+GROUP BY user_id, grp
+""",
+)
+def session_window_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `F.session_window` gap-merging sessions — the
+    Spark-idiomatic twin of `user_sessionization` whose plan runs
+    unchanged on a watermarked stream.  The oracle replays the
+    gap-islands formulation (a new session only when the gap is
+    STRICTLY exceeded; session end = last event + gap — both verified
+    against session_window's merge rule in tests/test_streaming.py)."""
+    from ..streaming.jobs import session_window_rollup
+
+    return session_window_rollup(load(spark, sf_dir, "events"))
+
+
+@register(
     "click_error_followups",
     bench=True,
     survey="J8,§2.10 (extension: interval join / stream-stream join twin)",

@@ -252,6 +252,66 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_rollup(events: DataFrame) -> DataFrame:
+    """Native gap-merging sessionization: `F.session_window` with a
+    30-min gap — the Spark-idiomatic form of `sessionize_batch` (same
+    semantics, verified in tests/test_streaming.py: an event at
+    EXACTLY start+gap still merges, i.e. a new session opens only when
+    the gap is strictly exceeded; window.end = last event + gap).
+
+    Unlike the lag/cumsum twin this shape runs UNCHANGED on a
+    watermarked stream (see session_window_rollup_stream) — at 100 TB
+    the batch backfill and the live stream share this exact plan, and
+    the shuffle is one hash partitioning on user_id with the gap-merge
+    done inside the aggregation operator (no analytic-window second
+    pass)."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    with_time = ev.withColumn("event_time", event_time_col())
+    return (
+        with_time.groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("w.start") * F.lit(1_000)).alias("session_start_ns"),
+            (F.unix_micros("w.end") * F.lit(1_000)).alias("session_end_ns"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_window_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin: the SAME session_window aggregation under an
+    event-time watermark.  Spark merges a user's open session state
+    across micro-batches and finalizes a session once the watermark
+    passes its end — bounded state, append-mode emission (each session
+    exactly once when it can no longer grow)."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    with_time = ev.withColumn("event_time", event_time_col())
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("w.start") * F.lit(1_000)).alias("session_start_ns"),
+            (F.unix_micros("w.end") * F.lit(1_000)).alias("session_end_ns"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 # --- streaming dedup (S18's incremental twin) -------------------------------
 
 

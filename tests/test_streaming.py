@@ -501,3 +501,27 @@ def test_python_stream_reader_offsets_monotonic_across_restart():
     r2 = _SyntheticStreamReader()
     r2.commit({"idx": 1500})
     assert r2.latestOffset()["idx"] > 1500
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session_window under streaming: the same gap-merge
+    aggregation drained in complete mode must equal the batch rollup
+    (complete mode so end-of-corpus sessions the watermark never
+    finalizes are still emitted for comparison)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        read_events_stream,
+        session_window_rollup,
+        session_window_rollup_stream,
+    )
+
+    events = read_events_stream(spark, SF_SMOKE)
+    _run_stream(
+        session_window_rollup_stream(events),
+        "sw_native_stream",
+        "complete",
+        str(tmp_path / "ckpt_sw_native"),
+    )
+    got = _rows(spark.table("sw_native_stream"))
+    want = _rows(session_window_rollup(load(spark, SF_SMOKE, "events")))
+    assert got == want
