@@ -1041,3 +1041,179 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fr(F.min("x")).alias("min_x"),
         fr(F.max("x")).alias("max_x"),
     )
+
+
+# --- product quantization (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search") -------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim vectors → 8 dims per subspace)
+_PQ_K = 32         # centroids per subspace (5-bit codes)
+_PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
+
+
+@register(
+    "ann_pq_adc_topk",
+    survey="similarity (extension: product quantization + asymmetric distance)",
+    # rows-only: the per-subspace Lloyd training is iterative (no
+    # portable SQL twin); recall vs the brute-force path is pinned in
+    # tests/test_similarity_paths.py
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    each L2-normalized vector splits into M=8 subvectors, a K=16
+    codebook per subspace is Lloyd-trained inside ONE applyInPandas
+    group per subspace (8 groups — training parallelism is the
+    subspace count, data per group is n×8 floats), every vector is
+    encoded to 8 small codes (4 bits each — a 64× memory cut vs
+    float32), and queries scan CODES only: per query an 8×16 table of
+    exact query-subvector→centroid distances is precomputed, and the
+    approximate distance is 8 array lookups folded JVM-side
+    (element_at + aggregate — no float vector math at scan time).
+    The ADC shortlist is then re-ranked with exact cosine.
+
+    Scale shape: the candidate scan touches 8 bytes + a bigint per
+    vector instead of 256 bytes of floats — at 100 TB that is the
+    difference between an in-memory code sweep and an IO-bound float
+    scan; the exact re-rank reads full vectors for only
+    shortlist×|Q| rows via an equi-join on vec_id.  For normalized
+    vectors L2² = 2−2·cos, so ADC ranking is cosine ranking."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    d = len(emb.select("embedding").first()[0])
+    sub_d = d // _PQ_M
+
+    nv = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nv",
+        F.transform(
+            "v",
+            lambda x: x
+            / F.greatest(
+                F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
+                F.lit(1e-300),
+            ),
+        ),
+    ).select("vec_id", "nv")
+
+    # (vec_id, m, sv): one row per subspace slice
+    subvecs = nv.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.cast("int").alias("m"),
+                    F.slice("nv", m * sub_d + 1, sub_d).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+
+    # --- codebook: seeded Lloyd per subspace, one applyInPandas group each
+    cb_schema = "m int, c int, centroid array<double>"
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iloc[0])
+        X = np.array(list(pdf.sort_values("vec_id")["sv"]), dtype=np.float64)
+        k = min(_PQ_K, len(X))
+        # deterministic init: evenly spaced rows of the vec_id-sorted
+        # matrix (data-dependent but seed/partitioning-independent)
+        C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+        for _ in range(10):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        return pd.DataFrame(
+            {"m": m, "c": range(k), "centroid": [C[j].tolist() for j in range(k)]}
+        )
+
+    codebook = subvecs.groupBy("m").applyInPandas(train, schema=cb_schema)
+    cb_rows = codebook.collect()  # 8×16 tiny model → driver, then broadcast
+    CB = np.zeros((_PQ_M, _PQ_K, sub_d))
+    for r in cb_rows:
+        CB[r.m, r.c] = r.centroid
+    b_cb = spark.sparkContext.broadcast(CB)
+
+    # --- encode: nearest centroid per subspace, vectorized per batch
+    def encode(batches):
+        cb = b_cb.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            X = np.array(list(pdf["nv"]), dtype=np.float64)
+            codes = np.empty((len(X), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                Xs = X[:, m * sub_d : (m + 1) * sub_d]
+                d2 = ((Xs[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    encoded = nv.mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+    # --- query LUTs: exact query-subvector → centroid distances (driver;
+    # |Q|×M×K doubles — tiny) shipped as a broadcast-joined table
+    q_rows = nv.filter(F.col("vec_id") < _N_QUERIES).collect()
+    luts = []
+    for r in q_rows:
+        qv = np.array(r.nv)
+        lut = np.empty(_PQ_M * _PQ_K)
+        for m in range(_PQ_M):
+            qs = qv[m * sub_d : (m + 1) * sub_d]
+            lut[m * _PQ_K : (m + 1) * _PQ_K] = ((CB[m] - qs[None, :]) ** 2).sum(
+                axis=1
+            )
+        luts.append((int(r.vec_id), [float(x) for x in lut]))
+    lut_df = spark.createDataFrame(luts, "query_id long, lut array<double>")
+
+    # --- ADC scan: 8 lookups + fold per (query, candidate) — codegen
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda c, i: F.element_at("lut", (i * _PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", F.asc("cand_id"))
+    shortlist = (
+        encoded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(adc, 6).alias("adc"),
+        )
+        .withColumn("srk", F.row_number().over(w))
+        .filter(F.col("srk") <= _PQ_SHORTLIST)
+        .drop("srk")
+    )
+
+    # --- exact re-rank of the shortlist
+    q = nv.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    cand = nv.select(F.col("vec_id").alias("cand_id"), F.col("nv").alias("cv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        shortlist.join(q, "query_id")
+        .join(cand, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
