@@ -44,13 +44,11 @@ _PRIORITY = (
     "time_window_census",
     "rolling_window_metrics",
     "signal_summaries",
-    "stream_window_counts",
+    "session_window_rollup",
     "user_sessionization",
     "click_error_followups",
-    "session_conversion_funnel",
     "cohort_retention",
     "asof_join_events",
-    "asof_join_forward",
     "rule_synergy_scores",
     "sem_spearman_brown",
     "sem_ols_ci",
@@ -68,18 +66,20 @@ _PRIORITY = (
     "talent_concentration",
     "review_culture_scores",
     "board_governance_scores",
-    "html_text_extract",
     "section_split_10k",
-    "token_window_chunks",
     "submissions_scan",
     "pdf_text_extract",
     "throttled_fetch_artifacts",
     "binaryfile_artifact_scan",
+    "pagination_keyset",
     "merge_upsert_balances",
     "versioned_snapshot_diff",
     "scd2_apply",
-    "dedup_exact",
+    "bucketed_colocated_join",
+    "partition_pruned_scan",
+    "dynamic_partition_pruned_join",
     "dedup_minhash_lsh",
+    "semantic_dedup",
     "dedup_ngram_jaccard",
     "dedup_containment_prefix",
     "decontaminate_ngram_overlap",
