@@ -443,6 +443,51 @@ def json_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_metric_rollup",
+    survey="A5,F8 (Spark 4 VARIANT twin)",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                          IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(sum(coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), 0))
+            AS BIGINT) AS k_sum,
+       CAST(max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 on the Spark 4 VARIANT type: `parse_json` converts the props
+    string ONCE into the binary-encoded variant, and every field
+    access is a `try_variant_get` offset read instead of re-parsing
+    the JSON text per extraction — the semi-structured scale path
+    (with N extracted fields, string JSON pays N parses per row;
+    variant pays one).  Same TRY_TO_DOUBLE null-on-fail semantics as
+    `json_metric_rollup` via the try_ variant getter.
+
+    The rollup sums EXACT integer values (k is integral in the
+    corpus), so the oracle matches bit-for-bit with no float
+    rounding involved."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_k"),
+        F.sum(F.coalesce("k", F.lit(0))).cast("bigint").alias("k_sum"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
+
+
+@register(
     "weighted_mean_vr",
     survey="A6,M1,F9",
     bench=True,

@@ -330,6 +330,58 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+# --- Spark 4 transformWithState (next-gen arbitrary state API) --------------
+
+
+def user_lifetime_stats_stream(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (count, value-total) accumulator on Spark 4's
+    `transformWithStateInPandas` — the next-generation arbitrary-state
+    API superseding applyInPandasWithState: named state variables on a
+    StatefulProcessor handle, RocksDB-backed (state no longer bounded
+    by executor heap — the property that matters at 100 TB key
+    cardinality), with timers/TTL available on the same handle.
+
+    Emits the updated lifetime row for every user touched by a
+    micro-batch (update mode); the final emission per user equals the
+    batch groupBy aggregate (pinned in tests/test_streaming.py with a
+    multi-micro-batch drain — import-gated there because the
+    transformWithState state-server protocol requires google.protobuf,
+    which this sandbox lacks; the applyInPandasWithState sessionizer
+    above is the fully-exercised stateful path here)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _LifetimeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _LifetimeStats(),
+            outputStructType="user_id long, n_events bigint, value_total double",
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
 # --- stream-stream interval join -------------------------------------------
 
 TEN_MIN_NS = 600 * 1_000_000_000

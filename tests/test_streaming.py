@@ -525,3 +525,80 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     got = _rows(spark.table("sw_native_stream"))
     want = _rows(session_window_rollup(load(spark, SF_SMOKE, "events")))
     assert got == want
+
+
+def test_transform_with_state_lifetime_stats(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user lifetime stats
+    accumulate in RocksDB-backed ValueState across micro-batches; the
+    last emission per user must equal the batch groupBy aggregate.
+
+    Import-gated: the transformWithState state-server protocol speaks
+    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2), and
+    google.protobuf is not installed in this sandbox — the same
+    environment-gate class as the multimodal decoders.  On any
+    protobuf-equipped cluster this test runs for real."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        user_lifetime_stats_stream,
+    )
+
+    data_dir = tmp_path / "tws_data"
+    os.makedirs(data_dir)
+    base = 1_700_000_000 * 1_000_000_000
+
+    def write_file(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+        time.sleep(0.05)
+
+    # user 7 split across both files; user 8 only in the first
+    write_file([
+        (1, base, 7, "click", 1.5, "{}"),
+        (2, base + 10**9, 7, "view", 2.0, "{}"),
+        (3, base + 2 * 10**9, 8, "click", 4.0, "{}"),
+    ])
+    write_file([
+        (4, base + 3 * 10**9, 7, "purchase", 10.0, "{}"),
+    ])
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+            .parquet(str(data_dir))
+        )
+        q = (
+            user_lifetime_stats_stream(events)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.table("tws_stats").collect()
+    # update mode re-emits per batch: keep the final (max n_events) row per user
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert final[7].n_events == 3 and abs(final[7].value_total - 13.5) < 1e-9
+    assert final[8].n_events == 1 and abs(final[8].value_total - 4.0) < 1e-9
+    # user 7 must have been emitted by BOTH batches (state carried, not reset)
+    assert sorted(r.n_events for r in rows if r.user_id == 7) == [2, 3]
