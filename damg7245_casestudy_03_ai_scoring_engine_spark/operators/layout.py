@@ -97,6 +97,7 @@ def _bucketed_table(
 @register(
     "bucketed_colocated_join",
     survey="J2,A1 (bucketed co-located scale path)",
+    bench=True,
     oracle=f"""
 SELECT o.o_orderpriority AS priority,
        count(*) AS n_items,
@@ -199,6 +200,7 @@ _MONTH_DIM_VALUES = ", ".join(f"('{mo}', '{q}')" for mo, q in _MONTH_DIM)
 @register(
     "dynamic_partition_pruned_join",
     survey="J1,P5 (dynamic partition pruning scale path)",
+    bench=True,
     oracle=f"""
 WITH month_dim(ship_month, quarter) AS (VALUES {_MONTH_DIM_VALUES})
 SELECT d.quarter,
