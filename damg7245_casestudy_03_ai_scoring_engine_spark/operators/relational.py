@@ -756,6 +756,38 @@ def median_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_percentiles",
+    survey="W3 (mergeable-sketch scale path)",
+    oracle="""
+SELECT l_returnflag AS group_key,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price,
+       quantile_disc(l_quantity, 0.99) AS p99_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3's 100 TB form: `percentile_approx` maintains a MERGEABLE
+    Greenwald-Khanna sketch per group — map-side partials merge like
+    any aggregate, no per-group sort, rank error bounded by
+    1/accuracy.  The sketch returns actual data elements (discrete
+    quantiles), so with accuracy above the test-corpus group sizes the
+    result is exactly DuckDB's quantile_disc — the oracle is exact,
+    while at 100 TB the same plan degrades gracefully to ±n/accuracy
+    ranks instead of falling over.  Contrast `median_metric` (exact
+    interpolated percentile: correct but needs the full value
+    multiset per group)."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(10_000_000)
+    return li.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90_price"),
+        F.percentile_approx("l_quantity", F.lit(0.99), acc).alias("p99_qty"),
+    )
+
+
+@register(
     "topk_per_group",
     survey="W4,O4",
     bench=True,
