@@ -18,3 +18,4 @@ from . import mllib_queries  # noqa: F401,E402
 from . import sem_queries  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
+from . import entity  # noqa: F401,E402

@@ -198,3 +198,21 @@ def test_hll_sketch_rollup_within_error(spark):
         load(spark, SF_SMOKE, "events").agg(F.countDistinct("user_id")).collect()[0][0]
     )
     assert abs(all_row.est_distinct - exact_all) <= max(2, 0.05 * exact_all)
+
+
+def test_fuzzy_entity_match_resolves_every_dirty_name(spark):
+    """Blocked entity resolution: every corrupted name must resolve
+    (block recall 1.0 by the perturbation model), at distance <= 1,
+    and >= 99% must land on the correct NAME entity.  The candidate
+    stage must stay an equi-join on the blocking key — never a
+    nested-loop pair product."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.plans.inspect import explain_str
+
+    df = REGISTRY["fuzzy_entity_match"].fn(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    rows = df.collect()
+    n_parts = load(spark, SF_SMOKE, "part").count()
+    assert len(rows) == n_parts  # every dirty record resolved
+    assert all(r.dist <= 1 for r in rows)
+    assert sum(r.is_correct for r in rows) >= 0.99 * n_parts
