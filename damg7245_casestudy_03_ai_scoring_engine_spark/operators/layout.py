@@ -197,6 +197,119 @@ _MONTH_DIM = [
 _MONTH_DIM_VALUES = ", ".join(f"('{mo}', '{q}')" for mo, q in _MONTH_DIM)
 
 
+# --- Z-order (space-filling-curve) layout ----------------------------------
+
+_Z_BITS = 16  # 16 bits per dimension → 32-bit Morton code
+
+
+def _interleave_sql(xcol: str, ycol: str) -> str:
+    """SQL for the 2-D Morton (Z) code of two 16-bit ints: bit i of x
+    lands at position 2i, bit i of y at 2i+1.  Bits never overlap, so
+    `+` is `|` and the whole thing is one codegen-friendly integer
+    expression — no UDF, no loop at runtime."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(shiftleft(shiftright({xcol}, {i}) & 1, {2 * i}))")
+        terms.append(f"(shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1}))")
+    return " + ".join(terms)
+
+
+def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write (once) events Z-ORDERED on (user_id, ts): both dims are
+    scaled to 16-bit grid cells, bit-interleaved into a Morton code,
+    then range-repartitioned + sorted on the code.  Nearby Z values
+    are nearby in BOTH dimensions, so every output file's parquet
+    row-group min/max stats are tight on user_id AND ts at once —
+    a 2-D box predicate skips most files on either dim (the Delta
+    OPTIMIZE ZORDER layout, hand-rolled with repartitionByRange;
+    tests/test_sources.py asserts the per-file stats tightness).
+
+    The grid min/max scalars come from one tiny driver-side aggregate
+    at BUILD time only (layout construction, amortized like the
+    bucketed tables above — query-time reads never touch the driver).
+    """
+    tag = _sf_tag(sf_dir)
+    key = f"_layout_events_zorder_{tag}"
+    if not hasattr(spark, key):
+        # events.ts is int64 NANOSECONDS by repo contract
+        # (sources/catalog.py normalize_events_ts); scale to seconds
+        # BEFORE multiplying by the grid so (span_s · 65535) stays far
+        # inside int64 — (span_ns · 65535) would overflow for any
+        # range longer than ~52 hours.
+        ev = load(spark, sf_dir, "events")
+        lo_u, hi_u, lo_t, hi_t = ev.agg(
+            F.min("user_id"),
+            F.max("user_id"),
+            F.min(F.col("ts") / F.lit(1_000_000_000)).cast("bigint"),
+            F.max(F.col("ts") / F.lit(1_000_000_000)).cast("bigint"),
+        ).first()
+        span_u = max(int(hi_u) - int(lo_u), 1)
+        span_t = max(int(hi_t) - int(lo_t), 1)
+        grid = (1 << _Z_BITS) - 1
+        ux = f"CAST((user_id - {int(lo_u)}) * {grid} / {span_u} AS BIGINT)"
+        ty = (
+            f"CAST((CAST(ts / 1000000000 AS BIGINT) - {int(lo_t)})"
+            f" * {grid} / {span_t} AS BIGINT)"
+        )
+        path = scratch_dir(f"events_zorder_{tag}_")
+        (
+            ev.withColumn("zval", F.expr(_interleave_sql(ux, ty)))
+            .repartitionByRange(16, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        setattr(spark, key, path)
+    return spark.read.parquet(getattr(spark, key))
+
+
+@register(
+    "zorder_layout_scan",
+    survey="P5,S15 (Z-order multi-dimensional clustering scale path)",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN 3 AND 60
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type
+""",
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query on the Z-ordered events layout: a user-range ×
+    time-range predicate over data clustered on the Morton code of
+    both columns.  Single-column sorting makes one dim skippable and
+    the other useless; Z-order makes BOTH selective — at 100 TB the
+    scan reads the few files whose (user, time) rectangles intersect
+    the box instead of every file in the time range.  Results are
+    layout-invariant (oracle runs on the unclustered original); both
+    predicates are pinned as PushedFilters in tests/test_plans.py.
+
+    Reference analog: Snowflake micro-partition pruning on clustered
+    tables (implicit in app/db/schema.sql DDL); Spark needs the
+    layout spelled out."""
+    from ..sources.catalog import ns
+
+    ev = _zorder_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("user_id") >= 3)
+            & (F.col("user_id") <= 60)
+            & (F.col("ts") >= F.lit(ns("2024-01-08")))
+            & (F.col("ts") < F.lit(ns("2024-01-15")))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
 @register(
     "dynamic_partition_pruned_join",
     survey="J1,P5 (dynamic partition pruning scale path)",

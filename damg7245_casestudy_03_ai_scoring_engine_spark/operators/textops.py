@@ -1687,3 +1687,149 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count bigint"
     )
+
+
+@register(
+    "deterministic_shuffle_shards",
+    survey="LLM-pipeline extension: seeded global shuffle for training export",
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuffle-seed-1'), 1, 8))::BIGINT AS h
+    FROM documents
+),
+ranked AS (
+    SELECT *, h % 8 AS shard,
+           row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rk
+    FROM hashed
+)
+SELECT CAST(shard AS INT) AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       CAST(sum(rk * (h % 997)) AS BIGINT) AS order_checksum
+FROM ranked
+GROUP BY shard
+""",
+)
+def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle for training-data export: every document
+    gets a salted md5 hash; the hash's low bits pick one of 8 shards
+    and the hash value orders documents WITHIN the shard.  The result
+    is a uniform random-but-reproducible global order — re-running on
+    different cluster sizes, partitionings, or days yields byte-
+    identical shards (no rand(), no zipWithIndex), which is what makes
+    training runs repeatable and resumable.
+
+    Scale shape: shard assignment is a stateless projection; the
+    within-shard order comes from a window PARTITIONED on the shard
+    key, so each shard sorts independently (at 100 TB: 8 parallel
+    sorts of ~1/8 of the corpus each — in a real export you'd use
+    1024+ shards, keeping every sort executor-sized; nothing is ever
+    globally sorted through one task).  `order_checksum` folds the
+    per-shard sequence into an exact integer so the oracle verifies
+    the ORDER, not just membership."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle-seed-1"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", "n_chars", h.alias("h")).withColumn(
+        "shard", (F.col("h") % 8).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("rk") * (F.col("h") % 997)).cast("bigint").alias("order_checksum"),
+        )
+    )
+
+
+@register(
+    "domain_token_budget",
+    survey="LLM-pipeline extension: per-domain corpus budget (C4/Dolma-style source caps)",
+    oracle="""
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT CAST(floor(sum(chars) * 6 / 10) AS BIGINT) AS budget,
+           count(*) AS n_src,
+           CAST(floor(sum(chars) * 6 / 10 / count(*)) AS BIGINT) AS fair
+    FROM per_src
+),
+flagged AS (
+    SELECT p.*, t.budget, t.fair, (p.chars > t.fair) AS over
+    FROM per_src p CROSS JOIN tot t
+),
+redist AS (
+    SELECT CAST(sum(CASE WHEN NOT over THEN chars ELSE 0 END) AS BIGINT) AS under_chars,
+           sum(CASE WHEN over THEN 1 ELSE 0 END) AS n_over
+    FROM flagged
+)
+SELECT f.source, f.n_docs, f.chars,
+       CAST(CASE WHEN NOT f.over THEN f.chars
+                 ELSE floor((f.budget - r.under_chars) / r.n_over) END AS BIGINT)
+           AS alloc_chars,
+       f.over AS capped
+FROM flagged f CROSS JOIN redist r
+""",
+)
+def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus budgeting (the C4/Dolma mixture problem):
+    given a global budget of 60% of corpus chars, give every source an
+    equal fair share, let under-quota sources keep everything, and
+    redistribute the unused headroom equally among over-quota sources
+    (one water-filling round — integer floor arithmetic throughout so
+    the oracle replays it exactly).
+
+    Scale shape: ONE map-side-combined aggregate over the corpus down
+    to source grain; everything after operates on the source-cardinality
+    frame (thousands of domains at worst) with broadcast-joined 1-row
+    scalar frames — at 100 TB the corpus is read once, and no shuffle
+    ever moves more than one row per domain."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    tot = per_src.agg(
+        F.floor(F.sum("chars") * 6 / 10).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+        F.floor(F.sum("chars") * 6 / 10 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("fair"),
+    )
+    flagged = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "over", F.col("chars") > F.col("fair")
+    )
+    redist = flagged.agg(
+        F.sum(F.when(~F.col("over"), F.col("chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("under_chars"),
+        F.sum(F.when(F.col("over"), 1).otherwise(0)).alias("n_over"),
+    )
+    alloc = F.when(~F.col("over"), F.col("chars")).otherwise(
+        F.floor((F.col("budget") - F.col("under_chars")) / F.col("n_over"))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(redist))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            alloc.cast("bigint").alias("alloc_chars"),
+            F.col("over").alias("capped"),
+        )
+    )

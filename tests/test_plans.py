@@ -536,3 +536,37 @@ def test_dynamic_partition_pruning_fires(spark):
     s = explain_str(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
     assert m and "dynamicpruning" in m.group(1)
+
+
+def test_zorder_scan_pushes_both_box_predicates(spark):
+    """Z-order layout: both dims of the 2-D box must reach the parquet
+    scan as PushedFilters — row-group min/max skipping only fires for
+    pushed predicates, and the Z layout exists precisely so BOTH are
+    skippable at once."""
+    df = _plan(spark, "zorder_layout_scan")
+    pushed = " ".join(pushed_filters(df))
+    assert "user_id" in pushed and "ts" in pushed
+    # narrow read: the scan needs only the box dims + grouping/agg cols
+    (schema,) = scan_columns(df)
+    cols = set(re.findall(r"(\w+):", schema))
+    assert cols == {"user_id", "ts", "event_type", "value"}
+
+
+def test_deterministic_shuffle_window_is_shard_partitioned(spark):
+    """The within-shard rank must come from a window PARTITIONED on the
+    shard key — an unpartitioned row_number would funnel the whole
+    corpus through one task (the O3 pagination anti-pattern)."""
+    df = _plan(spark, "deterministic_shuffle_shards")
+    s = explain_str(df)
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]+)", s):
+        assert "shard" in m.group(1), f"unpartitioned rank window: {m.group(0)}"
+
+
+def test_domain_token_budget_scalars_broadcast(spark):
+    """Both scalar frames (global budget, redistribution stats) must
+    broadcast — the only shuffle in the plan is the one corpus→source
+    aggregate; re-shuffling the source-grain frame to join 1-row
+    scalars would be pure overhead."""
+    df = _plan(spark, "domain_token_budget")
+    s = explain_str(df)
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s

@@ -305,3 +305,52 @@ def test_zstd_parquet_smaller_and_readable(spark, tmp_path):
     got = back.agg(F.sum(F.length("text"))).collect()[0][0]
     want = docs.agg(F.sum(F.length("text"))).collect()[0][0]
     assert got == want
+
+
+def test_zorder_layout_files_skippable_on_both_dims(spark):
+    """The Z-order layout's point: each output file covers a small
+    rectangle in (user_id, ts) space, so a 2-D box predicate can skip
+    most files on their parquet min/max stats alone.  Structural
+    check on the real written files: the query box must intersect at
+    most half the files' bounding boxes — a 1-D sort (by ts alone)
+    would make EVERY file span the full user range and intersect."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _sf_tag,
+        _zorder_events,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import ns
+    from conftest import SF_CORRECTNESS
+
+    _zorder_events(spark, SF_CORRECTNESS)
+    path = getattr(spark, f"_layout_events_zorder_{_sf_tag(SF_CORRECTNESS)}")
+
+    lo_u, hi_u = 3, 60
+    lo_t, hi_t = ns("2024-01-08"), ns("2024-01-15")
+    n_files = n_hit = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        n_files += 1
+        stats = {}
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in ("user_id", "ts") and col.statistics:
+                    mn, mx = stats.get(col.path_in_schema, (None, None))
+                    s = col.statistics
+                    stats[col.path_in_schema] = (
+                        s.min if mn is None else min(mn, s.min),
+                        s.max if mx is None else max(mx, s.max),
+                    )
+        u, t = stats["user_id"], stats["ts"]
+        if u[0] <= hi_u and u[1] >= lo_u and t[0] < hi_t and t[1] >= lo_t:
+            n_hit += 1
+    assert n_files >= 8, f"expected a multi-file layout, got {n_files}"
+    assert n_hit <= n_files // 2, (
+        f"z-order not clustering: {n_hit}/{n_files} files intersect the box"
+    )
