@@ -76,7 +76,7 @@ _PRIORITY = (
     "versioned_snapshot_diff",
     "scd2_apply",
     "bucketed_colocated_join",
-    "partition_pruned_scan",
+    "zorder_layout_scan",
     "dynamic_partition_pruned_join",
     "dedup_minhash_lsh",
     "semantic_dedup",
