@@ -1468,7 +1468,8 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(20,0)) / 100
+           AS revenue
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1
@@ -1479,8 +1480,16 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTZ order date — calendar semantics (variable month lengths) that
     epoch-floor arithmetic can't express.  NTZ in, NTZ out: no session
     timezone enters the bucketing, so the hostile-session gate and the
-    naive DuckDB oracle agree exactly."""
+    naive DuckDB oracle agree exactly.
+
+    Revenue is an exact-integer cents sum surfaced as DECIMAL — at
+    sf0.1 a month's revenue (~4.4e8 at 2 decimals) sits in the
+    magnitude band where NO double representation is fixed-point
+    (ulp(revenue·1e7) ≈ 1), so both round() and the floor-pattern
+    doubles flunk the float-hygiene lint; decimal is the only exact
+    carrier (caught by the once-per-round sf0.1 parity sweep)."""
     o = load(spark, sf_dir, "orders")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     return (
         o.filter(F.col("o_orderdate") >= _tlit(o, "o_orderdate", "1996-01-01"))
         .groupBy(
@@ -1488,7 +1497,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (cents.cast("decimal(20,0)") / F.lit(100)).alias("revenue"),
         )
     )
 
