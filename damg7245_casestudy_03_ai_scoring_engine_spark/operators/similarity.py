@@ -1217,3 +1217,90 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+@register(
+    "negative_sample_pairs",
+    survey="similarity (extension: deterministic hard-negative sampling)",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS q_label
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neg_id,
+           ('0x' || substr(md5(q.query_id || '|' || e.vec_id || '|neg-seed-1'), 1, 8))::BIGINT AS h
+    FROM q JOIN embeddings e ON e.label <> q.q_label
+)
+SELECT query_id, neg_id, CAST(rk AS INT) AS rk, h
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY h, neg_id) AS rk
+    FROM scored
+)
+WHERE rk <= 5
+""",
+)
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    query vector gets 5 negatives drawn from the other-label pool by
+    salted-hash order — a seeded uniform sample that is reproducible
+    across reruns, cluster sizes, and engines (no rand(): the sample
+    for a query never changes when the corpus is re-partitioned, so
+    training runs are replayable; md5 makes the DuckDB oracle replay
+    it exactly).
+
+    Scale shape: the query set broadcasts (it is the tiny side by
+    construction); candidates stream through a stateless hash
+    projection; top-k is TWO-LEVEL — a partial rank inside
+    (query, salt-bucket) first, so no task ever sorts more than one
+    bucket's candidates, then the final rank over the ≤ k·buckets
+    survivors.  A single window on query_id alone would funnel the
+    whole corpus through #queries tasks at 100 TB; the salt level is
+    what keeps every sort executor-sized.  Both levels order by
+    (h, neg_id), so the composition is EXACTLY the global top-k (the
+    per-bucket top-k is a superset of each bucket's contribution to
+    the global one) — the oracle replays the single-level form."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("query_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                    F.lit("neg-seed-1"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            h.alias("h"),
+            (F.pmod(F.xxhash64("vec_id"), F.lit(32))).alias("salt"),
+        )
+    )
+    w_partial = Window.partitionBy("query_id", "salt").orderBy("h", "neg_id")
+    survivors = (
+        scored.withColumn("prk", F.row_number().over(w_partial))
+        .filter(F.col("prk") <= 5)
+        .drop("prk", "salt")
+    )
+    w_final = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

@@ -570,3 +570,17 @@ def test_domain_token_budget_scalars_broadcast(spark):
     df = _plan(spark, "domain_token_budget")
     s = explain_str(df)
     assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_negative_sampling_topk_is_two_level(spark):
+    """Hard-negative sampling: the corpus-sized rank must run inside
+    (query_id, salt) buckets; only the ≤ k·buckets survivors may hit
+    the query_id-only window — a query_id-only rank over the full
+    candidate set would funnel the corpus through #queries tasks."""
+    df = _plan(spark, "negative_sample_pairs")
+    s = explain_str(df)
+    wins = re.findall(r"row_number\(\) windowspecdefinition\(([^)]+?), [^,]+ ASC", s)
+    assert len(wins) >= 2
+    # at least one window keyed by (query_id, salt); the plan orders
+    # windows bottom-up in the tree, so the salted one must exist
+    assert any("salt" in w for w in wins), f"no salted partial rank: {wins}"
