@@ -34,14 +34,21 @@ def _tokens(text_col):
 
 
 def _word_shingles3(ws):
-    """Distinct word-3-gram shingles; whole text if fewer than 3 tokens."""
+    """Distinct word-3-gram shingles; whole text if fewer than 3 tokens.
+
+    Built from three equal-length (n-2) per-ROW slices zipped
+    together, not `transform(sequence, i -> element_at×3)`: each
+    element_at reference re-evaluates the token-split subtree PER
+    ELEMENT inside the HOF lambda (no CSE inside lambdas), which made
+    shingling the dominant cold cost of the whole dedup family —
+    3.1 s vs 0.45 s for this form at sf0.1 (6M shingles, measured
+    r4).  Output is element-for-element identical."""
     n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
+    a = F.slice(ws, 1, n - 2)  # w_i
+    b = F.slice(ws, 2, n - 2)  # w_{i+1}
+    c = F.slice(ws, 3, n - 2)  # w_{i+2}
+    ab = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.zip_with(ab, c, lambda xy, z: F.concat_ws(" ", xy, z))
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", ws))
     )
