@@ -92,10 +92,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    survey="similarity (extension)",
-    oracle=f"""
+# Shared by ann_ivf_topk (logical bucketing) and
+# ann_ivf_partition_pruned (the same search over a label-partitioned
+# PHYSICAL layout) — identical semantics, different storage path.
+_IVF_TOPK_ORACLE = f"""
 WITH cent_flat AS (
     SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
     FROM (
@@ -151,7 +151,13 @@ FROM (
     FROM scored
 )
 WHERE rk <= {_TOP_K}
-""",
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    survey="similarity (extension)",
+    oracle=_IVF_TOPK_ORACLE,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroids as the coarse quantizer,
@@ -1302,5 +1308,114 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.withColumn("rk", F.row_number().over(w_final))
         .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
+def _label_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write (once) the embeddings table hive-partitioned by the IVF
+    coarse cell (`label`) and read it back with directory discovery —
+    the PERSISTED inverted-file layout: each cell is a directory, so a
+    probe that knows its cells reads only those directories.  Memoized
+    per (session, sf_dir) like the other layout builds."""
+    import re as _re
+
+    from ..sources.scratch import scratch_dir
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    key = f"_layout_embeddings_ivf_{tag}"
+    if not hasattr(spark, key):
+        path = scratch_dir(f"ivf_embeddings_{tag}_")
+        (
+            load(spark, sf_dir, "embeddings")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(path)
+        )
+        setattr(spark, key, path)
+    return spark.read.parquet(getattr(spark, key))
+
+
+@register(
+    "ann_ivf_partition_pruned",
+    survey="similarity,S15 (extension: IVF as persisted partition layout + DPP probe)",
+    oracle=_IVF_TOPK_ORACLE,
+)
+def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivf_topk` over a PERSISTED inverted file: the embedding
+    table is written hive-partitioned by coarse cell, and the probe
+    join against the (tiny, broadcast) query→cell assignment prunes
+    cell directories at runtime via dynamic partition pruning — the
+    fact scan carries a `dynamicpruningexpression` that reuses the
+    broadcast, so only the probed cells' files are ever read
+    (plan-pinned in tests/test_plans.py).
+
+    Same oracle as `ann_ivf_topk` — identical search semantics; what
+    changes is WHERE the cell restriction happens: a data filter after
+    a full scan (logical bucketing) vs directory pruning before any
+    IO (physical layout).  At 100 TB with nlist=4096 cells, a
+    single-probe query reads 1/4096 of the index files — this is how
+    a vector index actually persists on a data lake (FAISS IVF's
+    inverted lists, spelled as hive partitions).  The centroid build
+    and assignment reuse the original table (one posexplode
+    aggregate, amortized across queries in a real serving setup)."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+
+    cent_flat = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+    )
+    q_flat = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    q_cent = (
+        q_flat.join(F.broadcast(cent_flat), "i")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.when(
+                    (qn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
+    assign = (
+        q_cent.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = assign.join(q, "query_id")
+
+    ivf = _label_partitioned_embeddings(spark, sf_dir)
+    cand = ivf.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "probe_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )

@@ -584,3 +584,14 @@ def test_negative_sampling_topk_is_two_level(spark):
     # at least one window keyed by (query_id, salt); the plan orders
     # windows bottom-up in the tree, so the salted one must exist
     assert any("salt" in w for w in wins), f"no salted partial rank: {wins}"
+
+
+def test_ann_ivf_partition_pruned_dpp_fires(spark):
+    """Persisted IVF: the cell-partitioned embedding scan must carry a
+    dynamicpruningexpression fed by the broadcast probe assignment —
+    only probed cell directories are read; a full scan + data filter
+    would defeat the point of persisting the inverted file."""
+    df = _plan(spark, "ann_ivf_partition_pruned")
+    s = explain_str(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+    assert m and "dynamicpruning" in m.group(1)
