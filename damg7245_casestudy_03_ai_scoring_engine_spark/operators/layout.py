@@ -345,3 +345,142 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
             _rev_exact().alias("revenue"),
         )
     )
+
+
+# --- per-file Bloom index (Delta-style file skipping for point keys) -------
+
+_BLOOM_BITS = 1024  # 16 × 64-bit words per file
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4
+_LOOKUP_EVENT_ID = 4242
+
+
+def _bloom_positions(col: F.Column) -> list[F.Column]:
+    """k bit positions for a key: xxhash64(key, seed j) mod m.
+    pmod (not %) — xxhash64 is signed."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(j)), F.lit(_BLOOM_BITS))
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _file_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once) a per-FILE Bloom index over event_id for the
+    Z-ordered events layout: one row per data file, 16 bit_or-folded
+    64-bit words.  This is the Delta/Iceberg secondary-stats pattern:
+    the index is file-grain (thousands of rows for a 100 TB table —
+    itself a small table), built in one distributed aggregate over
+    `input_file_name()`, and consulted BEFORE any data IO."""
+    tag = _sf_tag(sf_dir)
+    key = f"_layout_events_bloomidx_{tag}"
+    if not hasattr(spark, key):
+        from functools import reduce
+
+        ev = spark.read.parquet(getattr(spark, f"_layout_events_zorder_{tag}"))
+        pos = _bloom_positions(F.col("event_id"))
+
+        def row_word(w: int) -> F.Column:
+            # this row's bits for word w: bitwise-OR of 1<<(p&63) over
+            # the positions landing in word w.  MUST be |, not + — two
+            # seeds can hash a key to the SAME bit, and addition would
+            # carry into a different bit, making the later membership
+            # probe a false NEGATIVE (wrong results, not just extra IO).
+            contribs = [
+                F.when(
+                    p.bitwiseAND(F.lit(~63)) == F.lit(w * 64),
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        p.bitwiseAND(F.lit(63)).cast("int"),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+                for p in pos
+            ]
+            return reduce(lambda a, b: a.bitwiseOR(b), contribs)
+
+        words = [
+            F.bit_or(row_word(w)).alias(f"w{w}") for w in range(_BLOOM_WORDS)
+        ]
+        idx = (
+            ev.select(F.input_file_name().alias("file"), "event_id")
+            .groupBy("file")
+            .agg(*words)
+        )
+        setattr(spark, key, idx.collect())
+    return getattr(spark, key)
+
+
+@register(
+    "file_bloom_index_lookup",
+    survey="S15,P3 (extension: per-file Bloom index point lookup)",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_id = {_LOOKUP_EVENT_ID}
+""",
+)
+def file_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through a per-file Bloom index: event_id is NOT a
+    sort/cluster key of the Z-ordered layout, so min/max stats cannot
+    skip files for it — the Bloom index can.  The lookup hashes the
+    probe key (k=4, m=1024 bits), selects the files whose Bloom words
+    contain all k bits (a file-grain index scan — the index is tiny,
+    one row per file, so consulting it driver-side is the same move
+    every lakehouse makes), and reads ONLY those files.
+
+    tests/test_sources.py pins the skipping: the probe must select a
+    strict subset of files, and the final answer is oracle-checked
+    against the unindexed table — Bloom false positives cost extra
+    reads, never wrong results (the residual equality filter runs on
+    whatever is read).
+
+    At 100 TB: the index build is one map-side-combined aggregate
+    keyed on input_file_name(); the index table (≈1 row per file)
+    lives next to the data; a point lookup touches k·files/m bits of
+    index + the 1-2 true files.  Reference analog: content_hash
+    existence probe (signal_store.py:21-28) — the pattern that makes
+    dedup-before-insert cheap."""
+    import pyspark.sql.functions as _F
+
+    _zorder_events(spark, sf_dir)  # ensure layout exists
+    index_rows = _file_bloom_index(spark, sf_dir)
+
+    # hash the probe key exactly as the index build did (driver-side
+    # arithmetic mirror of xxhash64 is NOT attempted — we reuse Spark
+    # for the 1-row hash so the two sides can never drift)
+    probe = (
+        spark.range(1)
+        .select(*[
+            p.alias(f"p{j}")
+            for j, p in enumerate(_bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long")))
+        ])
+        .first()
+    )
+    positions = [probe[f"p{j}"] for j in range(_BLOOM_K)]
+
+    def contains(row) -> bool:
+        for p in positions:
+            word = row[f"w{p // 64}"]
+            if not (word >> (p % 64)) & 1:
+                return False
+        return True
+
+    paths = [r["file"] for r in index_rows if contains(r)]
+    ev_schema = load(spark, sf_dir, "events").schema
+    out_cols = [
+        "event_id",
+        "user_id",
+        "event_type",
+        _F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    ]
+    if not paths:  # key provably absent: no data IO at all
+        return (
+            spark.createDataFrame([], ev_schema)
+            .select(*out_cols)
+        )
+    return (
+        spark.read.parquet(*paths)
+        .filter(F.col("event_id") == _LOOKUP_EVENT_ID)
+        .select(*out_cols)
+    )

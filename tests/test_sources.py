@@ -354,3 +354,47 @@ def test_zorder_layout_files_skippable_on_both_dims(spark):
     assert n_hit <= n_files // 2, (
         f"z-order not clustering: {n_hit}/{n_files} files intersect the box"
     )
+
+
+def test_file_bloom_index_skips_files(spark):
+    """The per-file Bloom index must select a strict subset of the
+    layout's files for a point key (that's the IO it saves), and the
+    probe key's row must be in the selected files (no false
+    negatives — the bit-OR fold, not +, guarantees this even when two
+    hash seeds land on the same bit)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _LOOKUP_EVENT_ID,
+        _bloom_positions,
+        _file_bloom_index,
+        _zorder_events,
+    )
+    from pyspark.sql import functions as F
+    from conftest import SF_CORRECTNESS
+
+    _zorder_events(spark, SF_CORRECTNESS)
+    rows = _file_bloom_index(spark, SF_CORRECTNESS)
+    probe = (
+        spark.range(1)
+        .select(*[
+            p.alias(f"p{j}")
+            for j, p in enumerate(
+                _bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long"))
+            )
+        ])
+        .first()
+    )
+    pos = [probe[f"p{j}"] for j in range(4)]
+    hit = [
+        r["file"]
+        for r in rows
+        if all((r[f"w{p // 64}"] >> (p % 64)) & 1 for p in pos)
+    ]
+    assert 0 < len(hit) < len(rows), (
+        f"no skipping: {len(hit)}/{len(rows)} files selected"
+    )
+    got = (
+        spark.read.parquet(*hit)
+        .filter(F.col("event_id") == _LOOKUP_EVENT_ID)
+        .count()
+    )
+    assert got == 1
