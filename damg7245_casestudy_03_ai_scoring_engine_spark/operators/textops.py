@@ -1833,3 +1833,104 @@ def domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("over").alias("capped"),
         )
     )
+
+
+def _curation_oracle() -> str:
+    """Compose the gate's oracle from the COMPONENT oracles verbatim
+    (each is a standalone WITH…SELECT — DuckDB allows nested WITH in a
+    parenthesized subquery), so the gate can never drift from the
+    signals it gates on."""
+    from .registry import REGISTRY
+
+    tq = REGISTRY["text_quality_scores"].oracle
+    gf = REGISTRY["gopher_repetition_flags"].oracle
+    ull = REGISTRY["unigram_ll_quality"].oracle
+    return f"""
+WITH tq AS ({tq}),
+gf AS ({gf}),
+ull AS ({ull}),
+dup AS (
+    SELECT doc_id,
+           row_number() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(text), '\s+'))), ' '))
+               ORDER BY n_chars DESC, doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT tq.doc_id,
+       CASE WHEN dup.rk > 1 THEN 'duplicate'
+            WHEN gf.flag_repetitive_word OR gf.flag_repetitive_bigram THEN 'repetitive'
+            WHEN tq.quality < 0.62 THEN 'low_quality'
+            WHEN ull.ppl_bucket = 4 THEN 'ppl_outlier'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN dup.rk > 1 THEN 'duplicate'
+            WHEN gf.flag_repetitive_word OR gf.flag_repetitive_bigram THEN 'repetitive'
+            WHEN tq.quality < 0.62 THEN 'low_quality'
+            WHEN ull.ppl_bucket = 4 THEN 'ppl_outlier'
+            ELSE 'keep' END) = 'keep' AS keep
+FROM tq
+JOIN dup ON dup.doc_id = tq.doc_id
+JOIN gf ON gf.doc_id = tq.doc_id
+LEFT JOIN ull ON ull.doc_id = tq.doc_id
+"""
+
+
+@register(
+    "curation_decision_gate",
+    survey="LLM-pipeline extension: composed corpus curation gate",
+    oracle=_curation_oracle(),
+)
+def curation_decision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION a training-data pipeline actually ships:
+    one keep/drop verdict per document with a priority-ordered reason
+    code, composed from the independent signal operators — exact-dup
+    canonical rank (highest priority), Gopher repetition flags,
+    blended quality score, and the CCNet perplexity bucket (eval-split
+    docs only; missing bucket = pass, via left join).
+
+    Built BY CALLING the registered signal queries and joining their
+    outputs — the registry is a library, and the oracle is composed
+    from the same components' oracle SQL verbatim, so gate and signals
+    cannot drift.  All joins are doc_id-keyed (one co-partitioned
+    shuffle family at 100 TB); every compared value is already
+    cross-engine exact (rounded/integer/boolean), so the CASE ladder
+    is deterministic."""
+    from pyspark.sql import Window
+
+    from .registry import REGISTRY
+
+    tq = REGISTRY["text_quality_scores"].fn(spark, sf_dir).select("doc_id", "quality")
+    gf = REGISTRY["gopher_repetition_flags"].fn(spark, sf_dir).select(
+        "doc_id", "flag_repetitive_word", "flag_repetitive_bigram"
+    )
+    ull = REGISTRY["unigram_ll_quality"].fn(spark, sf_dir).select(
+        "doc_id", "ppl_bucket"
+    )
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bow_key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.trim("text"), r"\s+"))), " ")
+    )
+    w_dup = Window.partitionBy(bow_key).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    dup = d.select("doc_id", F.row_number().over(w_dup).alias("rk"))
+
+    joined = (
+        tq.join(dup, "doc_id")
+        .join(gf, "doc_id")
+        .join(ull, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("rk") > 1, "duplicate")
+        .when(
+            F.col("flag_repetitive_word") | F.col("flag_repetitive_bigram"),
+            "repetitive",
+        )
+        .when(F.col("quality") < 0.62, "low_quality")
+        .when(F.col("ppl_bucket") == 4, "ppl_outlier")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
