@@ -87,7 +87,7 @@ _PRIORITY = (
     "ann_ivf_topk",
     "embedding_near_dup",
     "lsh_cosine_pairs",
-    "text_quality_scores",
+    "curation_decision_gate",
     "multimodal_meta",
     "unigram_ll_quality",
 )
