@@ -772,3 +772,48 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("p"),
     )
+
+
+@register(
+    "click_error_outer_rate",
+    survey="J8,§2.10 (extension: LEFT OUTER interval join / outer stream-stream twin)",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events
+),
+j AS (
+    SELECT c.user_id, c.event_id AS click_id, er.event_id AS error_id
+    FROM e c
+    LEFT JOIN e er ON c.user_id = er.user_id
+                  AND er.event_type = 'error'
+                  AND er.ts_ns > c.ts_ns
+                  AND er.ts_ns <= c.ts_ns + 600000000000
+    WHERE c.event_type = 'click'
+)
+SELECT user_id,
+       count(DISTINCT click_id) AS n_clicks,
+       count(DISTINCT CASE WHEN error_id IS NULL THEN click_id END) AS n_clean_clicks,
+       count(error_id) AS n_followup_errors
+FROM j
+GROUP BY user_id
+""",
+)
+def click_error_outer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join rolled up per user: clicks with NO
+    error inside the 10-minute follow-up window are the outer
+    (NULL-padded) rows — the 'no incident' branch an attribution
+    pipeline needs, and the batch twin of the outer stream-stream
+    join (`streaming/jobs.py::click_error_pairs_outer_stream`), whose
+    null rows Spark can only emit once the error-side watermark
+    passes click_time + 10 min.  Drain-tested equivalent in
+    tests/test_streaming.py."""
+    from ..streaming.jobs import click_error_pairs_outer
+
+    j = click_error_pairs_outer(load(spark, sf_dir, "events"))
+    return j.groupBy("user_id").agg(
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct(
+            F.when(F.col("error_id").isNull(), F.col("click_id"))
+        ).alias("n_clean_clicks"),
+        F.count("error_id").alias("n_followup_errors"),
+    )

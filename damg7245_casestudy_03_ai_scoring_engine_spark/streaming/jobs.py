@@ -570,3 +570,77 @@ def enrich_with_type_weights(events: DataFrame) -> DataFrame:
         events.join(F.broadcast(weights), "event_type", "left")
         .withColumn("weighted_value", F.col("value") * F.coalesce("weight", F.lit(0.0)))
     )
+
+
+def click_error_pairs_outer(events: DataFrame) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join:
+    every click, paired with each error that follows it within 10
+    minutes — or a NULL error row if none did.  The outer rows are
+    what an attribution pipeline feeds its 'no incident' branch."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts_ns"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts_ns"),
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("error_ts_ns") > F.col("click_ts_ns"))
+            & (F.col("error_ts_ns") <= F.col("click_ts_ns") + F.lit(TEN_MIN_NS)),
+            "left",
+        )
+        .select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")
+    )
+
+
+def click_error_pairs_outer_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join.  The subtle semantics
+    the batch twin hides: an unmatched click CANNOT be emitted when it
+    arrives — a matching error may still come — so Spark holds it in
+    state and emits the NULL-padded row only once the error-side
+    watermark passes click_time + 10 min (the join's upper time
+    bound).  That late, once-only emission is exactly what makes outer
+    stream-stream joins need BOTH a watermark and a range condition:
+    without them there is no point at which 'no match' becomes final
+    and state could never be evicted (unbounded at 100 TB/day)."""
+    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts_ns"),
+        )
+        .withColumn("click_time", event_time_col(F.col("click_ts_ns")))
+        .withWatermark("click_time", watermark)
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts_ns"),
+        )
+        .withColumn("error_time", event_time_col(F.col("error_ts_ns")))
+        .withWatermark("error_time", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            """
+            user_id = e_user_id
+            AND error_time > click_time
+            AND error_time <= click_time + INTERVAL 10 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")

@@ -602,3 +602,55 @@ def test_transform_with_state_lifetime_stats(spark, tmp_path):
     assert final[8].n_events == 1 and abs(final[8].value_total - 4.0) < 1e-9
     # user 7 must have been emitted by BOTH batches (state carried, not reset)
     assert sorted(r.n_events for r in rows if r.user_id == 7) == [2, 3]
+
+
+def test_click_error_outer_join_stream_semantics(spark, tmp_path):
+    """Outer stream-stream join: (a) every INNER pair is emitted,
+    (b) every emitted row appears in the batch twin, (c) NULL-padded
+    rows ARE emitted for unmatched clicks — but only those whose
+    10-minute window closed before the final watermark (min of both
+    sides' max event time − 30 min); clicks near stream end stay in
+    state, which is exactly the once-only late-emission semantics the
+    operator exists to provide."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        TEN_MIN_NS,
+        click_error_pairs_outer,
+        click_error_pairs_outer_stream,
+        read_events_stream,
+    )
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, SF_SMOKE)
+    _run_stream(
+        click_error_pairs_outer_stream(events),
+        "ceo_stream",
+        "append",
+        str(tmp_path / "ckpt_ceo"),
+    )
+    got = {tuple(r) for r in spark.table("ceo_stream").collect()}
+
+    batch_events = load(spark, SF_SMOKE, "events")
+    batch = click_error_pairs_outer(batch_events).collect()
+    inner = {tuple(r) for r in batch if r.error_id is not None}
+    outer = {tuple(r) for r in batch if r.error_id is None}
+
+    # (a) inner pairs emit eagerly and completely
+    assert inner <= got
+    # (c) outer rows whose window provably closed must have emitted
+    wm_ns = (
+        batch_events.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx"))
+        .first()[0]
+        - 30 * 60 * 1_000_000_000
+    )
+    must_emit = {
+        t for t in outer if t[3] + TEN_MIN_NS < wm_ns - 1_000_000_000
+    }
+    assert must_emit and must_emit <= got
+    # (b) nothing fabricated: stream ⊆ batch
+    assert got <= inner | outer
+    # outer semantics actually exercised
+    assert any(t[2] is None for t in got)
