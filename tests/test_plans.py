@@ -595,3 +595,45 @@ def test_ann_ivf_partition_pruned_dpp_fires(spark):
     s = explain_str(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
     assert m and "dynamicpruning" in m.group(1)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """§4 skew posture: with AQE skew-join on (session default), a
+    hot join key whose post-shuffle partition dwarfs the median is
+    SPLIT at runtime — the executed plan shows
+    `SortMergeJoin(skew=true)` fed by an `AQEShuffleRead … skewed`,
+    and results are unchanged.  This is the lever that saves the
+    100 TB fact-fact join when one company/user dominates; thresholds
+    are lowered here only to make test-scale bytes register as skew."""
+    dial = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in dial}
+    try:
+        for k, v in dial.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.concat(F.lit("x" * 64), F.col("id")).alias("pad")
+        )
+        cold = spark.range(1_000).select(
+            (F.col("id") + 100).alias("k"),
+            F.concat(F.lit("y" * 8), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(2_000).select(F.col("id").alias("k"), F.col("id").alias("w"))
+        j = hot.union(cold).hint("merge").join(dim, "k").select("k", "pad", "w")
+        rows = j.collect()
+        assert len(rows) == 201_000  # hot key ×1 dim match + 1000 cold matches
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in s, "AQE did not split the skewed partition"
+        assert "skewed" in s and "AQEShuffleRead" in s
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
