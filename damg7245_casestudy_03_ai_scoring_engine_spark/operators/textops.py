@@ -368,9 +368,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two partial-agg shuffles (term-freq by (lang, term),
     doc-freq by term), a shuffle join between them on term, and a
     per-lang top-k window — every stage map-side combines, and no
-    driver-side vocabulary materializes."""
+    driver-side vocabulary materializes.  N (the corpus size) rides
+    as a broadcast 1-row frame INSIDE the same DAG — an eager
+    `d.count()` here cost a whole extra scan job per invocation
+    (measured ~0.3 s of the query's 1.4 s at sf0.1, removed r4)."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select(
         "doc_id", "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
@@ -381,13 +384,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
         .select(
             "lang",
             F.col("w").alias("term"),
             "tf",
             "df",
             F.round(
-                F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * (F.col("n_docs") / F.col("df")), 6
             ).alias("score"),
         )
     )
