@@ -1938,3 +1938,70 @@ def curation_decision_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    survey="LLM-pipeline extension: deterministic weighted sampling (Efraimidis-Spirakis)",
+    oracle="""
+WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           round(pow(
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample-seed-1'), 1, 13))::BIGINT
+                   / 4503599627370496.0,
+               1.0 / n_chars), 9) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT source, doc_id, n_chars, es_key, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY es_key DESC, doc_id
+    ) AS rk
+    FROM keyed
+)
+WHERE rk <= 5
+""",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis-Spirakis exponent keys u^(1/w) with u drawn from a
+    salted md5 hash (13 hex digits / 2^52 → uniform in [0,1)), w =
+    n_chars — longer documents proportionally likelier, the exact
+    distribution a size-weighted curation sample needs, yet fully
+    reproducible across reruns, partitionings, and engines (no
+    rand()).  Top-5 keys per source = the per-domain sample.
+
+    Keys are rounded to 9 dp before ranking with a doc_id tie-break,
+    so a last-ulp pow() divergence between libms cannot flip the
+    selection except on a ~1e-10-probability rounding boundary — the
+    repo's standard defense for transcendental functions in ranked
+    outputs.
+
+    Scale shape: stateless key projection + per-source top-k window —
+    each domain samples independently; for a global sample swap the
+    window for the salted two-level top-k used by
+    `negative_sample_pairs`."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|wsample-seed-1"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    es_key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    keyed = d.select("source", "doc_id", "n_chars", es_key.alias("es_key"))
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
