@@ -796,3 +796,64 @@ def exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _containment_closure_oracle() -> str:
+    from .registry import REGISTRY
+
+    pairs = REGISTRY["dedup_containment_prefix"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+closure(a, b, depth) AS (
+    SELECT doc_contained, doc_container, 1 FROM pairs
+    UNION ALL
+    SELECT c.a, p.doc_container, c.depth + 1
+    FROM closure c JOIN pairs p ON p.doc_contained = c.b
+    WHERE c.depth < 10
+)
+SELECT a AS doc_contained, b AS doc_ancestor,
+       CAST(min(depth) AS INT) AS min_hops
+FROM closure
+GROUP BY a, b
+"""
+
+
+@register(
+    "containment_closure_rcte",
+    survey="S18 (extension: recursive-CTE transitive containment closure, Spark 4 WITH RECURSIVE)",
+    oracle=_containment_closure_oracle(),
+)
+def containment_closure_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup containment DAG via Spark
+    4's native `WITH RECURSIVE`: if A is contained in B and B in C,
+    A is (transitively) contained in C — the ancestry a dedup policy
+    needs to collapse whole chains onto the largest container in one
+    decision instead of link-by-link.
+
+    Engine-native recursion replaces the driver-side convergence loop
+    used by `dedup_clusters` (iterative label propagation with
+    per-round localCheckpoint): the recursion IS the plan, so there's
+    no Python round-trip per hop.  UNION ALL recursion terminates
+    here without a distinct because containment edges strictly
+    increase shingle count (the relation is a DAG — no cycles by
+    construction); the depth guard is belt-and-braces, and the final
+    GROUP BY collapses alternate paths to min_hops.  At 100 TB each
+    hop is one equi-join on the contained key, partitioned like any
+    other self-join — state never funnels to the driver."""
+    pairs = dedup_containment_prefix(spark, sf_dir).select(
+        "doc_contained", "doc_container"
+    )
+    pairs.createOrReplaceTempView("containment_pairs_rcte")
+    return spark.sql("""
+WITH RECURSIVE closure(a, b, depth) AS (
+    SELECT doc_contained, doc_container, 1 FROM containment_pairs_rcte
+    UNION ALL
+    SELECT c.a, p.doc_container, c.depth + 1
+    FROM closure c JOIN containment_pairs_rcte p ON p.doc_contained = c.b
+    WHERE c.depth < 10
+)
+SELECT a AS doc_contained, b AS doc_ancestor,
+       CAST(min(depth) AS INT) AS min_hops
+FROM closure
+GROUP BY a, b
+""")
