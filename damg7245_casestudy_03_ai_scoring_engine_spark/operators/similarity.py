@@ -1419,3 +1419,4 @@ def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+

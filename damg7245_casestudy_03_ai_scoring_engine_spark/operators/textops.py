@@ -2005,3 +2005,80 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .registry import REGISTRY
+
+    bm25 = REGISTRY["bm25_retrieval"].oracle
+    sem = REGISTRY["semantic_doc_retrieval"].oracle
+    return f"""
+WITH bm25 AS ({bm25}),
+sem AS ({sem}),
+fused AS (
+    SELECT coalesce(b.doc_id, s.cand_id) AS doc_id,
+           b.rk AS rk_lex,
+           s.rk AS rk_sem,
+           round(coalesce(1.0 / (60 + b.rk), 0.0)
+                 + coalesce(1.0 / (60 + s.rk), 0.0), 6) AS rrf
+    FROM bm25 b
+    FULL OUTER JOIN (SELECT * FROM sem WHERE query_id = 0) s
+      ON s.cand_id = b.doc_id
+)
+SELECT doc_id, rk_lex, rk_sem, rrf, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+    FROM fused
+)
+WHERE rk <= 10
+"""
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    survey="similarity,text-analysis (extension: hybrid lexical+semantic fusion)",
+    oracle=_hybrid_rrf_oracle(),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical ranking fused with ANN semantic
+    ranking by reciprocal-rank fusion (rrf = Σ 1/(60+rank), Cormack
+    et al. 2009) — the standard two-tower retrieval pattern: a doc
+    surfaced by BOTH systems outranks one surfaced by either alone.
+    Composed by CALLING the registered rankers and full-outer-joining
+    their top-k lists; the oracle composes the same two oracles
+    verbatim (the curation-gate discipline).
+
+    Determinism: RRF scores are sums of at most two exact-rational
+    reciprocals of small integers, rounded 6dp with a doc_id
+    tie-break.  Scale: fusion touches only the rankers' top-k rows —
+    k+k rows per query regardless of corpus size; the heavy lifting
+    stays inside the rankers' own bucketed plans."""
+    from .registry import REGISTRY
+
+    b = (
+        REGISTRY["bm25_retrieval"].fn(spark, sf_dir)
+        .select(F.col("doc_id").alias("b_doc"), F.col("rk").alias("rk_lex"))
+    )
+    s = (
+        REGISTRY["semantic_doc_retrieval"].fn(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("cand_id").alias("s_doc"), F.col("rk").alias("rk_sem"))
+    )
+    fused = b.join(s, b.b_doc == s.s_doc, "full_outer").select(
+        F.coalesce("b_doc", "s_doc").alias("doc_id"),
+        "rk_lex",
+        "rk_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
