@@ -1953,7 +1953,7 @@ WITH keyed AS (
     FROM documents
     WHERE n_chars > 0
 )
-SELECT source, doc_id, n_chars, es_key, CAST(rk AS INT) AS rk
+SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
 FROM (
     SELECT *, row_number() OVER (
         PARTITION BY source ORDER BY es_key DESC, doc_id
@@ -1976,7 +1976,9 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a last-ulp pow() divergence between libms cannot flip the
     selection except on a ~1e-10-probability rounding boundary — the
     repo's standard defense for transcendental functions in ranked
-    outputs.
+    outputs.  The key itself is NOT emitted: a 9-dp pow() value has
+    no ≤7-dp fixed-point representation, so it would trip the
+    registry float-hygiene lint; the selection (rk) is the result.
 
     Scale shape: stateless key projection + per-source top-k window —
     each domain samples independently; for a global sample swap the
@@ -2004,6 +2006,7 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .withColumn("rk", F.col("rk").cast("int"))
+        .drop("es_key")
     )
 
 
