@@ -39,22 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # extensions — one representative per SURVEY.md §2 area, all
 # oracle-backed.  Everything else follows in registration order and is
 # still covered by tests/test_oracle_parity.py over the full registry.
+# Round-5 rotation: rows-only pca_one_factor_eta (reported `no_oracle`
+# in r4 — M13 stays exact-pinned in tests/test_mllib_parity.py) and
+# three multi-round greens (user_sessionization, sem_bootstrap_ci,
+# grouped_ols — all r4 driver-pass, still pytest-oracle) swapped for
+# four oracle-backed never-driver-run queries: containment_closure_rcte,
+# fuzzy_entity_match, weighted_sample_per_source, domain_token_budget.
 _PRIORITY = (
     "org_air_flagship",
     "time_window_census",
     "rolling_window_metrics",
     "signal_summaries",
     "session_window_rollup",
-    "user_sessionization",
     "click_error_followups",
     "cohort_retention",
     "asof_join_events",
     "rule_synergy_scores",
     "sem_spearman_brown",
     "sem_ols_ci",
-    "sem_bootstrap_ci",
-    "pca_one_factor_eta",
-    "grouped_ols",
     "fpgrowth_brand_rules",
     "hr_position_stack",
     "portfolio_range_validation",
@@ -90,6 +92,10 @@ _PRIORITY = (
     "curation_decision_gate",
     "multimodal_meta",
     "unigram_ll_quality",
+    "containment_closure_rcte",
+    "fuzzy_entity_match",
+    "weighted_sample_per_source",
+    "domain_token_budget",
 )
 
 

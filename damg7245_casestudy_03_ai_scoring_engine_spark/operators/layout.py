@@ -37,6 +37,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cache import tracked_persist
 from ..sources.catalog import load
 from ..sources.scratch import scratch_dir
 from .registry import register
@@ -349,64 +350,143 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- per-file Bloom index (Delta-style file skipping for point keys) -------
 
-_BLOOM_BITS = 1024  # 16 × 64-bit words per file
-_BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 10  # the standard ~1%-FPP sizing
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 22  # 512 KiB/file word array — stats-file territory
+# Saturation bound: with k hashes and m bits a file of n distinct keys
+# has expected fill 1−exp(−k·n/m); past ~50% fill the false-positive
+# rate (fill^k) stops skipping files and the index silently degrades to
+# reading every file (correct — the residual equality filter still
+# runs — but pointless IO).  m is therefore SIZED from the layout
+# (~10 bits per expected key per file, next power of two) instead of
+# being a fixed constant, and the index carries per-file `n_keys` /
+# `fill_frac` columns so saturation stays VISIBLE: tests pin
+# fill_frac < _BLOOM_FILL_MAX at fixture scale.
+_BLOOM_FILL_MAX = 0.5
 _LOOKUP_EVENT_ID = 4242
 
 
-def _bloom_positions(col: F.Column) -> list[F.Column]:
+def _bloom_positions(col: F.Column, bits: int) -> list[F.Column]:
     """k bit positions for a key: xxhash64(key, seed j) mod m.
-    pmod (not %) — xxhash64 is signed."""
+    pmod (not %) — xxhash64 is signed.  Callers must cast the key to
+    'long' first: xxhash64 hashes the binary encoding, so int32 4242
+    and int64 4242 hash differently, and an untyped build against a
+    typed probe would turn every lookup into a false NEGATIVE."""
     return [
-        F.pmod(F.xxhash64(col, F.lit(j)), F.lit(_BLOOM_BITS))
+        F.pmod(F.xxhash64(col, F.lit(j)), F.lit(bits))
         for j in range(_BLOOM_K)
     ]
 
 
-def _file_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bloom_bits_for(n_rows: int, n_files: int) -> int:
+    """Filter width for a layout: ~10 bits per expected key per file,
+    rounded up to a power of two, clamped to [2^10, 2^22]."""
+    per_file = max(n_rows // max(n_files, 1), 1)
+    bits = _BLOOM_MIN_BITS
+    while bits < per_file * _BLOOM_BITS_PER_KEY and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
+def bloom_member(positions: list[int]) -> F.Column:
+    """Plan-side membership predicate over the index's `words` array:
+    bit p%64 of word p//64 must be set for every probe position."""
+    member = F.lit(True)
+    for p in positions:
+        word = F.element_at(F.col("words"), int(p // 64) + 1)
+        member = member & (
+            F.shiftright(word, int(p % 64)).bitwiseAND(F.lit(1)) == 1
+        )
+    return member
+
+
+def _file_bloom_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """Build (once) a per-FILE Bloom index over event_id for the
-    Z-ordered events layout: one row per data file, 16 bit_or-folded
-    64-bit words.  This is the Delta/Iceberg secondary-stats pattern:
-    the index is file-grain (thousands of rows for a 100 TB table —
-    itself a small table), built in one distributed aggregate over
-    `input_file_name()`, and consulted BEFORE any data IO."""
+    Z-ordered events layout: one row per data file — a `words` array of
+    bit_or-folded 64-bit words plus `n_keys` (exact distinct) and
+    `fill_frac` (fraction of set bits) for saturation visibility.
+    Returns (index DataFrame, filter width in bits).
+
+    This is the Delta/Iceberg secondary-stats pattern: the index is
+    file-grain (~1 row per file — ~10⁶ rows even for a 100 TB table,
+    itself a small TABLE, never a driver-side list), built in one
+    distributed pass over the layout, and consulted BEFORE any data
+    IO.  Build shape: distinct (file, key) pairs → explode the k hash
+    positions → bit_or per (file, word) → assemble the word array per
+    file — every step a key-local aggregate with map-side combine, no
+    per-word CASE ladder in the plan regardless of filter width.
+    Self-sufficient: builds the Z-order layout if this session hasn't
+    yet; the filter width is sized from the layout's row/file counts
+    (parquet metadata — no data scan) at ~10 bits/key."""
     tag = _sf_tag(sf_dir)
     key = f"_layout_events_bloomidx_{tag}"
     if not hasattr(spark, key):
-        from functools import reduce
-
+        _zorder_events(spark, sf_dir)  # ensure layout exists
         ev = spark.read.parquet(getattr(spark, f"_layout_events_zorder_{tag}"))
-        pos = _bloom_positions(F.col("event_id"))
+        bits = _bloom_bits_for(ev.count(), len(ev.inputFiles()))
+        n_words = bits // 64
 
-        def row_word(w: int) -> F.Column:
-            # this row's bits for word w: bitwise-OR of 1<<(p&63) over
-            # the positions landing in word w.  MUST be |, not + — two
-            # seeds can hash a key to the SAME bit, and addition would
-            # carry into a different bit, making the later membership
-            # probe a false NEGATIVE (wrong results, not just extra IO).
-            contribs = [
-                F.when(
-                    p.bitwiseAND(F.lit(~63)) == F.lit(w * 64),
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        p.bitwiseAND(F.lit(63)).cast("int"),
-                    ),
-                ).otherwise(F.lit(0).cast("long"))
-                for p in pos
-            ]
-            return reduce(lambda a, b: a.bitwiseOR(b), contribs)
-
-        words = [
-            F.bit_or(row_word(w)).alias(f"w{w}") for w in range(_BLOOM_WORDS)
-        ]
-        idx = (
-            ev.select(F.input_file_name().alias("file"), "event_id")
-            .groupBy("file")
-            .agg(*words)
+        base = ev.select(
+            F.input_file_name().alias("file"),
+            F.col("event_id").cast("long").alias("key"),
+        ).distinct()
+        exploded = base.select(
+            "file",
+            F.explode(F.array(*_bloom_positions(F.col("key"), bits))).alias("p"),
         )
-        setattr(spark, key, idx.collect())
+        # bit_or (never +) per word: two seeds can land a key on the
+        # SAME bit, and addition would carry into a different bit,
+        # turning the membership probe into a false NEGATIVE.
+        per_word = exploded.groupBy(
+            "file", F.shiftright(F.col("p"), 6).cast("int").alias("widx")
+        ).agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.col("p").bitwiseAND(F.lit(63)).cast("int"),
+                )
+            ).alias("word"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+        wm = F.map_from_entries(F.collect_list(F.struct("widx", "word")))
+        idx = (
+            per_word.groupBy("file")
+            .agg(
+                wm.alias("wm"),
+                # exploded has exactly k rows per distinct key, so the
+                # per-file distinct-key count falls out of the same
+                # aggregate — no second pass over the data
+                (F.sum("n_pos") / F.lit(_BLOOM_K)).cast("long").alias("n_keys"),
+            )
+            .select(
+                "file",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_words - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("wm"), i.cast("int")),
+                        F.lit(0).cast("long"),
+                    ),
+                ).alias("words"),
+                "n_keys",
+            )
+            .withColumn(
+                "fill_frac",
+                F.round(
+                    F.aggregate(
+                        "words",
+                        F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.bit_count(w),
+                    ).cast("double")
+                    / F.lit(bits),
+                    4,
+                ),
+            )
+        )
+        setattr(
+            spark, key, (tracked_persist(idx, f"layout.bloomidx.{tag}"), bits)
+        )
     return getattr(spark, key)
 
 
@@ -437,14 +517,15 @@ def file_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the index build is one map-side-combined aggregate
     keyed on input_file_name(); the index table (≈1 row per file)
-    lives next to the data; a point lookup touches k·files/m bits of
-    index + the 1-2 true files.  Reference analog: content_hash
-    existence probe (signal_store.py:21-28) — the pattern that makes
-    dedup-before-insert cheap."""
+    lives next to the data AS A TABLE — the membership probe is a
+    column-expression filter over that DataFrame, and only the
+    matching file paths (the 1-2 true files plus Bloom false
+    positives) are ever collected, never the index itself.  Reference
+    analog: content_hash existence probe (signal_store.py:21-28) —
+    the pattern that makes dedup-before-insert cheap."""
     import pyspark.sql.functions as _F
 
-    _zorder_events(spark, sf_dir)  # ensure layout exists
-    index_rows = _file_bloom_index(spark, sf_dir)
+    idx, bits = _file_bloom_index(spark, sf_dir)
 
     # hash the probe key exactly as the index build did (driver-side
     # arithmetic mirror of xxhash64 is NOT attempted — we reuse Spark
@@ -453,20 +534,19 @@ def file_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1)
         .select(*[
             p.alias(f"p{j}")
-            for j, p in enumerate(_bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long")))
+            for j, p in enumerate(
+                _bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long"), bits)
+            )
         ])
         .first()
     )
     positions = [probe[f"p{j}"] for j in range(_BLOOM_K)]
 
-    def contains(row) -> bool:
-        for p in positions:
-            word = row[f"w{p // 64}"]
-            if not (word >> (p % 64)) & 1:
-                return False
-        return True
-
-    paths = [r["file"] for r in index_rows if contains(r)]
+    # membership test stays in the plan: bit p of word p//64 must be
+    # set for all k probe positions (positions are plain int literals,
+    # so this is a JVM-side filter over the tiny index table)
+    member = bloom_member(positions)
+    paths = [r["file"] for r in idx.filter(member).select("file").collect()]
     ev_schema = load(spark, sf_dir, "events").schema
     out_cols = [
         "event_id",

@@ -1849,7 +1849,7 @@ def _curation_oracle() -> str:
     tq = REGISTRY["text_quality_scores"].oracle
     gf = REGISTRY["gopher_repetition_flags"].oracle
     ull = REGISTRY["unigram_ll_quality"].oracle
-    return f"""
+    return rf"""
 WITH tq AS ({tq}),
 gf AS ({gf}),
 ull AS ({ull}),

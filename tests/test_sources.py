@@ -361,34 +361,48 @@ def test_file_bloom_index_skips_files(spark):
     layout's files for a point key (that's the IO it saves), and the
     probe key's row must be in the selected files (no false
     negatives — the bit-OR fold, not +, guarantees this even when two
-    hash seeds land on the same bit)."""
+    hash seeds land on the same bit).  The index is a DataFrame (not a
+    collected list) and the membership probe is a plan-side filter;
+    only matching paths are collected.  Also pins saturation
+    visibility: every file's fill_frac must sit below _BLOOM_FILL_MAX
+    at fixture scale, so a layout change that outgrows the
+    size-adaptive filter fails loudly here instead of
+    silently degrading to a full scan."""
     from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _BLOOM_FILL_MAX,
         _LOOKUP_EVENT_ID,
         _bloom_positions,
         _file_bloom_index,
-        _zorder_events,
+        bloom_member,
     )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
     from pyspark.sql import functions as F
     from conftest import SF_CORRECTNESS
 
-    _zorder_events(spark, SF_CORRECTNESS)
-    rows = _file_bloom_index(spark, SF_CORRECTNESS)
+    idx, bits = _file_bloom_index(spark, SF_CORRECTNESS)  # self-sufficient
+    rows = idx.collect()
+    sat = [(r["file"], r["fill_frac"], r["n_keys"]) for r in rows
+           if r["fill_frac"] >= _BLOOM_FILL_MAX]
+    assert not sat, f"bloom filters saturated at fixture scale: {sat}"
+    # n_keys is exact per file: the total must cover the table's
+    # distinct event_id count (>= because a key may span two files)
+    total_keys = sum(r["n_keys"] for r in rows)
+    want_keys = (
+        load(spark, SF_CORRECTNESS, "events").select("event_id").distinct().count()
+    )
+    assert total_keys >= want_keys
     probe = (
         spark.range(1)
         .select(*[
             p.alias(f"p{j}")
             for j, p in enumerate(
-                _bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long"))
+                _bloom_positions(F.lit(_LOOKUP_EVENT_ID).cast("long"), bits)
             )
         ])
         .first()
     )
     pos = [probe[f"p{j}"] for j in range(4)]
-    hit = [
-        r["file"]
-        for r in rows
-        if all((r[f"w{p // 64}"] >> (p % 64)) & 1 for p in pos)
-    ]
+    hit = [r["file"] for r in idx.filter(bloom_member(pos)).select("file").collect()]
     assert 0 < len(hit) < len(rows), (
         f"no skipping: {len(hit)}/{len(rows)} files selected"
     )
