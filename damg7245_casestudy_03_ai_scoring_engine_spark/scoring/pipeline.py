@@ -47,8 +47,17 @@ def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One evidence join feeds BOTH the dimension-score aggregate and
     # the supplier HHI — persist it instead of re-running the
     # lineitem⋈orders join per consumer (at scale: the silver
-    # evidence table written once per run).
-    ev = tracked_persist(evidence_rows(spark, sf_dir), "org_air_flagship.evidence")
+    # evidence table written once per run).  Persist it PARTITIONED BY
+    # company_id: hash(company_id) satisfies the clustered distribution
+    # of every downstream grain — groupBy(company_id, dimension),
+    # groupBy(company_id, supp_key), the HHI share window, and the
+    # company_id groupBys/joins above them — so the whole post-evidence
+    # DAG runs shuffle-free (one exchange here replaces four after the
+    # persist; plan-pinned in tests/test_plans.py).
+    ev = tracked_persist(
+        evidence_rows(spark, sf_dir).repartition("company_id"),
+        "org_air_flagship.evidence",
+    )
     ds = dimension_scores_from(ev)
 
     vr = vr_scores(ds)  # company_id, vr_raw, cv, cv_penalty, vr_score(=raw·pen)

@@ -101,6 +101,29 @@ def test_flagship_broadcasts_dims(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
+def test_flagship_post_evidence_dag_is_shuffle_free(spark):
+    """The persisted evidence frame is repartitioned by company_id, and
+    hash(company_id) satisfies every downstream clustered distribution
+    (groupBy(company_id, dimension), groupBy(company_id, supp_key), the
+    HHI share window, and the company-grain joins above them) — so once
+    the cache is materialized, the whole post-evidence DAG must plan
+    with ZERO shuffle exchanges above the InMemoryRelation: one
+    exchange at silver-table build time replaces four per scoring run.
+    (Broadcast exchanges for the dim tables are expected and fine.)"""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
+
+    df = _plan(spark, "org_air_flagship")
+    df.write.format("noop").mode("overwrite").save()  # materialize cache
+    try:
+        replanned = _plan(spark, "org_air_flagship")
+        plan = replanned._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        assert "Exchange hashpartitioning" not in outer, outer
+        assert "SortMergeJoin" not in outer, outer
+    finally:
+        release_all()
+
+
 def test_minhash_band_join_key_is_band_hash(spark):
     """The LSH candidate join must key on (b, band_hash) — the
     collision-bounded shuffle — never a cross/theta join."""

@@ -67,6 +67,15 @@ def main() -> None:
         "is `ann_topk_bruteforce`, where the all-pairs scan IS the query (the",
         "oracle-anchored baseline its IVF/LSH twins are measured against).",
         "",
+        "Note on cached silver tables: exchange counts below are COLD plans (cache",
+        "unmaterialized), and the printed tree repeats the cached child under every",
+        "consumer, so a query whose persisted frame is pre-partitioned (e.g.",
+        "`org_air_flagship`'s evidence, repartitioned by company_id) counts that one",
+        "build-time exchange once per consumer AND keeps conservative downstream",
+        "exchanges the warm plan drops.  The warm steady state is pinned separately:",
+        "`test_flagship_post_evidence_dag_is_shuffle_free` asserts zero shuffle",
+        "exchanges above the materialized evidence cache.",
+        "",
         "| Query | Join strategies | Exchanges | Codegen spans | Python stages | Scans w/ pushed filters |",
         "|---|---|---|---|---|---|",
     ]
