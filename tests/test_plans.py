@@ -124,6 +124,26 @@ def test_flagship_post_evidence_dag_is_shuffle_free(spark):
         release_all()
 
 
+def test_simhash_twins_share_signature_cache(spark):
+    """`dedup_simhash` (brute-force baseline) and `dedup_simhash_banded`
+    (scale twin) must both read the ONE persisted signature frame —
+    after either materializes it, BOTH plans substitute the
+    InMemoryRelation and neither re-derives the tokenize→md5→bit-vote
+    lineage (no md5 above the cache)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
+
+    plain = _plan(spark, "dedup_simhash")
+    plain.write.format("noop").mode("overwrite").save()  # materialize signatures
+    try:
+        for name in ("dedup_simhash", "dedup_simhash_banded"):
+            plan = _plan(spark, name)._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, name
+            outer = plan.split("InMemoryRelation")[0]
+            assert "md5" not in outer, f"{name} re-derives signatures above the cache"
+    finally:
+        release_all()
+
+
 def test_minhash_band_join_key_is_band_hash(spark):
     """The LSH candidate join must key on (b, band_hash) — the
     collision-bounded shuffle — never a cross/theta join."""
