@@ -333,21 +333,72 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 # --- Spark 4 transformWithState (next-gen arbitrary state API) --------------
 
 
-def user_lifetime_stats_stream(events: DataFrame) -> DataFrame:
-    """Per-user lifetime (count, value-total) accumulator on Spark 4's
-    `transformWithStateInPandas` — the next-generation arbitrary-state
-    API superseding applyInPandasWithState: named state variables on a
-    StatefulProcessor handle, RocksDB-backed (state no longer bounded
-    by executor heap — the property that matters at 100 TB key
-    cardinality), with timers/TTL available on the same handle.
+_LIFETIME_OUT_SCHEMA = "user_id long, n_events bigint, value_total double"
 
-    Emits the updated lifetime row for every user touched by a
-    micro-batch (update mode); the final emission per user equals the
-    batch groupBy aggregate (pinned in tests/test_streaming.py with a
-    multi-micro-batch drain — import-gated there because the
-    transformWithState state-server protocol requires google.protobuf,
-    which this sandbox lacks; the applyInPandasWithState sessionizer
-    above is the fully-exercised stateful path here)."""
+
+def tws_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can actually run:
+    its Python-side state-server protocol speaks protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so google.protobuf
+    must be importable on the workers."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_lifetime_stats_stream(events: DataFrame, backend: str = "auto") -> DataFrame:
+    """Per-user lifetime (count, value-total) accumulator — the
+    unbounded-keyspace stateful fold.  Emits the updated lifetime row
+    for every user touched by a micro-batch (update mode); the final
+    emission per user equals the batch groupBy aggregate (pinned in
+    tests/test_streaming.py with a multi-micro-batch drain).
+
+    Two interchangeable state backends with identical emission
+    semantics, selected by `backend`:
+
+    - ``"tws"``: Spark 4's `transformWithStateInPandas` — the
+      next-generation arbitrary-state API superseding
+      applyInPandasWithState: named state variables on a
+      StatefulProcessor handle, RocksDB-backed (state no longer
+      bounded by executor heap — the property that matters at 100 TB
+      key cardinality), with timers/TTL available on the same handle.
+      Requires google.protobuf (the state-server wire protocol).
+    - ``"apiws"``: `applyInPandasWithState` — the stable GroupState
+      API, no extra dependency.
+    - ``"auto"`` (default): tws when protobuf is importable, else
+      apiws — so the drain test exercises the operator end-to-end in
+      every environment and upgrades itself to the tws protocol on a
+      protobuf-equipped cluster."""
+    if backend == "auto":
+        backend = "tws" if tws_available() else "apiws"
+    src = events.select("user_id", "value").groupBy("user_id")
+
+    if backend == "apiws":
+
+        def accumulate(key, pdfs, state):
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [total]}
+            )
+
+        return src.applyInPandasWithState(
+            accumulate,
+            outputStructType=_LIFETIME_OUT_SCHEMA,
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    if backend != "tws":
+        raise ValueError(f"unknown backend {backend!r} (want tws/apiws/auto)")
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -370,15 +421,11 @@ def user_lifetime_stats_stream(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return (
-        events.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            _LifetimeStats(),
-            outputStructType="user_id long, n_events bigint, value_total double",
-            outputMode="update",
-            timeMode="none",
-        )
+    return src.transformWithStateInPandas(
+        _LifetimeStats(),
+        outputStructType=_LIFETIME_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )
 
 

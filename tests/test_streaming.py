@@ -527,19 +527,18 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
-def test_transform_with_state_lifetime_stats(spark, tmp_path):
-    """Spark 4 transformWithStateInPandas: per-user lifetime stats
-    accumulate in RocksDB-backed ValueState across micro-batches; the
-    last emission per user must equal the batch groupBy aggregate.
+def test_lifetime_stats_stream_accumulates_across_batches(spark, tmp_path):
+    """Per-user lifetime stats accumulate in RocksDB-backed state
+    across micro-batches; the last emission per user must equal the
+    batch groupBy aggregate, and a user touched by two batches must be
+    emitted by both (state carried, not reset).
 
-    Import-gated: the transformWithState state-server protocol speaks
-    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2), and
-    google.protobuf is not installed in this sandbox — the same
-    environment-gate class as the multimodal decoders.  On any
-    protobuf-equipped cluster this test runs for real."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    Drains `user_lifetime_stats_stream(backend='auto')`: on this
+    sandbox that is the applyInPandasWithState backend (the
+    transformWithStateInPandas state-server protocol needs
+    google.protobuf, absent here); on a protobuf-equipped cluster the
+    SAME test exercises the tws backend — the emission contract is
+    identical by construction, so the assertions don't branch."""
     from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
         user_lifetime_stats_stream,
     )
