@@ -989,6 +989,99 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- n-gram novelty / contribution scoring ----------------------------------
+
+
+@register(
+    "ngram_novelty_scores",
+    survey="text-analysis (extension: first-occurrence n-gram novelty — per-doc corpus contribution)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [array_to_string(ws, ' ')] END) AS gram
+    FROM toks
+),
+flagged AS (
+    SELECT doc_id, gram,
+           min(doc_id) OVER (PARTITION BY gram) AS first_doc
+    FROM g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6 + 0.5) / 1e6 AS novelty_frac
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the contribution/attribution score
+    used in corpus valuation and dedup-aware curation: a document's
+    distinct word-3-grams are attributed to the lowest doc_id that
+    contains them (any deterministic total order works — ingestion
+    order in production), and novelty_frac is the fraction of the
+    doc's grams it introduced to the corpus.  A doc whose content is
+    entirely restatement of earlier docs scores ~0 and is a drop
+    candidate even when no single pairwise near-dup clears a
+    threshold — the corpus-level complement of `dedup_*`'s pairwise
+    view and `cross_doc_dup_spans`' coverage view.
+
+    Scale shape: one gram explode, one window min over the gram key
+    (the inverted-index grain — no join-back needed, the first-owner
+    flag rides the same shuffle), one doc-grain aggregate.  No
+    pairwise comparison anywhere; shuffle volume is corpus gram
+    occurrences, the same as every other inverted-index operator
+    here."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size("ws")
+    grams_arr = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i),
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
+    g = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id", F.explode(grams_arr).alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    flagged = g.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            round_stable(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty_frac"),
+        )
+    )
+
+
 # --- Gopher-style repetition flags ------------------------------------------
 
 
