@@ -1665,11 +1665,16 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
     # The span-hash frame feeds BOTH the duplicate-set aggregate and
-    # the join-back; persist it so the tokenize+md5 narrow stage runs
-    # once (at scale: the silver span table written once per run).
+    # the join-back; persist it PARTITIONED BY gram so the
+    # tokenize+md5 narrow stage runs once AND the df-aggregate and the
+    # dup join-back both reuse that one hash(gram) distribution with
+    # no further exchanges (same subset-partitioning move as the
+    # flagship's evidence silver — measured 1.45 s → 0.95 s at sf0.1).
+    # At scale: the silver span table, written bucketed by gram.
     grams = (
         base.select("doc_id", F.explode(gp).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .repartition("gram")
     )
     grams = tracked_persist(grams, "cross_doc_dup_spans.grams")
     dup = (
