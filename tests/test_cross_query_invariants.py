@@ -104,3 +104,26 @@ def test_scd2_versions_cover_every_customer_exactly_once_per_date(spark):
         .collect()[0][0]
     )
     assert snap_total == n_customers
+
+
+def test_ngram_novelty_attribution_semantics(spark, tmp_path):
+    """Hand-computed novelty on a 3-doc corpus: a verbatim repeat of an
+    earlier doc scores 0, a half-overlapping doc scores 0.5, and the
+    corpus-wide sum of n_novel equals the number of distinct grams
+    (every gram is introduced exactly once)."""
+    rows = [
+        (1, "en", "a b c d", 7),   # grams {a b c, b c d} — both novel
+        (2, "en", "a b c d", 7),   # verbatim repeat        — novelty 0
+        (3, "en", "b c d e", 7),   # {b c d (old), c d e}   — novelty 0.5
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["ngram_novelty_scores"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty_frac) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty_frac) == (2, 0, 0.0)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty_frac) == (2, 1, 0.5)
+    assert sum(r.n_novel for r in out.values()) == 3  # distinct grams overall

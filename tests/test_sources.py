@@ -412,3 +412,27 @@ def test_file_bloom_index_skips_files(spark):
         .count()
     )
     assert got == 1
+
+
+def test_bloom_bits_sizing():
+    """~10 bits per expected key per file, next power of two, clamped —
+    and the implied fill fraction at the design point stays under the
+    saturation pin (1−exp(−k·n/m) < 0.5 for m = _bloom_bits_for(n))."""
+    import math
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _BLOOM_FILL_MAX,
+        _BLOOM_K,
+        _bloom_bits_for,
+    )
+
+    assert _bloom_bits_for(0, 16) == 1 << 10          # floor
+    assert _bloom_bits_for(100, 16) == 1 << 10        # 6 keys/file
+    assert _bloom_bits_for(10_000, 16) == 1 << 13     # 625 keys/file → 8192
+    assert _bloom_bits_for(10_000_000, 16) == 1 << 22  # ceiling clamp
+    for n_rows, n_files in ((1_000, 16), (10_000, 16), (1_000_000, 64)):
+        per_file = n_rows // n_files
+        m = _bloom_bits_for(n_rows, n_files)
+        if m < 1 << 22:  # below the clamp the design point must hold
+            fill = 1 - math.exp(-_BLOOM_K * per_file / m)
+            assert fill < _BLOOM_FILL_MAX, (n_rows, n_files, m, fill)

@@ -653,3 +653,23 @@ def test_click_error_outer_join_stream_semantics(spark, tmp_path):
     assert got <= inner | outer
     # outer semantics actually exercised
     assert any(t[2] is None for t in got)
+
+
+def test_lifetime_stats_backend_validation(spark):
+    """Unknown backend is rejected eagerly (before any stream starts);
+    'auto' resolves to the protobuf-gated tws path only when the
+    dependency is importable."""
+    import pytest
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        tws_available,
+        user_lifetime_stats_stream,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(ValueError, match="unknown backend"):
+        user_lifetime_stats_stream(df, backend="bogus")
+    # apiws always constructs (plan-time only; no stream started)
+    assert user_lifetime_stats_stream(df, backend="apiws") is not None
+    if tws_available():
+        assert user_lifetime_stats_stream(df, backend="tws") is not None
