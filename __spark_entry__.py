@@ -39,17 +39,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # extensions — one representative per SURVEY.md §2 area, all
 # oracle-backed.  Everything else follows in registration order and is
 # still covered by tests/test_oracle_parity.py over the full registry.
-# Round-5 rotation: rows-only pca_one_factor_eta (reported `no_oracle`
-# in r4 — M13 stays exact-pinned in tests/test_mllib_parity.py) and
-# three multi-round greens (user_sessionization, sem_bootstrap_ci,
-# grouped_ols — all r4 driver-pass, still pytest-oracle) swapped for
-# four oracle-backed never-driver-run queries: containment_closure_rcte,
-# fuzzy_entity_match, weighted_sample_per_source, domain_token_budget.
+# Round-5 rotation: four multi-round greens (user_sessionization,
+# sem_bootstrap_ci, grouped_ols, signal_summaries — all r4
+# driver-pass, still pytest-oracle) swapped for four oracle-backed
+# never-driver-run queries (containment_closure_rcte,
+# fuzzy_entity_match, weighted_sample_per_source, domain_token_budget).
+# pca_one_factor_eta — r4's one `no_oracle` row — STAYS, now backed by
+# a real DuckDB oracle: the same fixed-200-iteration power method
+# replayed as a recursive CTE (sem_queries._pca_eta_oracle), with the
+# numpy-exact pin still in tests/test_mllib_parity.py.
 _PRIORITY = (
     "org_air_flagship",
     "time_window_census",
     "rolling_window_metrics",
-    "signal_summaries",
+    "pca_one_factor_eta",
     "session_window_rollup",
     "click_error_followups",
     "cohort_retention",

