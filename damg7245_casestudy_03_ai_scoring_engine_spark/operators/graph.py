@@ -8,9 +8,12 @@ groupBy — repeated a fixed number of rounds with lineage-truncating
 checkpoints (same loop discipline as dedup_clusters' connected
 components).
 
-No SQL oracle: iterative float fixpoints aren't portably expressible;
-tests/test_graph.py pins the result against a numpy power iteration
-on the collected adjacency at smoke scale.
+The listing query IS oracle-checked: a fixed iteration count needs no
+recursion, so the DuckDB twin unrolls the same 8 power-method rounds
+as chained aggregate CTEs (see _pagerank_oracle) — the same
+finite-iteration-replay pattern as M13's recursive-CTE eigenvector.
+tests/test_graph.py additionally pins the raw ranks against a numpy
+power iteration on the collected adjacency at smoke scale.
 """
 
 from __future__ import annotations
@@ -73,33 +76,100 @@ def pagerank(edges: DataFrame, damping: float = _DAMPING, iterations: int = _ITE
     return ranks
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB oracle for the PageRank listing — the SAME fixed
+    8-iteration power method, UNROLLED as 8 chained aggregate CTEs
+    (standard SQL forbids aggregation in a recursive term, and a fixed
+    iteration count needs no recursion at all).  Both engines iterate
+    the same operator with sums differing only in accumulation order
+    (~1e-15 relative), and the output is the n-SCALED rank
+    floor-rounded 6dp, so the values — and therefore the
+    rounded-value-ordered top-20 selection — are identical.  Same
+    verification pattern as M13's recursive-CTE power method."""
+    damping, base = _DAMPING, f"(1.0 - {_DAMPING})"
+    steps = []
+    for k in range(1, _ITERATIONS + 1):
+        steps.append(
+            f"""r{k} AS (
+    SELECT e.dst AS node,
+           {base} / nn.n + {damping} * sum(p.rank / e.deg) AS rank
+    FROM r{k - 1} p JOIN ed2 e ON e.src = p.node, nn
+    GROUP BY e.dst, nn.n
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH ed AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 10 = 0
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM ed
+    UNION ALL
+    SELECT supp, cust FROM ed
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed2 AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+{chain},
+scaled AS (
+    SELECT node,
+           CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+           floor(rank * nn.n * 1e6 + 0.5) / 1e6 AS pagerank
+    FROM r{_ITERATIONS}, nn
+)
+SELECT CAST(rk AS INT) AS rk, node, kind, pagerank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY pagerank DESC, node) AS rk
+    FROM scaled
+)
+WHERE rk <= 20
+"""
+
+
 @register(
     "pagerank_top_nodes",
     survey="iterative analytics (extension: PageRank fixpoint)",
-    # rows-only: iterative float fixpoint, no portable SQL twin;
-    # pinned against numpy power iteration in tests/test_graph.py
+    oracle=_pagerank_oracle(),
 )
 def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 transaction-graph nodes by PageRank, tagged customer /
-    supplier — rank rounded to 8dp with node-id tie-break so the
-    listing is stable."""
+    supplier.  The listed value is the n-SCALED rank (1.0 = the
+    uniform-average node), floor-rounded 6dp via round_stable, and the
+    top-20 is selected by the ROUNDED value with node-id tie-break —
+    both choices so the fixed-8-iteration DuckDB oracle (the same
+    power method unrolled as chained aggregate CTEs, see
+    _pagerank_oracle) selects and prints the identical listing.  The
+    exact numpy power-iteration pin stays in tests/test_graph.py."""
     from pyspark.sql import Window
 
+    from ..functions.core import round_stable
+
     ranks = pagerank(transaction_edges(spark, sf_dir))
+    # one driver-side scalar (node count) to scale ranks to O(1);
+    # ranks is checkpoint-backed so the count job is cheap and reused
+    n = ranks.count()
     kind = F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier")).otherwise(
         F.lit("customer")
     )
     # Distributed top-20: TakeOrdered via orderBy+limit, so the global
     # ranking window only numbers the 20 surviving rows.
     top = (
-        ranks.select("node", kind.alias("kind"), F.round("rank", 8).alias("r8"))
-        .orderBy(F.desc("r8"), F.asc("node"))
+        ranks.select(
+            "node",
+            kind.alias("kind"),
+            round_stable(F.col("rank") * F.lit(float(n)), 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(20)
     )
-    w = Window.orderBy(F.desc("r8"), F.asc("node"))
+    w = Window.orderBy(F.desc("pagerank"), F.asc("node"))
     return (
         top.withColumn("rk", F.row_number().over(w).cast("int"))
-        .select("rk", "node", "kind", F.col("r8").alias("pagerank"))
+        .select("rk", "node", "kind", "pagerank")
     )
 
 
