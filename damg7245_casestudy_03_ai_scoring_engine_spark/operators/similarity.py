@@ -1420,3 +1420,190 @@ def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.col("rk").cast("int"))
     )
 
+
+
+# --- deterministic Lloyd k-means (oracle-checked clustering) ----------------
+
+_LLOYD_K = 8
+_LLOYD_ITERS = 5
+_EMB_DIM = 64
+
+
+def _lloyd_oracle() -> str:
+    """DuckDB oracle for deterministic Lloyd k-means — the fixed
+    5-iteration loop UNROLLED as chained CTEs (assignment = row_number
+    over (squared-distance, centroid-id); centroid update = per-(cid,
+    position) avg via a cross-joined index table, re-listed in position
+    order; empty clusters keep their previous centroid).  The same
+    finite-iteration-replay pattern as the M13 power method and the
+    PageRank listing: both engines iterate states differing only in
+    aggregate summation order (~1e-15), and every output is either an
+    exact integer or a single integer-ratio division rounded 6dp, so
+    the value hash is stable."""
+    k, iters, dim = _LLOYD_K, _LLOYD_ITERS, _EMB_DIM
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+    ).format(d=dim)
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""a{t} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {dist}, c.cid
+               ) AS rn
+        FROM pts p, {prev} c
+    ) WHERE rn = 1
+),
+m{t} AS (
+    SELECT a.cid, t.i, avg(a.v[t.i]) AS mu
+    FROM a{t} a, range(1, {dim} + 1) t(i)
+    GROUP BY a.cid, t.i
+),
+n{t} AS (
+    SELECT cid, list(mu ORDER BY i) AS cv FROM m{t} GROUP BY cid
+),
+c{t} AS (
+    SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+    FROM {prev} c LEFT JOIN n{t} n ON c.cid = n.cid
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH pts AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT vec_id AS cid, v AS cv FROM pts WHERE vec_id < {k}
+),
+{chain},
+final AS (
+    SELECT vec_id, label, cid FROM (
+        SELECT p.vec_id, p.label, c.cid,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {dist}, c.cid
+               ) AS rn
+        FROM pts p, {prev} c
+    ) WHERE rn = 1
+),
+lab AS (
+    SELECT cid, label, count(*) AS cnt FROM final GROUP BY cid, label
+),
+maj AS (
+    SELECT cid, label AS majority_label, cnt AS majority_cnt FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY cnt DESC, label
+        ) AS rn FROM lab
+    ) WHERE rn = 1
+),
+sz AS (
+    SELECT cid, count(*) AS n_members FROM final GROUP BY cid
+)
+SELECT s.cid AS cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(m.majority_label AS BIGINT) AS majority_label,
+       floor(m.majority_cnt::DOUBLE / s.n_members * 1e6 + 0.5) / 1e6 AS purity
+FROM sz s JOIN maj m ON s.cid = m.cid
+"""
+
+
+@register(
+    "kmeans_lloyd_deterministic",
+    survey="similarity+ML (extension: oracle-checked deterministic Lloyd k-means)",
+    oracle=_lloyd_oracle(),
+)
+def kmeans_lloyd_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over the corpus
+    embeddings — the oracle-CHECKED counterpart of the MLlib kmeans||
+    twin (`semantic_cluster_topics`, whose sampled init is not
+    engine-replayable): init = the embeddings of the k smallest
+    vec_ids, exactly `_LLOYD_ITERS` assignment/update rounds,
+    assignment argmin broken by centroid id, empty clusters keeping
+    their previous centroid.  Output: per-cluster size, majority
+    ground-truth label, and purity.
+
+    Scale shape: each round is one broadcast of the k×d centroid frame
+    into a crossJoin (k rows — a model, not data), one argmin via
+    min(struct(dist, cid)) with map-side partial aggregation, and one
+    per-(cid, position) avg (posexplode — the element-wise mean as a
+    key-local aggregate, no driver math); `localCheckpoint` truncates
+    the lineage per round exactly like the PageRank/connected-
+    components loops.  The DuckDB oracle replays the identical finite
+    iteration (see _lloyd_oracle)."""
+    from ..functions.core import round_stable
+
+    pts = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    from ..functions.cache import tracked_persist
+
+    pts = tracked_persist(pts, "kmeans_lloyd.pts")
+
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "label", "v", "cid", dist.alias("dist")
+        )
+        # argmin with (dist, cid) tie-break: lexicographic struct min
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("best"),
+                F.first("label").alias("label"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "label", "v", F.col("best.cid").alias("cid"))
+        )
+
+    cent = pts.filter(F.col("vec_id") < _LLOYD_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(_LLOYD_ITERS):
+        a = assign(cent)
+        means = (
+            a.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv_new")
+            )
+        )
+        cent = (
+            cent.join(means, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+
+    final = assign(cent)
+    lab = final.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("label"))
+    maj = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("majority_label"), F.col("cnt").alias("majority_cnt"))
+    )
+    sz = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return sz.join(maj, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("majority_label").cast("bigint").alias("majority_label"),
+        round_stable(
+            F.col("majority_cnt").cast("double") / F.col("n_members").cast("double"), 6
+        ).alias("purity"),
+    )
