@@ -2526,3 +2526,88 @@ FROM lto_customer c, LATERAL (
 WHERE c.c_custkey % 25 = 0
 """
     )
+
+
+@register(
+    "pareto_frontier_orders",
+    survey="W5,O2 (extension: 2-D skyline / Pareto frontier)",
+    oracle=r"""
+WITH o AS (
+    SELECT r.r_name, o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT a.r_name, a.o_orderkey, round(a.o_totalprice, 2) AS total_price,
+       strftime(a.o_orderdate, '%Y-%m-%d') AS order_date
+FROM o a
+WHERE NOT EXISTS (
+    SELECT 1 FROM o b
+    WHERE b.r_name = a.r_name
+      AND b.o_totalprice > a.o_totalprice
+      AND b.o_orderdate > a.o_orderdate
+)
+""",
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region Pareto frontier (2-D skyline) of orders maximizing
+    (total price, recency): an order survives iff no same-region order
+    is strictly better on BOTH axes — the "best trade-off set" query
+    the reference's ranked leaderboards (app/routers/scoring.py:222-241)
+    cannot express.
+
+    The oracle states dominance as NOT EXISTS; executing that shape is
+    an O(n²) per-region self-join, so the Spark plan uses the sorted
+    single-pass equivalence instead: group rows per (region, price) to
+    the group's max date, take the running max of that over strictly
+    higher price groups (window ordered by price DESC, frame ending at
+    -1 excludes the row's own price group), and keep rows whose date
+    is not beaten by it.  One shuffle per side keyed on
+    (r_name, o_totalprice), a per-region sort, and a broadcast-sized
+    frontier join back — no pairwise blow-up at any scale.  Group-by
+    price makes the window's order total (no duplicate sort keys), so
+    the result is deterministic and tie-pairs (equal on both axes)
+    all survive, matching strict-dominance NOT EXISTS semantics
+    exactly.  At 100 TB the per-region sort dominates; a local
+    per-partition skyline pre-prune (locally dominated ⇒ globally
+    dominated) composes in front of this plan unchanged.  Dates stay
+    TIMESTAMP_NTZ end to end (ordering is timezone-free); the output
+    carries the calendar form.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    g = base.groupBy("r_name", "o_totalprice").agg(
+        F.max("o_orderdate").alias("gmax")
+    )
+    w = (
+        Window.partitionBy("r_name")
+        .orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = (
+        g.withColumn("prev_max", F.max("gmax").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("gmax")))
+        .select("r_name", "o_totalprice", "prev_max")
+    )
+    return (
+        base.join(frontier_prices, ["r_name", "o_totalprice"])
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") <= F.col("o_orderdate"))
+        )
+        .select(
+            "r_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )

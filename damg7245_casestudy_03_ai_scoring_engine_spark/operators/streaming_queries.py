@@ -817,3 +817,165 @@ def click_error_outer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clean_clicks"),
         F.count("error_id").alias("n_followup_errors"),
     )
+
+
+_DAY_NS = 86_400 * 1_000_000_000
+
+
+def daily_peak_concurrency(sess: DataFrame) -> DataFrame:
+    """Sweep-line interval concurrency over (session_start_ns,
+    session_end_ns) intervals: per day, the max number of
+    simultaneously open intervals, plus how many started that day.
+
+    +1/-1 boundary deltas are collapsed per distinct timestamp (so the
+    prefix sum is total-ordered and adjacent end==start intervals net
+    to zero — "touching" is not "overlapping"), then the global prefix
+    sum is decomposed distributed-scan style: an intra-day running sum
+    windowed by day_ns plus a per-day carry (running sum of whole-day
+    totals over the tiny O(#days) frame — the sole unpartitioned
+    window, ~36k rows per century) broadcast back onto the day
+    partitions.  A session spanning days contributes to the
+    in-between days through its carry.  Output days are those with at
+    least one interval boundary."""
+    from pyspark.sql import Window
+
+    deltas = sess.select(
+        F.col("session_start_ns").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select(F.col("session_end_ns").alias("t"), F.lit(-1).alias("d")))
+    net = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").cast("long").alias("net"))
+        .withColumn("day_ns", F.col("t") - F.col("t") % F.lit(_DAY_NS))
+    )
+    intra_w = (
+        Window.partitionBy("day_ns")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = net.withColumn("intra", F.sum("net").over(intra_w))
+    daily = net.groupBy("day_ns").agg(F.sum("net").alias("day_total"))
+    # O(#days) frame: the sole unpartitioned window, by construction tiny.
+    carry_w = Window.orderBy("day_ns").rowsBetween(Window.unboundedPreceding, -1)
+    carry = daily.select(
+        "day_ns",
+        F.coalesce(F.sum("day_total").over(carry_w), F.lit(0))
+        .cast("long")
+        .alias("carry"),
+    )
+    conc = F.col("carry") + F.col("intra")
+    # greatest(conc, conc - net) also scores the level BEFORE each row —
+    # for a day's first row that is the carry-in, so a day whose only
+    # boundary is a session END still reports the open-session level.
+    peaks = (
+        intra.join(F.broadcast(carry), "day_ns")
+        .groupBy("day_ns")
+        .agg(
+            F.max(F.greatest(conc, conc - F.col("net")))
+            .cast("long")
+            .alias("peak_concurrency")
+        )
+    )
+    starts = sess.groupBy(
+        (
+            F.col("session_start_ns") - F.col("session_start_ns") % F.lit(_DAY_NS)
+        ).alias("day_ns")
+    ).agg(F.count(F.lit(1)).cast("long").alias("sessions_started"))
+    return peaks.join(starts, "day_ns", "left").select(
+        "day_ns",
+        "peak_concurrency",
+        F.coalesce("sessions_started", F.lit(0)).cast("long").alias("sessions_started"),
+    )
+
+
+@register(
+    "max_concurrent_sessions",
+    survey="W5,§2.10 (extension: sweep-line interval concurrency)",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, epoch_ns(ts) AS ts,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL OR ts - prev_ts > {SESSION_GAP_NS}
+                THEN 1 ELSE 0 END AS is_new
+    FROM o
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS grp
+    FROM f
+),
+sess AS (
+    SELECT min(ts) AS start_ns, max(ts) + {SESSION_GAP_NS} AS end_ns
+    FROM s GROUP BY user_id, grp
+),
+deltas AS (
+    SELECT start_ns AS t, 1 AS d FROM sess
+    UNION ALL
+    SELECT end_ns AS t, -1 AS d FROM sess
+),
+net AS (
+    SELECT t, CAST(sum(d) AS BIGINT) AS net FROM deltas GROUP BY t
+),
+run AS (
+    SELECT t - t % {_DAY_NS} AS day_ns, net,
+           CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+    FROM net
+),
+peaks AS (
+    -- greatest(conc, conc - net) also scores the level BEFORE each row:
+    -- for a day's first row that is the carry-in, so a day whose only
+    -- boundary is a session END still reports the open-session level.
+    SELECT day_ns, CAST(max(greatest(conc, conc - net)) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day_ns
+),
+starts AS (
+    SELECT start_ns - start_ns % {_DAY_NS} AS day_ns,
+           CAST(count(*) AS BIGINT) AS sessions_started
+    FROM sess GROUP BY 1
+)
+SELECT p.day_ns, p.peak_concurrency,
+       CAST(coalesce(s.sessions_started, 0) AS BIGINT) AS sessions_started
+FROM peaks p LEFT JOIN starts s USING (day_ns)
+""",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval-
+    concurrency aggregate (capacity planning / license auditing over
+    the reference's session data, a family none of the existing
+    window queries covers).
+
+    Each 30-min-gap session (shared `session_window_rollup` semantics)
+    becomes a +1 event at its start and a -1 at its end; concurrency
+    at any instant is the prefix sum of those deltas in time order,
+    and the answer is the per-day max of that prefix.  Collapsing
+    deltas per distinct timestamp first makes the prefix sum
+    total-ordered (no tie ambiguity: simultaneous end+start nets to
+    zero, which equals the ends-before-starts reading that adjacent
+    sessions do not overlap).
+
+    Scale shape: a GLOBAL prefix sum would be one task, so it is
+    decomposed as textbook distributed scan: (1) an intra-day running
+    sum windowed BY day (shuffles on day_ns, sorts within day), plus
+    (2) a per-day carry — the running sum of whole-day totals over the
+    tiny O(#days) frame (the only single-partition window; ~36k rows
+    per century, documented bound), broadcast back onto the day
+    partitions.  Output days are those with at least one session
+    boundary; a multi-day-spanning session contributes its carry to
+    the days between its endpoints via (2).  All-integer output — no
+    float-hygiene exposure.
+    """
+    from ..functions.cache import tracked_persist
+    from ..streaming.jobs import session_window_rollup
+
+    sess = tracked_persist(
+        session_window_rollup(load(spark, sf_dir, "events")).select(
+            "session_start_ns", "session_end_ns"
+        ),
+        "concurrency_sessions",
+    )
+    return daily_peak_concurrency(sess)

@@ -127,3 +127,83 @@ def test_ngram_novelty_attribution_semantics(spark, tmp_path):
     assert (out[2].n_grams, out[2].n_novel, out[2].novelty_frac) == (2, 0, 0.0)
     assert (out[3].n_grams, out[3].n_novel, out[3].novelty_frac) == (2, 1, 0.5)
     assert sum(r.n_novel for r in out.values()) == 3  # distinct grams overall
+
+
+def test_daily_peak_concurrency_semantics(spark):
+    """Synthetic intervals pin the sweep-line edge rules: overlap
+    counts, end==start adjacency does NOT overlap, and a multi-day
+    interval carries concurrency into days where it has no boundary
+    events (via the day-carry decomposition)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.streaming_queries import (
+        _DAY_NS,
+        daily_peak_concurrency,
+    )
+
+    H = 3_600 * 1_000_000_000
+    d0, d1, d2 = 100 * _DAY_NS, 101 * _DAY_NS, 102 * _DAY_NS
+    sess = spark.createDataFrame(
+        [
+            # day 0: three overlapping at 02:00-03:00
+            (d0 + 1 * H, d0 + 4 * H),
+            (d0 + 2 * H, d0 + 5 * H),
+            (d0 + 2 * H, d0 + 3 * H),
+            # adjacent pair: second starts EXACTLY when first ends
+            (d0 + 10 * H, d0 + 11 * H),
+            (d0 + 11 * H, d0 + 12 * H),
+            # spans day 0 23:00 -> day 2 01:00 (no boundary inside day 1)
+            (d0 + 23 * H, d2 + 1 * H),
+        ],
+        "session_start_ns long, session_end_ns long",
+    )
+    got = {
+        r["day_ns"]: (r["peak_concurrency"], r["sessions_started"])
+        for r in daily_peak_concurrency(sess).collect()
+    }
+    assert got[d0] == (3, 6)  # triple overlap peaks at 3; all 6 start day 0
+    # day 1 has no boundaries at all -> no output row, carry keeps day 2 right
+    assert d1 not in got
+    assert got[d2] == (1, 0)  # the spanning session is still open, none start
+    # adjacency check rides inside day 0's peak: had end==start counted as
+    # overlap, the 10:00-12:00 pair would peak at 2 but the triple still
+    # dominates — so pin it directly on an isolated frame too:
+    adj = spark.createDataFrame(
+        [(d1 + 1 * H, d1 + 2 * H), (d1 + 2 * H, d1 + 3 * H)],
+        "session_start_ns long, session_end_ns long",
+    )
+    adj_got = daily_peak_concurrency(adj).collect()
+    assert len(adj_got) == 1 and adj_got[0]["peak_concurrency"] == 1
+
+
+def test_pareto_frontier_strict_dominance(spark):
+    """Frontier members are exactly the non-strictly-dominated orders;
+    ties on both axes all survive (strict dominance cannot separate
+    them) — cross-checked against a brute-force python skyline."""
+    from conftest import SF_SMOKE
+
+    rows = REGISTRY["pareto_frontier_orders"].fn(spark, SF_SMOKE).collect()
+    got = {(r["r_name"], r["o_orderkey"]) for r in rows}
+
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer")
+    n = load(spark, SF_SMOKE, "nation")
+    r = load(spark, SF_SMOKE, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("r_name", "o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    by_region: dict = {}
+    for row in base:
+        by_region.setdefault(row["r_name"], []).append(row)
+    expect = set()
+    for reg, rows_ in by_region.items():
+        for a in rows_:
+            if not any(
+                b["o_totalprice"] > a["o_totalprice"]
+                and b["o_orderdate"] > a["o_orderdate"]
+                for b in rows_
+            ):
+                expect.add((reg, a["o_orderkey"]))
+    assert got == expect
