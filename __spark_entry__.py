@@ -78,14 +78,14 @@ _PRIORITY = (
     "binaryfile_artifact_scan",
     "pagination_keyset",
     "merge_upsert_balances",
-    "versioned_snapshot_diff",
     "scd2_apply",
+    "max_concurrent_sessions",
     "bucketed_colocated_join",
     "zorder_layout_scan",
     "dynamic_partition_pruned_join",
     "dedup_minhash_lsh",
     "semantic_dedup",
-    "dedup_ngram_jaccard",
+    "pareto_frontier_orders",
     "dedup_containment_prefix",
     "decontaminate_ngram_overlap",
     "gopher_repetition_flags",
