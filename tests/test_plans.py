@@ -680,3 +680,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skyline_preprune_adds_no_exchange(spark):
+    """The batch-local skyline prune is a NARROW stage: the pre-pruned
+    twin's plan has a MapInPandas and exactly the same exchange count
+    as the unpruned skyline — the prune rides inside existing stages."""
+    pruned = explain_str(_plan(spark, "pareto_frontier_prepruned"))
+    plain = explain_str(_plan(spark, "pareto_frontier_orders"))
+    assert "MapInPandas" in pruned and "MapInPandas" not in plain
+    assert pruned.count("Exchange") == plain.count("Exchange")
+
+
+def test_skyline_preprune_output_identical(spark):
+    """Locally dominated ⇒ globally dominated: the pre-pruned twin
+    returns exactly the unpruned frontier."""
+    a = {tuple(r) for r in _plan(spark, "pareto_frontier_orders").collect()}
+    b = {tuple(r) for r in _plan(spark, "pareto_frontier_prepruned").collect()}
+    assert a == b and len(a) > 0
