@@ -2714,3 +2714,101 @@ def pareto_frontier_prepruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
     )
+
+
+_ALLOC_BUDGET = 10_000  # units to apportion within each region
+
+
+@register(
+    "largest_remainder_allocation",
+    survey="W5,A2 (extension: exact Hamilton largest-remainder apportionment)",
+    oracle=f"""
+WITH rev AS (
+    SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+    FROM orders GROUP BY o_custkey
+),
+j AS (
+    SELECT r.r_name, rev.o_custkey, rev.w
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+t AS (
+    SELECT r_name, o_custkey, w,
+           CAST(sum(w) OVER (PARTITION BY r_name) AS BIGINT) AS tot
+    FROM j
+),
+b AS (
+    SELECT r_name, o_custkey, w, tot,
+           ({_ALLOC_BUDGET} * w) // tot AS base,
+           {_ALLOC_BUDGET} * w - (({_ALLOC_BUDGET} * w) // tot) * tot AS rem
+    FROM t
+),
+rk AS (
+    SELECT r_name, o_custkey, base, rem,
+           row_number() OVER (PARTITION BY r_name ORDER BY rem DESC, o_custkey) AS rn,
+           CAST({_ALLOC_BUDGET} - sum(base) OVER (PARTITION BY r_name) AS BIGINT) AS leftover
+    FROM b
+)
+SELECT r_name, o_custkey,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_units
+FROM rk
+""",
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional apportionment: split an integer budget of
+    10,000 units per region across its customers proportional to order
+    revenue via the Hamilton largest-remainder method — floor the
+    exact shares, then hand the leftover units to the largest integer
+    remainders (tie-broken by custkey, total order on both engines).
+    The quota/budget/sampling-allocation primitive a float division
+    cannot do: every arithmetic step is int64 (revenue as exact cents,
+    `div` for the floor, remainder as B*w - base*tot), so per-region
+    allocations sum to EXACTLY the budget — pinned in
+    tests/test_cross_query_invariants.py — and cross-engine hash
+    parity is trivially bit-stable.
+
+    Scale shape: one groupBy on the customer key, dim joins broadcast,
+    then three analytic functions over the SAME region partitioning —
+    Catalyst plans a single WindowExec sort per region; no global
+    structure anywhere.
+    """
+    B = _ALLOC_BUDGET
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("w")
+    )
+    j = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "o_custkey", "w")
+    )
+    by_region = Window.partitionBy("r_name")
+    t = j.withColumn("tot", F.sum("w").over(by_region))
+    b = t.select(
+        "r_name",
+        "o_custkey",
+        F.expr(f"({B} * w) div tot").alias("base"),
+        F.expr(f"{B} * w - (({B} * w) div tot) * tot").alias("rem"),
+    )
+    rk = b.select(
+        "r_name",
+        "o_custkey",
+        "base",
+        F.row_number()
+        .over(by_region.orderBy(F.desc("rem"), F.asc("o_custkey")))
+        .alias("rn"),
+        (F.lit(B) - F.sum("base").over(by_region)).alias("leftover"),
+    )
+    return rk.select(
+        "r_name",
+        "o_custkey",
+        (F.col("base") + (F.col("rn") <= F.col("leftover")).cast("long"))
+        .cast("long")
+        .alias("alloc_units"),
+    )

