@@ -979,3 +979,181 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concurrency_sessions",
     )
     return daily_peak_concurrency(sess)
+
+
+_ISLAND_LEN_NS = 900 * 1_000_000_000  # each event opens a 15-min activity interval
+
+
+@register(
+    "interval_islands_coverage",
+    survey="W5 (extension: gaps-and-islands interval merge / coverage)",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id, epoch_ns(ts) AS s, epoch_ns(ts) + {_ISLAND_LEN_NS} AS e
+    FROM events
+),
+fl AS (
+    SELECT user_id, s, e,
+           max(e) OVER (
+               PARTITION BY user_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM iv
+),
+grp AS (
+    SELECT user_id, s, e,
+           CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS island
+    FROM fl
+),
+isl AS (
+    SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_ns,
+       CAST(max(i_end - i_start) AS BIGINT) AS longest_island_ns
+FROM isl GROUP BY user_id
+""",
+)
+def interval_islands_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: every event opens a 15-minute
+    activity interval; overlapping/touching intervals per user are
+    merged into islands and the per-user coverage is reported (island
+    count, total covered time, longest island).  This is the classic
+    set-union-of-intervals aggregate (uptime/SLA coverage, sensor
+    on-time) that a plain groupBy cannot express — the reference's
+    session windows (SURVEY §2.10) give gap-based sessions; this is
+    the complementary union-length form.
+
+    Algorithm: per user ordered by start, an interval begins a new
+    island iff its start exceeds the running max of all previous ends
+    (prefix max over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING); the
+    running sum of those flags is the island id.  Tied starts carry
+    identical (s, e) pairs (e = s + const), so frame order among ties
+    cannot change any prefix max — deterministic on both engines.
+
+    Scale shape: ONE exchange — the user-partitioned window sort; the
+    island groupBy clusters on (user_id, island), a superset of the
+    window's HashPartitioning(user_id), and the final per-user rollup
+    likewise, so both aggregate shuffle-free.  All-integer ns output —
+    no float-hygiene exposure.
+    """
+    from pyspark.sql import Window
+
+    iv = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.lit(_ISLAND_LEN_NS)).alias("e"),
+        )
+    )
+    by_user = Window.partitionBy("user_id").orderBy("s")
+    prev_max = F.max("e").over(by_user.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    grp = flagged.withColumn(
+        "island",
+        F.sum("is_new")
+        .over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_ns"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("longest_island_ns"),
+    )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    survey="W5,F14 (extension: calendar-spine resample + LOCF forward fill)",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS day_q4
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT user_id, unnest(range(d0, d1 + 1)) AS day_idx FROM span
+),
+j AS (
+    SELECT s.user_id, s.day_idx, d.day_q4
+    FROM spine s LEFT JOIN daily d USING (user_id, day_idx)
+)
+SELECT user_id, day_idx,
+       CAST(last_value(day_q4 IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day_idx ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS filled_q4,
+       CAST(CASE WHEN day_q4 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
+FROM j
+""",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine resample with last-observation-carried-forward:
+    each user's daily value total (per-row quantized to 1e-4 units, so
+    the sum is exact int64) is densified to EVERY day in that user's
+    own [first, last] span, with missing days filled by the previous
+    observed day's value — the standard time-series regularization
+    step before any rolling/seasonal model.
+
+    The Spark plan avoids the textbook spine-build + left-join +
+    IGNORE NULLS window entirely (the oracle keeps that independent
+    formulation): after the daily aggregate, `lead(day_idx)` gives
+    each observed day its gap length, and one partition-local
+    `explode(sequence(day, next_day - 1))` emits the filled rows
+    carrying the observed value — LOCF by construction, no join and
+    no second window.
+
+    Scale shape: ONE exchange — `repartition(user_id)` feeds the
+    (user, day) groupBy (subset-key clustering), the lead window, and
+    the explode, all co-partitioned; the explode is narrow.  Fill
+    volume is bounded by per-user span days (retention-window bound
+    at 100 TB; a pathological single hot user is an AQE-skew case,
+    not a plan change).
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"ts div {_DAY_NS}").alias("day_idx"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    daily = (
+        e.repartition("user_id")
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("vq").alias("day_q4"))
+    )
+    nxt = F.lead("day_idx").over(
+        Window.partitionBy("user_id").orderBy("day_idx")
+    )
+    filled = daily.withColumn("next_day", nxt).select(
+        "user_id",
+        "day_idx",
+        "day_q4",
+        F.explode(
+            F.sequence(
+                F.col("day_idx"),
+                F.coalesce(F.col("next_day") - 1, F.col("day_idx")),
+            )
+        ).alias("fill_day"),
+    )
+    return filled.select(
+        "user_id",
+        F.col("fill_day").alias("day_idx"),
+        F.col("day_q4").alias("filled_q4"),
+        (F.col("fill_day") == F.col("day_idx")).cast("long").alias("is_observed"),
+    )

@@ -227,3 +227,60 @@ def test_largest_remainder_allocation_is_exact(spark):
     for reg, allocs in by_region.items():
         assert sum(allocs) == _ALLOC_BUDGET, reg
         assert min(allocs) >= 0
+
+
+def test_interval_islands_conservation(spark):
+    """Island coverage laws vs the raw events: per user the merged
+    coverage is bounded by [one interval, n_events intervals], each
+    island is at least one interval long, and the longest island never
+    exceeds the total coverage."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.streaming_queries import (
+        _ISLAND_LEN_NS,
+    )
+
+    per_user_events = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = REGISTRY["interval_islands_coverage"].fn(spark, SF_SMOKE).collect()
+    assert set(per_user_events) == {r["user_id"] for r in rows}
+    for r in rows:
+        n = per_user_events[r["user_id"]]
+        assert 1 <= r["n_islands"] <= n
+        assert r["n_islands"] * _ISLAND_LEN_NS <= r["covered_ns"] <= n * _ISLAND_LEN_NS
+        assert _ISLAND_LEN_NS <= r["longest_island_ns"] <= r["covered_ns"]
+
+
+def test_gapfill_locf_spine_is_dense_and_conserves_observed(spark):
+    """LOCF output covers each user's [first, last] day span with NO
+    holes, observed-day count equals the raw distinct (user, day)
+    count, and every filled value equals the latest preceding observed
+    value (spot-checked per user via a python replay)."""
+    rows = REGISTRY["timeseries_gapfill_locf"].fn(spark, SF_SMOKE).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    raw = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", F.expr("ts div 86400000000000").alias("d"))
+        .distinct()
+        .collect()
+    )
+    observed = {}
+    for r in raw:
+        observed.setdefault(r["user_id"], set()).add(r["d"])
+    assert set(by_user) == set(observed)
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: r["day_idx"])
+        days = [r["day_idx"] for r in urows]
+        assert days == list(range(days[0], days[-1] + 1)), uid
+        got_observed = {r["day_idx"] for r in urows if r["is_observed"] == 1}
+        assert got_observed == observed[uid], uid
+        last = None
+        for r in urows:
+            if r["is_observed"] == 1:
+                last = r["filled_q4"]
+            assert r["filled_q4"] == last, (uid, r["day_idx"])
