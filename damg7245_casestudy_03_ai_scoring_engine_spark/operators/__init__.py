@@ -19,3 +19,4 @@ from . import sem_queries  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
 from . import entity  # noqa: F401,E402
+from . import spatial  # noqa: F401,E402

@@ -284,3 +284,37 @@ def test_gapfill_locf_spine_is_dense_and_conserves_observed(spark):
             if r["is_observed"] == 1:
                 last = r["filled_q4"]
             assert r["filled_q4"] == last, (uid, r["day_idx"])
+
+
+def test_spatial_blocking_agrees_with_bruteforce(spark):
+    """The 9-cell blocked radius join finds EXACTLY the pairs a python
+    brute force over the same derived points finds, and the
+    nearest-neighbor query's choice is the true argmin per key."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.spatial import (
+        _R2,
+        _points,
+    )
+
+    pts = {r["k"]: (r["x"], r["y"]) for r in _points(spark, SF_SMOKE).collect()}
+    expect = {}
+    for a, (xa, ya) in pts.items():
+        for b, (xb, yb) in pts.items():
+            if a < b:
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= _R2:
+                    expect[(a, b)] = d2
+    got = {
+        (r["custkey_a"], r["custkey_b"]): r["dist2"]
+        for r in REGISTRY["spatial_radius_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    nn = {
+        r["custkey"]: (r["dist2"], r["nearest_custkey"])
+        for r in REGISTRY["spatial_nearest_neighbor"].fn(spark, SF_SMOKE).collect()
+    }
+    best: dict = {}
+    for (a, b), d2 in expect.items():
+        for k, o in ((a, b), (b, a)):
+            if k not in best or (d2, o) < best[k]:
+                best[k] = (d2, o)
+    assert nn == best

@@ -698,3 +698,13 @@ def test_skyline_preprune_output_identical(spark):
     a = {tuple(r) for r in _plan(spark, "pareto_frontier_orders").collect()}
     b = {tuple(r) for r in _plan(spark, "pareto_frontier_prepruned").collect()}
     assert a == b and len(a) > 0
+
+
+def test_spatial_radius_join_blocks_on_cells_no_cross(spark):
+    """The spatial radius join must be an EQUI-join on grid-cell keys
+    (the 100 TB contract) — never a cartesian/nested-loop pair
+    enumeration, even though its oracle is the brute-force O(n²)."""
+    s = explain_str(_plan(spark, "spatial_radius_join"))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    s2 = explain_str(_plan(spark, "spatial_nearest_neighbor"))
+    assert "CartesianProduct" not in s2 and "BroadcastNestedLoopJoin" not in s2
