@@ -2812,3 +2812,183 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_units"),
     )
+
+
+_DHONDT_SEATS = 100  # seats to award across nations
+
+
+@register(
+    "dhondt_apportionment",
+    survey="W5,A2 (extension: D'Hondt highest-averages apportionment)",
+    oracle=f"""
+WITH votes AS (
+    SELECT n.n_nationkey, n.n_name, CAST(count(*) AS BIGINT) AS v
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+),
+q AS (
+    SELECT n_nationkey, v, i.i AS i, CAST(v AS DOUBLE) / i.i AS quot
+    FROM votes, (SELECT unnest(range(1, {_DHONDT_SEATS} + 1)) AS i) i
+),
+rk AS (
+    SELECT n_nationkey,
+           row_number() OVER (ORDER BY quot DESC, n_nationkey, i) AS rn
+    FROM q
+),
+won AS (
+    SELECT n_nationkey, CAST(count(*) AS BIGINT) AS seats
+    FROM rk WHERE rn <= {_DHONDT_SEATS} GROUP BY 1
+)
+SELECT v.n_name, CAST(coalesce(w.seats, 0) AS BIGINT) AS seats
+FROM votes v LEFT JOIN won w USING (n_nationkey)
+""",
+)
+def dhondt_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt highest-averages apportionment: award 100 seats across
+    nations proportional to their order counts by repeatedly granting
+    the next seat to the party with the highest v/s quotient — the
+    divisor-method complement to `largest_remainder_allocation`
+    (Hamilton), the other canonical integer-apportionment family
+    (quota methods vs divisor methods; D'Hondt avoids the Alabama
+    paradox that Hamilton admits).
+
+    The sequential "repeatedly grant" loop is flattened into one
+    declarative plan: party p wins seat k iff v_p/k ranks in the
+    global top-100 of ALL quotients v/i (i = 1..100) — so seats =
+    per-party count of top-ranked quotients.  The double quotient is
+    only an ORDER BY key (never output); equal rationals produce
+    bit-equal doubles on both engines and the (quot, party, i)
+    tie-break is a total order, so the ranking is deterministic.
+
+    Scale shape: the heavy part is the vote count (groupBy on the
+    fact); the quotient explode and global rank run over
+    #parties × #seats rows — dimension-scale by construction (the
+    single-partition ranking window is bounded by that product, like
+    the day-carry in max_concurrent_sessions).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    votes = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    q = votes.select(
+        "n_nationkey",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(_DHONDT_SEATS))).alias("i"),
+    ).withColumn("quot", F.col("v").cast("double") / F.col("i"))
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("quot"), F.asc("n_nationkey"), F.asc("i"))
+    )
+    won = (
+        q.withColumn("rn", rn)
+        .filter(F.col("rn") <= _DHONDT_SEATS)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("seats"))
+    )
+    return (
+        votes.join(won, "n_nationkey", "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("seats"), F.lit(0)).cast("long").alias("seats"),
+        )
+    )
+
+
+@register(
+    "gini_concentration",
+    survey="A9,A18 (extension: Gini inequality coefficient per region)",
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+    FROM orders GROUP BY 1
+),
+j AS (
+    SELECT r.r_name, rev.o_custkey, rev.w
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+rk AS (
+    SELECT r_name, w,
+           row_number() OVER (PARTITION BY r_name ORDER BY w, o_custkey) AS i
+    FROM j
+),
+agg AS (
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS s0,
+           CAST(sum(i * w) AS BIGINT) AS s1
+    FROM rk GROUP BY 1
+)
+SELECT r_name,
+       n AS n_customers,
+       CAST(2 * s1 - (n + 1) * s0 AS BIGINT) AS gini_num,
+       CAST(n * s0 AS BIGINT) AS gini_den,
+       floor(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / CAST(n * s0 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gini
+FROM agg
+""",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region Gini coefficient of customer revenue — the
+    inequality measure that complements the HHI family (A9): HHI
+    answers "how concentrated are the top shares", Gini answers "how
+    unequal is the whole distribution".
+
+    Uses the exact rank formulation G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted revenue: every term is int64 on exact-cents
+    revenue with a (w, custkey) total-order rank, so numerator and
+    denominator are bit-exact cross-engine; the display double is ONE
+    final IEEE division through round_stable(6).  (At extreme
+    populations Σi·x grows ~n²·x̄ — the int64 carrier holds to ~1e6
+    customers per region at these magnitudes; beyond that the same
+    query runs with a decimal(38,0) carrier, per the
+    monthly_revenue_trend pattern.)
+
+    Scale shape: custkey groupBy, broadcast dim joins, ONE
+    region-partitioned window sort for the ranks, and a final
+    region rollup on the window's own partitioning.
+    """
+    from ..functions.core import round_stable
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("w")
+    )
+    j = (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "o_custkey", "w")
+    )
+    rk = j.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("r_name").orderBy(F.asc("w"), F.asc("o_custkey"))
+        ),
+    )
+    agg = rk.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s0"),
+        F.sum(F.col("i") * F.col("w")).alias("s1"),
+    )
+    num = F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s0")
+    den = F.col("n") * F.col("s0")
+    return agg.select(
+        "r_name",
+        F.col("n").alias("n_customers"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        round_stable(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )

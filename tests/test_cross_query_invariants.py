@@ -318,3 +318,80 @@ def test_spatial_blocking_agrees_with_bruteforce(spark):
             if k not in best or (d2, o) < best[k]:
                 best[k] = (d2, o)
     assert nn == best
+
+
+def test_dhondt_matches_sequential_grant_replay(spark):
+    """The flattened top-k-of-quotients formulation must equal the
+    textbook SEQUENTIAL D'Hondt loop (grant each next seat to the
+    party with the highest v/(s+1), ties to the lower party key) —
+    and seats must sum to exactly the house size."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.relational import (
+        _DHONDT_SEATS,
+    )
+
+    votes = {
+        (r["n_nationkey"], r["n_name"]): r["v"]
+        for r in load(spark, SF_SMOKE, "orders")
+        .join(
+            load(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load(spark, SF_SMOKE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    }
+    seats = {k: 0 for k in votes}
+    for _ in range(_DHONDT_SEATS):
+        winner = max(
+            seats, key=lambda k: (votes[k] / (seats[k] + 1), -k[0])
+        )
+        seats[winner] += 1
+    expect = {name: s for (_, name), s in seats.items()}
+    got = {
+        r["n_name"]: r["seats"]
+        for r in REGISTRY["dhondt_apportionment"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == _DHONDT_SEATS
+
+
+def test_gini_matches_python_and_is_bounded(spark):
+    """Gini output equals the exact python rank-formula on the same
+    cents data and lies in [0, 1)."""
+    rows = REGISTRY["gini_concentration"].fn(spark, SF_SMOKE).collect()
+    rev = (
+        load(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("w"))
+        .join(
+            load(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load(spark, SF_SMOKE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load(spark, SF_SMOKE, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", "o_custkey", "w")
+        .collect()
+    )
+    by_region: dict = {}
+    for r in rev:
+        by_region.setdefault(r["r_name"], []).append((r["w"], r["o_custkey"]))
+    assert {r["r_name"] for r in rows} == set(by_region)
+    for row in rows:
+        xs = sorted(by_region[row["r_name"]])
+        n = len(xs)
+        s0 = sum(w for w, _ in xs)
+        s1 = sum((i + 1) * w for i, (w, _) in enumerate(xs))
+        assert row["n_customers"] == n
+        assert row["gini_num"] == 2 * s1 - (n + 1) * s0
+        assert row["gini_den"] == n * s0
+        assert 0.0 <= row["gini"] < 1.0
