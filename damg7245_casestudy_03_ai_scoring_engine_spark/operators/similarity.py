@@ -1607,3 +1607,90 @@ def kmeans_lloyd_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("majority_cnt").cast("double") / F.col("n_members").cast("double"), 6
         ).alias("purity"),
     )
+
+
+@register(
+    "mutual_nn_pairs",
+    survey="similarity (extension: reciprocal best match / mutual nearest neighbors)",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+cand AS (
+    SELECT a.vec_id AS k, b.vec_id AS nb,
+           round(CASE WHEN sqrt(list_dot_product(a.ev, a.ev)) > 0
+                       AND sqrt(list_dot_product(b.ev, b.ev)) > 0
+                      THEN list_dot_product(a.ev, b.ev)
+                           / (sqrt(list_dot_product(a.ev, a.ev))
+                              * sqrt(list_dot_product(b.ev, b.ev)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT k, nb, cosine,
+           row_number() OVER (PARTITION BY k ORDER BY cosine DESC, nb) AS rn
+    FROM cand
+),
+nn AS (SELECT k, nb, cosine FROM rk WHERE rn = 1)
+SELECT x.k AS vec_id_a, x.nb AS vec_id_b, x.cosine AS cosine
+FROM nn x JOIN nn y ON x.nb = y.k AND y.nb = x.k
+WHERE x.k < x.nb
+""",
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches: pairs (a, b) where b is a's single
+    nearest neighbour by cosine AND a is b's — the standard
+    high-precision pairing rule for entity alignment / bitext mining
+    / canonical-duplicate selection (mutual-NN filters out hub
+    vectors that are "everyone's neighbour" but reciprocate nothing).
+
+    Candidates are blocked by the cluster label (the SemDeDup
+    blocking contract: near-duplicates share a cluster), so the
+    pair enumeration is a label equi-join — per-block quadratic,
+    never corpus-quadratic; with learned clusters the same plan runs
+    off `semantic_cluster_topics`' kmeans assignment.  Ranking uses
+    the 6dp-rounded cosine + id tie-break (established
+    engine-deterministic contract from ann_topk_bruteforce), and the
+    mutuality check is a self-join of the per-key argmin — two hash
+    joins, no second distance pass (cosine(a,b) == cosine(b,a)).
+    """
+    v = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "label", "embedding"
+    )
+    a = v.select(
+        F.col("vec_id").alias("k"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("av"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("bv"),
+    )
+    cand = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("k") != F.col("nb")))
+        .select(
+            "k",
+            "nb",
+            F.round(cosine_similarity("av", "bv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("cosine"), F.asc("nb"))
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "nb", "cosine")
+    )
+    other = nn.select(F.col("k").alias("yk"), F.col("nb").alias("ynb"))
+    return (
+        nn.join(
+            other,
+            (F.col("nb") == F.col("yk")) & (F.col("ynb") == F.col("k")),
+        )
+        .filter(F.col("k") < F.col("nb"))
+        .select(
+            F.col("k").alias("vec_id_a"),
+            F.col("nb").alias("vec_id_b"),
+            "cosine",
+        )
+    )

@@ -395,3 +395,22 @@ def test_gini_matches_python_and_is_bounded(spark):
         assert row["gini_num"] == 2 * s1 - (n + 1) * s0
         assert row["gini_den"] == n * s0
         assert 0.0 <= row["gini"] < 1.0
+
+
+def test_mutual_nn_is_a_matching(spark):
+    """Mutual-NN pairs form a partial MATCHING: a vector's nearest
+    neighbour is unique, so no vec_id can appear in two pairs; and
+    every pair must share a label block."""
+    rows = REGISTRY["mutual_nn_pairs"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    seen: list = []
+    for r in rows:
+        assert r["vec_id_a"] < r["vec_id_b"]
+        seen += [r["vec_id_a"], r["vec_id_b"]]
+    assert len(seen) == len(set(seen))
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+    for r in rows:
+        assert labels[r["vec_id_a"]] == labels[r["vec_id_b"]]
