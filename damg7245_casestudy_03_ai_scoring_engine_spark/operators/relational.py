@@ -2992,3 +2992,83 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("gini_den"),
         round_stable(num.cast("double") / den.cast("double"), 6).alias("gini"),
     )
+
+
+@register(
+    "leaderboard_rank_delta",
+    survey="W4,W5 (extension: per-period leaderboard with rank movement)",
+    oracle="""
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+),
+rk AS (
+    SELECT month, o_custkey, cents,
+           CAST(row_number() OVER (
+               PARTITION BY month ORDER BY cents DESC, o_custkey
+           ) AS BIGINT) AS rnk
+    FROM m
+),
+top AS (SELECT * FROM rk WHERE rnk <= 5)
+SELECT t.month, t.o_custkey AS custkey, t.rnk AS rnk,
+       t.cents AS revenue_cents,
+       CAST(coalesce(p.rnk, 0) AS BIGINT) AS prev_rank
+FROM top t
+LEFT JOIN top p
+  ON p.o_custkey = t.o_custkey
+ AND p.month = CAST(t.month - INTERVAL 1 MONTH AS DATE)
+""",
+)
+def leaderboard_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly top-5 revenue leaderboard with rank movement: each
+    month's top customers by exact-cents revenue, plus the rank they
+    held on the PREVIOUS month's board (0 = new entrant) — the
+    time-evolving-ranking report (sales boards, trending content)
+    that combines per-period top-k with a period-shifted self-join.
+
+    Calendar work stays in DATE space (`trunc(month)` /
+    `add_months`, NTZ-safe per the repo contract); ranking is exact
+    integer cents with a custkey tie-break.  Scale shape: the heavy
+    (month, custkey) aggregate shuffles once; the top-5 window
+    partitions by month; the month-shift join then runs on
+    5-rows-per-month — Catalyst broadcasts it regardless of total
+    history length.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+            "o_custkey",
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    rk = m.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("month").orderBy(F.desc("cents"), F.asc("o_custkey"))
+        )
+        .cast("long"),
+    )
+    top = rk.filter(F.col("rnk") <= 5)
+    prev = top.select(
+        F.col("o_custkey").alias("p_custkey"),
+        F.add_months(F.col("month"), 1).alias("p_next_month"),
+        F.col("rnk").alias("p_rnk"),
+    )
+    return (
+        top.join(
+            F.broadcast(prev),
+            (F.col("o_custkey") == F.col("p_custkey"))
+            & (F.col("month") == F.col("p_next_month")),
+            "left",
+        )
+        .select(
+            "month",
+            F.col("o_custkey").alias("custkey"),
+            "rnk",
+            F.col("cents").alias("revenue_cents"),
+            F.coalesce(F.col("p_rnk"), F.lit(0)).cast("long").alias("prev_rank"),
+        )
+    )

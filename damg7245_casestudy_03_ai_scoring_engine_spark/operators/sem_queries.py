@@ -413,3 +413,80 @@ def sem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mean_composite", F.lit(0.025)), 6).alias("ci_lower"),
         F.round(F.percentile("mean_composite", F.lit(0.975)), 6).alias("ci_upper"),
     )
+
+
+@register(
+    "ab_test_chi2",
+    survey="M14-adjacent (extension: 2x2 chi-square contingency test per segment)",
+    oracle="""
+WITH cells AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 34.0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND value <  34.0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN user_id % 2 = 1 AND value >= 34.0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN user_id % 2 = 1 AND value <  34.0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       a AS control_success, b AS control_fail,
+       c AS treat_success, d AS treat_fail,
+       CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+            THEN floor(
+                ((CAST(a + b + c + d AS DOUBLE)
+                  * CAST(a * d - b * c AS DOUBLE))
+                 * CAST(a * d - b * c AS DOUBLE))
+                / (((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+                    * CAST(a + c AS DOUBLE)) * CAST(b + d AS DOUBLE))
+                * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS chi2
+FROM cells
+""",
+)
+def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 2x2 chi-square test of independence for an A/B
+    experiment: users are deterministically bucketed by key parity
+    (the salted-hash assignment a real experiment platform uses),
+    "success" is a fixed value threshold, and each event_type segment
+    gets its contingency table plus the chi-square statistic — the
+    experiment-analysis primitive (guardrail/exposure checks) absent
+    from the OLS/bootstrap family.
+
+    Numerics: the 2x2 statistic has the closed form
+    N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)); all cells and the (ad−bc)
+    determinant are exact int64, the final value is ONE fixed-order
+    double expression through round_stable(6) with a zero-margin
+    guard (identically spelled in the oracle).  Cell products hold in
+    int64 to ~3e9 events per segment; past that the determinant needs
+    the decimal(38,0) carrier, per the monthly_revenue_trend pattern.
+
+    Scale shape: a single map-side-combinable groupBy over the fact —
+    four conditional counts, no join, no window.
+    """
+    e = load(spark, sf_dir, "events", fan_out=True)
+    is_ctrl = (F.col("user_id") % 2) == 0
+    is_succ = F.col("value") >= 34.0
+    cells = e.groupBy("event_type").agg(
+        F.sum((is_ctrl & is_succ).cast("long")).alias("a"),
+        F.sum((is_ctrl & ~is_succ).cast("long")).alias("b"),
+        F.sum((~is_ctrl & is_succ).cast("long")).alias("c"),
+        F.sum((~is_ctrl & ~is_succ).cast("long")).alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    det = (a * d - b * c).cast("double")
+    n = (a + b + c + d).cast("double")
+    den = (
+        ((a + b).cast("double") * (c + d).cast("double"))
+        * (a + c).cast("double")
+    ) * (b + d).cast("double")
+    margin_ok = ((a + b) > 0) & ((c + d) > 0) & ((a + c) > 0) & ((b + d) > 0)
+    chi2 = F.when(
+        margin_ok, round_stable(((n * det) * det) / den, 6)
+    ).otherwise(F.lit(0.0))
+    return cells.select(
+        "event_type",
+        a.alias("control_success"),
+        b.alias("control_fail"),
+        c.alias("treat_success"),
+        d.alias("treat_fail"),
+        chi2.alias("chi2"),
+    )

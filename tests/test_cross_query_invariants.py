@@ -414,3 +414,32 @@ def test_mutual_nn_is_a_matching(spark):
     }
     for r in rows:
         assert labels[r["vec_id_a"]] == labels[r["vec_id_b"]]
+
+
+def test_ab_chi2_matches_python_formula(spark):
+    """chi2 equals the python closed form on the same exact cells and
+    the four cells conserve the segment's event count."""
+    import math
+
+    rows = REGISTRY["ab_test_chi2"].fn(spark, SF_SMOKE).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(totals)
+    for r in rows:
+        a, b, c, d = (
+            r["control_success"],
+            r["control_fail"],
+            r["treat_success"],
+            r["treat_fail"],
+        )
+        assert a + b + c + d == totals[r["event_type"]]
+        n = float(a + b + c + d)
+        det = float(a * d - b * c)
+        den = ((float(a + b) * float(c + d)) * float(a + c)) * float(b + d)
+        expect = math.floor(((n * det) * det) / den * 1_000_000 + 0.5) / 1_000_000
+        assert r["chi2"] == expect
