@@ -250,3 +250,103 @@ def brand_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+_BFS_HOPS = 4
+_BFS_SRC_MAX = 10  # sources: graph nodes with id < this
+
+
+def _bfs_oracle() -> str:
+    """Unrolled fixed-depth BFS in plain CTEs (the iterative-oracle
+    pattern: a FIXED iteration count is SQL-expressible even though
+    an until-convergence loop is not)."""
+    steps = []
+    for k in range(1, _BFS_HOPS + 1):
+        prev = "d0" if k == 1 else f"r{k - 1}"
+        steps.append(
+            f"""r{k} AS (
+    SELECT DISTINCT e.dst AS node
+    FROM {prev} p JOIN edges e ON e.src = p.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    layers = "\nUNION ALL\n".join(
+        [f"SELECT node, 0 AS d FROM d0"]
+        + [f"SELECT node, {k} AS d FROM r{k}" for k in range(1, _BFS_HOPS + 1)]
+    )
+    return f"""
+WITH ed AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 10 = 0
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM ed
+    UNION ALL
+    SELECT supp, cust FROM ed
+),
+d0 AS (
+    SELECT DISTINCT src AS node FROM edges WHERE src < {_BFS_SRC_MAX}
+),
+{chain},
+layers AS (
+{layers}
+)
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(min(d) AS BIGINT) AS hops
+FROM layers GROUP BY node
+"""
+
+
+@register(
+    "bfs_hop_distance",
+    survey="iterative analytics (extension: fixed-depth BFS shortest hops)",
+    oracle=_bfs_oracle(),
+)
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 4) from a seed set of customer nodes
+    over the customer-supplier transaction graph — the reachability /
+    blast-radius primitive (fraud rings, supply-chain exposure) that
+    complements PageRank (global importance) and triangles (local
+    density).
+
+    Spark side is textbook distributed frontier BFS: each round joins
+    the CURRENT frontier (not all visited nodes) against the edge
+    list, anti-joins out already-visited nodes, and localCheckpoints
+    both sets so plan depth stays constant (the lineage rule every
+    iterative operator here follows).  Work per round is
+    O(frontier-adjacent edges) — the optimal frontier property — and
+    rounds are fixed at 4, so the DuckDB oracle replays the identical
+    finite expansion as unrolled DISTINCT-join CTEs.  All-integer
+    output.
+    """
+    edges = tracked_persist(
+        transaction_edges(spark, sf_dir), "bfs_hop_distance.edges"
+    )
+    visited = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") < _BFS_SRC_MAX)
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for k in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k).cast("long"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        "hops",
+    )

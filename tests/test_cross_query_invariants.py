@@ -443,3 +443,34 @@ def test_ab_chi2_matches_python_formula(spark):
         den = ((float(a + b) * float(c + d)) * float(a + c)) * float(b + d)
         expect = math.floor(((n * det) * det) / den * 1_000_000 + 0.5) / 1_000_000
         assert r["chi2"] == expect
+
+
+def test_bfs_matches_python_bfs(spark):
+    """Frontier BFS equals a python BFS replay on the same edge list,
+    including the depth cut at 4 hops."""
+    from collections import deque
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.graph import (
+        _BFS_HOPS,
+        _BFS_SRC_MAX,
+        transaction_edges,
+    )
+
+    adj: dict = {}
+    for r in transaction_edges(spark, SF_SMOKE).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    dist = {n: 0 for n in adj if n < _BFS_SRC_MAX}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] == _BFS_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["node"]: r["hops"]
+        for r in REGISTRY["bfs_hop_distance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dist
