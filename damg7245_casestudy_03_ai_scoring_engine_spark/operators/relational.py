@@ -3072,3 +3072,106 @@ def leaderboard_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("p_rnk"), F.lit(0)).cast("long").alias("prev_rank"),
         )
     )
+
+
+@register(
+    "rfm_segmentation",
+    survey="W5,A1 (extension: RFM quintile segmentation)",
+    oracle="""
+WITH maxd AS (
+    SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+),
+base AS (
+    SELECT o_custkey,
+           CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                         (SELECT dmax FROM maxd)) AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+seg AS (
+    SELECT b.*, c.c_mktsegment AS segment
+    FROM base b JOIN customer c ON b.o_custkey = c.c_custkey
+),
+scored AS (
+    SELECT segment, o_custkey, recency_days, n_orders, monetary_cents,
+           CAST(ntile(5) OVER (PARTITION BY segment
+               ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (PARTITION BY segment
+               ORDER BY n_orders, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (PARTITION BY segment
+               ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_score
+    FROM seg
+)
+SELECT segment, o_custkey AS custkey, recency_days, n_orders, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+FROM scored
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile scoring — the standard
+    customer-value segmentation: days since last order (anchored to
+    the data's own max date, no wall clock), order count, and exact-
+    cents spend, each quintiled WITHIN the customer's market segment
+    (peer-relative scores keep every ntile window partitioned — the
+    scale-shape reason, and the analytically better formulation).
+    All ORDER BYs carry a custkey tie-break so ntile assignment is a
+    total order on both engines (the established rank_family_metrics
+    ntile contract).  Calendar math stays in DATE space.
+
+    Scale shape: one fact groupBy, a broadcast-scalar max-date
+    attach, three ntile windows sharing ONE segment partitioning.
+    Quintile boundaries within a segment sort that segment's
+    customers; beyond memory that becomes rank-select boundary
+    computation + broadcast bucketing (quantile_profile pattern) with
+    identical output.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    dmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    seg = (
+        base.crossJoin(F.broadcast(dmax))
+        .join(c, base.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("last_d")).cast("long").alias(
+                "recency_days"
+            ),
+            "n_orders",
+            "monetary_cents",
+        )
+    )
+    by_seg = Window.partitionBy("segment")
+    r_s = F.ntile(5).over(
+        by_seg.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    )
+    f_s = F.ntile(5).over(by_seg.orderBy(F.asc("n_orders"), F.asc("o_custkey")))
+    m_s = F.ntile(5).over(
+        by_seg.orderBy(F.asc("monetary_cents"), F.asc("o_custkey"))
+    )
+    scored = seg.select(
+        "segment",
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "n_orders",
+        "monetary_cents",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )

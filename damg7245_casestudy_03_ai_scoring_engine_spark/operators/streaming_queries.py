@@ -1157,3 +1157,77 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_q4").alias("filled_q4"),
         (F.col("fill_day") == F.col("day_idx")).cast("long").alias("is_observed"),
     )
+
+
+@register(
+    "dow_seasonality_profile",
+    survey="A1,W5 (extension: day-of-week seasonality profile)",
+    oracle=f"""
+WITH q AS (
+    SELECT event_type,
+           (epoch_ns(ts) // {_DAY_NS} + 3) % 7 AS dow,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+    FROM events
+),
+agg AS (
+    SELECT event_type, dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vq) AS BIGINT) AS sum_q4
+    FROM q GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, dow, n_events, sum_q4,
+           CAST(sum(sum_q4) OVER (PARTITION BY event_type) AS BIGINT) AS type_total
+    FROM agg
+)
+SELECT event_type, dow, n_events, sum_q4,
+       floor(CAST(sum_q4 AS DOUBLE) / CAST(n_events AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS mean_q4,
+       floor(CAST(sum_q4 AS DOUBLE) / CAST(type_total AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS weekly_share
+FROM tot
+""",
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: per event type, the distribution of
+    activity value across the 7 weekdays (0 = Monday via pure
+    epoch-day modular arithmetic — no calendar function, no session
+    timezone) — the first step of any seasonal-naive forecast or
+    staffing model, and the seasonality complement to the EWMA/CUSUM
+    trend family.
+
+    Per-row 1e-4 quantization makes sums exact int64; the mean and
+    the share-of-weekly-total are single IEEE divisions through the
+    round_stable formula.  Scale shape: one map-side-combinable
+    groupBy on (type, dow) — 7×#types output rows — plus one window
+    over that tiny aggregate grain.
+    """
+    from ..functions.core import round_stable
+    from pyspark.sql import Window
+
+    q = load(spark, sf_dir, "events", fan_out=True).select(
+        "event_type",
+        ((F.expr(f"ts div {_DAY_NS}") + 3) % 7).alias("dow"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    agg = q.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vq").alias("sum_q4"),
+    )
+    tot = agg.withColumn(
+        "type_total",
+        F.sum("sum_q4").over(Window.partitionBy("event_type")),
+    )
+    return tot.select(
+        "event_type",
+        "dow",
+        "n_events",
+        "sum_q4",
+        round_stable(
+            F.col("sum_q4").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("mean_q4"),
+        round_stable(
+            F.col("sum_q4").cast("double") / F.col("type_total").cast("double"),
+            6,
+        ).alias("weekly_share"),
+    )

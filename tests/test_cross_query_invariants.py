@@ -474,3 +474,49 @@ def test_bfs_matches_python_bfs(spark):
         for r in REGISTRY["bfs_hop_distance"].fn(spark, SF_SMOKE).collect()
     }
     assert got == dist
+
+
+def test_rfm_quintiles_are_balanced_within_segment(spark):
+    """ntile(5) law: within each segment every R/F/M score bucket
+    differs in size by at most 1, scores span 1..5, and rfm_code is
+    the positional composite."""
+    rows = REGISTRY["rfm_segmentation"].fn(spark, SF_SMOKE).collect()
+    by_seg: dict = {}
+    for r in rows:
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        for col in ("r_score", "f_score", "m_score"):
+            sizes: dict = {}
+            for r in rs:
+                assert 1 <= r[col] <= 5
+                sizes[r[col]] = sizes.get(r[col], 0) + 1
+            assert max(sizes.values()) - min(sizes.values()) <= 1, (seg, col)
+
+
+def test_dow_profile_conserves_totals(spark):
+    """The 7-day profile conserves each event type's row count and
+    quantized value sum, dow stays in 0..6, and weekly shares per
+    type sum to ~1 (rounding tolerance only)."""
+    rows = REGISTRY["dow_seasonality_profile"].fn(spark, SF_SMOKE).collect()
+    totals = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    by_type: dict = {}
+    for r in rows:
+        assert 0 <= r["dow"] <= 6
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(totals)
+    for t, rs in by_type.items():
+        assert sum(r["n_events"] for r in rs) == totals[t][0]
+        assert sum(r["sum_q4"] for r in rs) == totals[t][1]
+        assert abs(sum(r["weekly_share"] for r in rs) - 1.0) < 1e-4
