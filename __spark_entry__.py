@@ -48,19 +48,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # a real DuckDB oracle: the same fixed-200-iteration power method
 # replayed as a recursive CTE (sem_queries._pca_eta_oracle), with the
 # numpy-exact pin still in tests/test_mllib_parity.py.
+# Round-5 late rotation: seven more multi-round greens
+# (time_window_census, cohort_retention, asof_join_events,
+# fpgrowth_brand_rules, embedding_near_dup, sem_ols_ci,
+# rolling_window_metrics — every one driver-green in r3/r4 and still
+# pytest-oracle) swapped for the seven new r5 families so each is
+# driver-exercised: spatial_radius_join, interval_islands_coverage,
+# timeseries_gapfill_locf, dhondt_apportionment, bfs_hop_distance,
+# mutual_nn_pairs, ab_test_chi2.
 _PRIORITY = (
     "org_air_flagship",
-    "time_window_census",
-    "rolling_window_metrics",
+    "interval_islands_coverage",
+    "timeseries_gapfill_locf",
     "pca_one_factor_eta",
     "session_window_rollup",
     "click_error_followups",
-    "cohort_retention",
-    "asof_join_events",
+    "spatial_radius_join",
+    "dhondt_apportionment",
     "rule_synergy_scores",
     "sem_spearman_brown",
-    "sem_ols_ci",
-    "fpgrowth_brand_rules",
+    "ab_test_chi2",
+    "bfs_hop_distance",
     "hr_position_stack",
     "portfolio_range_validation",
     "dimension_scores_table",
@@ -90,7 +98,7 @@ _PRIORITY = (
     "decontaminate_ngram_overlap",
     "gopher_repetition_flags",
     "ann_ivf_topk",
-    "embedding_near_dup",
+    "mutual_nn_pairs",
     "lsh_cosine_pairs",
     "curation_decision_gate",
     "multimodal_meta",
