@@ -1231,3 +1231,238 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weekly_share"),
     )
+
+
+_DRAIN_CENTS = 3_400  # constant per-event drain for the balance walk
+
+
+@register(
+    "capped_running_balance",
+    survey="W5 (extension: floor-clamped running balance via Lindley closed form)",
+    oracle=f"""
+WITH d AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) - {_DRAIN_CENTS} AS delta
+    FROM events
+),
+pf AS (
+    SELECT user_id, event_id, ts_ns,
+           CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+    FROM d
+),
+p AS (
+    SELECT user_id, event_id, pfx,
+           CAST(min(pfx) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin
+    FROM pf
+)
+SELECT user_id, event_id,
+       CAST(pfx - least(0, runmin) AS BIGINT) AS balance_cents
+FROM p
+""",
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance floored at zero (inventory on hand, queue
+    depth, prepaid credit): each event deposits its cents value and
+    drains a constant, and the balance can never go negative — the
+    Lindley recursion W_k = max(0, W_{{k-1}} + d_k) that naive SQL
+    can't write because each row depends on the previous OUTPUT.
+
+    Solved in closed form instead of a stateful scan:
+    W_k = prefix_k − min(0, min_{{j≤k}} prefix_j) (the queueing-theory
+    identity; pinned against a sequential python replay in
+    tests/test_cross_query_invariants.py).  That turns the "inherently
+    sequential" operator into two frames over ONE user-partitioned
+    window sort — fully distributed, exact int64, with a
+    (ts, event_id) total order so ties are deterministic.
+
+    Scale shape: one exchange (user partitioning), two running frames
+    in a single WindowExec.  The two-sided cap (floor AND ceiling)
+    has no such closed form — that variant is the stateful
+    `bounded_running_balance_stateful` twin.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            - F.lit(_DRAIN_CENTS)
+        ).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.withColumn("pfx", F.sum("delta").over(w)).withColumn(
+        "runmin", F.min("pfx").over(w)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        (F.col("pfx") - F.least(F.lit(0), F.col("runmin")))
+        .cast("long")
+        .alias("balance_cents"),
+    )
+
+
+@register(
+    "autocorr_daily_values",
+    survey="A18,W5 (extension: lag-1 autocorrelation of daily series)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type, a.dq AS x, b.dq AS y
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.day_idx = a.day_idx + 1
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pairs GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS autocorr_lag1
+FROM s
+""",
+)
+def autocorr_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily value series —
+    the is-today-predicted-by-yesterday diagnostic that sits between
+    the seasonality profile (dow_seasonality_profile) and the
+    EWMA/CUSUM trend family.
+
+    Calendar alignment is an equi-join on day_idx+1 (only
+    consecutive observed days pair — no spine needed), every moment
+    (Σx, Σy, Σx², Σy², Σxy) is an exact int64 sum of quantized cents,
+    and Pearson's r is ONE fixed-order double expression over those
+    exact moments (sqrt is IEEE-correctly-rounded, hence
+    engine-identical) through round_stable(6) with variance-zero
+    guards.  Exact r_num is emitted alongside the display value.
+
+    Scale shape: map-side-combinable daily aggregate, a self
+    equi-join on the tiny (type, day) grain, one moments groupBy.
+    """
+    from ..functions.core import round_stable
+
+    daily = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy(
+            "event_type", F.expr(f"ts div {_DAY_NS}").alias("day_idx")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("dq")
+        )
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        (F.col("day_idx") - 1).alias("b_prev_day"),
+        F.col("dq").alias("y"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("bt"))
+        & (F.col("day_idx") == F.col("b_prev_day")),
+    ).select("event_type", F.col("dq").alias("x"), "y")
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(k) for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    num = (n * sxy - sx * sy).cast("long")
+    d1 = (n * sxx - sx * sx).cast("long")
+    d2 = (n * syy - sy * sy).cast("long")
+    r = F.when(
+        (d1 > 0) & (d2 > 0),
+        round_stable(
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "event_type",
+        n.alias("n_pairs"),
+        num.alias("r_num"),
+        r.alias("autocorr_lag1"),
+    )
+
+
+_BALANCE_CAP_CENTS = 20_000  # two-sided variant: ceiling
+
+
+def _bounded_walk_builder(cap: int):
+    def walk(pdf):
+        pdf = pdf.sort_values(["ts_ns", "event_id"], kind="mergesort")
+        bal, out = 0, []
+        for d in pdf["delta"].to_numpy():
+            bal = min(cap, max(0, bal + int(d)))
+            out.append(bal)
+        pdf = pdf.assign(balance_cents=out)
+        return pdf[["user_id", "event_id", "balance_cents"]]
+
+    return walk
+
+
+@register(
+    "bounded_running_balance_stateful",
+    survey="W5,§2.11 (extension: two-sided clamped scan — genuinely stateful, applyInPandas)",
+)
+def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped to [0, cap] — the TWO-SIDED version of
+    `capped_running_balance`.  Unlike the floor-only walk, the
+    two-sided recursion W_k = clamp(W_{k-1} + d_k, 0, cap) has NO
+    prefix-sum closed form (each clamp destroys the translation
+    structure both ways), so this is the registry's canonical
+    "genuinely sequential per key" operator: an Arrow-batched
+    `applyInPandas` walk per user, deterministic under the
+    (ts, event_id) total order, rows-only checked (python replay +
+    the cap→∞ degeneration law: with the ceiling above any reachable
+    balance it must equal the closed-form window query EXACTLY —
+    both pinned in tests).
+
+    Scale shape: one exchange (groupBy user), state is O(1) per key,
+    batch transfer is Arrow; per-user row counts bound task memory
+    (a pathological hot user is a repartition/AQE concern, not a
+    correctness one).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    d = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            - F.lit(_DRAIN_CENTS)
+        ).alias("delta"),
+    )
+    return d.groupBy("user_id").applyInPandas(
+        _bounded_walk_builder(_BALANCE_CAP_CENTS),
+        schema="user_id long, event_id long, balance_cents long",
+    )

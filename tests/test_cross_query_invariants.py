@@ -520,3 +520,75 @@ def test_dow_profile_conserves_totals(spark):
         assert sum(r["n_events"] for r in rs) == totals[t][0]
         assert sum(r["sum_q4"] for r in rs) == totals[t][1]
         assert abs(sum(r["weekly_share"] for r in rs) - 1.0) < 1e-4
+
+
+def test_lindley_closed_form_equals_sequential_walk(spark):
+    """capped_running_balance's prefix/running-min closed form must
+    equal the sequential max(0, prev+delta) replay; and the stateful
+    two-sided walk with an unreachable ceiling must degenerate to the
+    SAME output (cap→∞ law), while with the real cap it never leaves
+    [0, cap]."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.streaming_queries import (
+        _BALANCE_CAP_CENTS,
+        _DRAIN_CENTS,
+        _bounded_walk_builder,
+    )
+
+    d = (
+        load(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("ts_ns"),
+            (
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                - F.lit(_DRAIN_CENTS)
+            ).alias("delta"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in d:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts_ns"], r["event_id"]))
+        bal = 0
+        for r in rs:
+            bal = max(0, bal + r["delta"])
+            expect[(uid, r["event_id"])] = bal
+    got = {
+        (r["user_id"], r["event_id"]): r["balance_cents"]
+        for r in REGISTRY["capped_running_balance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+    uncapped = (
+        load(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("ts_ns"),
+            (
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                - F.lit(_DRAIN_CENTS)
+            ).alias("delta"),
+        )
+        .groupBy("user_id")
+        .applyInPandas(
+            _bounded_walk_builder(1 << 60),
+            schema="user_id long, event_id long, balance_cents long",
+        )
+        .collect()
+    )
+    got_unc = {
+        (r["user_id"], r["event_id"]): r["balance_cents"] for r in uncapped
+    }
+    assert got_unc == expect
+
+    capped = (
+        REGISTRY["bounded_running_balance_stateful"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(capped) == len(expect)
+    for r in capped:
+        assert 0 <= r["balance_cents"] <= _BALANCE_CAP_CENTS
