@@ -1466,3 +1466,95 @@ def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         _bounded_walk_builder(_BALANCE_CAP_CENTS),
         schema="user_id long, event_id long, balance_cents long",
     )
+
+
+@register(
+    "rolling_active_users",
+    survey="A15,W5 (extension: rolling 7-day distinct actives)",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT epoch_ns(ts) // {_DAY_NS} AS day_idx, user_id FROM events
+),
+contrib AS (
+    SELECT day_idx + o.o AS window_day, user_id
+    FROM du, (SELECT unnest(range(0, 7)) AS o) o
+),
+days AS (SELECT DISTINCT day_idx FROM du)
+SELECT c.window_day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active_7d
+FROM contrib c JOIN days d ON d.day_idx = c.window_day
+GROUP BY 1
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve): for each
+    OBSERVED day, the count of distinct users active in the trailing
+    7-day window.  Distinct-over-a-sliding-window has no window-
+    function form (distincts don't add), so it is expressed exactly:
+    dedup to the (day, user) activity grain first, explode each
+    activity to the 7 window-end days it reaches, and count distinct
+    per window day — the 7× expansion happens on the ALREADY-deduped
+    day-user grain, never on raw events.  Trailing windows ending on
+    non-observed days are suppressed by a semi-join with the observed
+    day set.  All-integer output; epoch-day arithmetic (tz-free).
+
+    Scale twin: `rolling_active_users_hll` answers the same question
+    from mergeable per-day sketches without re-touching the activity
+    grain.
+    """
+    du = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .distinct()
+    )
+    days = du.select("day_idx").distinct()
+    contrib = du.select(
+        "day_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "user_id",
+    ).select((F.col("day_idx") + F.col("o")).alias("window_day"), "user_id")
+    return (
+        contrib.join(
+            days.withColumnRenamed("day_idx", "window_day"),
+            "window_day",
+            "left_semi",
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
+    )
+
+
+@register(
+    "rolling_active_users_hll",
+    survey="A16,W5 (extension: rolling actives from merged daily HLL sketches)",
+    # rows-only: Datasketches HLL binaries are engine-specific; the
+    # estimate-vs-exact error bound is pinned against
+    # rolling_active_users in tests/test_cross_query_invariants.py
+)
+def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for `rolling_active_users`: build ONE HLL
+    sketch of distinct users PER DAY (a metrics store would persist
+    exactly this), then answer every trailing-7-day window by
+    UNIONING seven stored sketches — no second pass over the activity
+    grain, and the same daily sketches serve 7-day, 28-day, and
+    quarter windows alike.  This is the re-aggregation property
+    countDistinct lacks (distincts don't add; sketches do)."""
+    ev = load(spark, sf_dir, "events", fan_out=True)
+    daily = ev.groupBy(F.expr(f"ts div {_DAY_NS}").alias("day_idx")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    days = daily.select("day_idx").withColumnRenamed("day_idx", "window_day")
+    contrib = daily.select(
+        "day_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "sk",
+    ).select((F.col("day_idx") + F.col("o")).alias("window_day"), "sk")
+    return (
+        contrib.join(days, "window_day", "left_semi")
+        .groupBy("window_day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("bigint")
+            .alias("est_active_7d")
+        )
+    )

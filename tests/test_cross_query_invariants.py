@@ -592,3 +592,20 @@ def test_lindley_closed_form_equals_sequential_walk(spark):
     assert len(capped) == len(expect)
     for r in capped:
         assert 0 <= r["balance_cents"] <= _BALANCE_CAP_CENTS
+
+
+def test_rolling_hll_tracks_exact_actives(spark):
+    """The merged-daily-sketch rolling actives must cover the same
+    observed days as the exact query and estimate within HLL(lgk=14)
+    tolerance everywhere."""
+    exact = {
+        r["window_day"]: r["n_active_7d"]
+        for r in REGISTRY["rolling_active_users"].fn(spark, SF_SMOKE).collect()
+    }
+    est = {
+        r["window_day"]: r["est_active_7d"]
+        for r in REGISTRY["rolling_active_users_hll"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(2, 0.05 * n), (d, est[d], n)
