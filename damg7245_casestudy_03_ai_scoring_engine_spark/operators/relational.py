@@ -3175,3 +3175,147 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long"),
     )
+
+
+@register(
+    "mom_revenue_growth",
+    survey="F6,W5 (extension: month-over-month growth report)",
+    oracle="""
+WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+lg AS (
+    SELECT month, cents,
+           lag(cents) OVER (ORDER BY month) AS prev_cents
+    FROM m
+)
+SELECT month,
+       CAST(cents AS DECIMAL(20,0)) / 100 AS revenue,
+       CAST(CASE WHEN prev_cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_prev,
+       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN 0.0
+            ELSE floor((CAST(cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+                       / CAST(prev_cents AS DOUBLE) * 1000000 + 0.5) / 1000000
+       END AS mom_growth
+FROM lg
+""",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first page of every
+    revenue dashboard: calendar-month exact-cents totals (DECIMAL
+    carrier per the monthly_revenue_trend float-band rule) with the
+    growth ratio vs the previous month as one guarded round_stable
+    division over exact int64 cents.
+
+    Scale shape: the fact aggregate is the work; the lag runs on the
+    O(#months) month grain — the bounded single-partition window this
+    repo's day-carry precedent documents (~1200 rows per century).
+    """
+    from ..functions.core import round_stable
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    lg = m.withColumn(
+        "prev_cents", F.lag("cents").over(Window.orderBy("month"))
+    )
+    growth = F.when(
+        F.col("prev_cents").isNull() | (F.col("prev_cents") == 0), F.lit(0.0)
+    ).otherwise(
+        round_stable(
+            (F.col("cents").cast("double") - F.col("prev_cents").cast("double"))
+            / F.col("prev_cents").cast("double"),
+            6,
+        )
+    )
+    return lg.select(
+        "month",
+        (F.col("cents").cast("decimal(20,0)") / F.lit(100)).alias("revenue"),
+        F.col("prev_cents").isNotNull().cast("long").alias("has_prev"),
+        growth.alias("mom_growth"),
+    )
+
+
+@register(
+    "hierarchy_share_report",
+    survey="A2,W5 (extension: multi-level share-of-parent rollup)",
+    oracle="""
+WITH rev AS (
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+),
+lv AS (
+    SELECT r_name, n_name, cents,
+           CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+           CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+    FROM rev
+)
+SELECT r_name, n_name, cents AS nation_cents, region_cents,
+       floor(CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS share_of_region,
+       floor(CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS region_share_of_total
+FROM lv
+""",
+)
+def hierarchy_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every level of the region → nation revenue
+    hierarchy: each nation's share of its region and each region's
+    share of the corporate total, on one row per nation — the
+    drill-down report pattern that grouping-sets rollups (which emit
+    separate subtotal ROWS) don't give you.
+
+    Exact int64 cents at every grain; the two shares are guarded
+    round_stable divisions.  Scale shape: one fact aggregate to the
+    (region, nation) grain — at most a few hundred rows — then two
+    window sums over that dimension-sized grain (the empty-frame
+    total window is bounded by the grain, same class as the
+    month-lag precedent).
+    """
+    from ..functions.core import round_stable
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    lv = rev.withColumn(
+        "region_cents", F.sum("cents").over(Window.partitionBy("r_name"))
+    ).withColumn(
+        "total_cents",
+        F.sum("cents").over(
+            Window.partitionBy()
+        ),
+    )
+    return lv.select(
+        "r_name",
+        "n_name",
+        F.col("cents").alias("nation_cents"),
+        "region_cents",
+        round_stable(
+            F.col("cents").cast("double") / F.col("region_cents").cast("double"),
+            6,
+        ).alias("share_of_region"),
+        round_stable(
+            F.col("region_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
