@@ -350,3 +350,48 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         "hops",
     )
+
+
+@register(
+    "graph_degree_histogram",
+    survey="iterative analytics (extension: degree distribution)",
+    oracle=f"""
+WITH ed AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 10 = 0
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM ed
+    UNION ALL
+    SELECT supp, cust FROM ed
+),
+deg AS (
+    SELECT src,
+           CASE WHEN src >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+           CAST(count(*) AS BIGINT) AS degree
+    FROM edges GROUP BY 1, 2
+)
+SELECT kind, degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the transaction graph, split by node
+    kind — the shape diagnostic (hub detection, power-law check) read
+    before choosing any graph algorithm's skew strategy; the profile
+    that justifies the salted/AQE handling the iterative operators
+    document.  Two map-side-combinable aggregates over the edge list,
+    all-integer output."""
+    edges = transaction_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.select(
+            F.when(F.col("src") >= _SUPP_OFFSET, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("kind"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .groupBy("kind", "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

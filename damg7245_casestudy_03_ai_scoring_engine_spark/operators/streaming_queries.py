@@ -1558,3 +1558,106 @@ def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_active_7d")
         )
     )
+
+
+@register(
+    "xcorr_click_purchase",
+    survey="A18,W5 (extension: lead/lag cross-correlation scan)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+a AS (SELECT day_idx, dq AS x FROM daily WHERE event_type = 'click'),
+b AS (SELECT day_idx, dq AS y FROM daily WHERE event_type = 'purchase'),
+pairs AS (
+    SELECT l.k AS lag, a.x, b.y
+    FROM a, (SELECT unnest(range(-3, 4)) AS k) l
+    JOIN b ON b.day_idx = a.day_idx + l.k
+),
+s AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pairs GROUP BY 1
+)
+SELECT lag, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS xcorr
+FROM s
+""",
+)
+def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation scan between the click and purchase daily
+    value series at lags −3..+3 days — "do clicks lead purchases, and
+    by how many days?", the attribution-lag diagnostic that
+    generalizes `autocorr_daily_values` to two series.  Positive lag
+    correlates today's clicks with purchases k days LATER.
+
+    Same exactness contract as autocorr: every moment is an exact
+    int64 sum of quantized cents over calendar-aligned pairs (an
+    equi-join on day+k per exploded lag), and Pearson's r is one
+    fixed-order guarded double through round_stable(6), with the
+    exact integer numerator emitted alongside.
+
+    Scale shape: the fact aggregate is the work; the 7-lag explode
+    and joins ride the tiny (type, day) grain.
+    """
+    from ..functions.core import round_stable
+
+    daily = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type", F.expr(f"ts div {_DAY_NS}").alias("day_idx")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("dq")
+        )
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        "day_idx", F.col("dq").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day_idx").alias("b_day"), F.col("dq").alias("y")
+    )
+    al = a.select(
+        "day_idx",
+        "x",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag"),
+    )
+    pairs = al.join(
+        b, F.col("b_day") == F.col("day_idx") + F.col("lag")
+    ).select("lag", "x", "y")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(k) for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    num = (n * sxy - sx * sy).cast("long")
+    d1 = (n * sxx - sx * sx).cast("long")
+    d2 = (n * syy - sy * sy).cast("long")
+    r = F.when(
+        (d1 > 0) & (d2 > 0),
+        round_stable(
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select("lag", n.alias("n_pairs"), num.alias("r_num"), r.alias("xcorr"))
