@@ -108,6 +108,7 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spatial_radius_join",
+    bench=True,
     survey="J8 (extension: grid-blocked planar radius self-join)",
     oracle=f"""
 WITH pts AS ({_PTS_SQL})

@@ -1238,6 +1238,7 @@ _DRAIN_CENTS = 3_400  # constant per-event drain for the balance walk
 
 @register(
     "capped_running_balance",
+    bench=True,
     survey="W5 (extension: floor-clamped running balance via Lindley closed form)",
     oracle=f"""
 WITH d AS (
@@ -1470,6 +1471,7 @@ def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "rolling_active_users",
+    bench=True,
     survey="A15,W5 (extension: rolling 7-day distinct actives)",
     oracle=f"""
 WITH du AS (
