@@ -1663,3 +1663,99 @@ def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return s.select("lag", n.alias("n_pairs"), num.alias("r_num"), r.alias("xcorr"))
+
+
+_HOLT_A = 0.3  # level smoothing
+_HOLT_B = 0.1  # trend smoothing
+_HOLT_AB = _HOLT_A * _HOLT_B  # expanded-form trend coefficient
+
+
+@register(
+    "holt_trend_forecast",
+    survey="W5 (extension: Holt double-exponential smoothing fold)",
+    oracle=f"""
+WITH g AS (
+    SELECT user_id,
+           list_sort(list({{'ts': epoch_ns(ts), 'event_id': event_id,
+                            'value': value}})) AS items
+    FROM events
+    GROUP BY user_id
+),
+f AS (
+    SELECT user_id, CAST(len(items) AS BIGINT) AS n_events,
+           -- accumulator is a DOUBLE[2] list [level, trend]: DuckDB
+           -- 1.0 mis-evaluates STRUCT-typed reduce accumulators
+           -- (fields leak already-updated values), list literals
+           -- fold correctly.
+           list_reduce(
+               list_transform(items, x -> [x.value, CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                   CAST({_HOLT_A} AS DOUBLE) * x[1]
+                       + CAST({1 - _HOLT_A} AS DOUBLE) * (acc[1] + acc[2]),
+                   CAST({_HOLT_AB} AS DOUBLE) * x[1]
+                       - CAST({_HOLT_AB} AS DOUBLE) * acc[1]
+                       + CAST({1 - _HOLT_AB} AS DOUBLE) * acc[2]
+               ]
+           ) AS st
+    FROM g
+)
+SELECT user_id, n_events,
+       floor(st[1] * 1e6 + 0.5) / 1e6 AS level,
+       floor(st[2] * 1e6 + 0.5) / 1e6 AS trend,
+       floor((st[1] + st[2]) * 1e6 + 0.5) / 1e6 AS forecast_1
+FROM f
+""",
+)
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (level alpha=0.3,
+    trend beta=0.1) with the 1-step-ahead forecast — the trend-aware
+    upgrade of `ewma_user_values`, i.e. the simplest real forecasting
+    primitive (capacity planning, next-period spend).
+
+    Same native higher-order fold contract as EWMA, extended to a
+    TWO-component state, with both updates in the expanded linear
+    form (level' = a*x + (1-a)(l+b); trend' = ab*x - ab*l +
+    (1-ab)*b) so each engine performs the IDENTICAL IEEE operation
+    sequence — bit-identical doubles before the fixed-point floor.
+    Init: level = first value, trend = 0.  Engine note: the DuckDB
+    side folds a DOUBLE[2] list accumulator because DuckDB 1.0
+    mis-evaluates STRUCT-typed reduce accumulators (later struct
+    fields observe already-updated earlier fields — probed in
+    tests).
+
+    Scale shape: one groupBy shuffle on user_id; per-key state is the
+    ordered value array (the same bound the streaming state store
+    carries); no Python, no per-row window re-scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    items = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value")))
+    )
+    g = ev.groupBy("user_id").agg(items.alias("items"))
+    sts = F.transform(
+        F.col("items"),
+        lambda x: F.struct(
+            x["value"].alias("l"), F.lit(0.0).cast("double").alias("b")
+        ),
+    )
+    a, ia = F.lit(_HOLT_A), F.lit(1 - _HOLT_A)
+    ab, iab = F.lit(_HOLT_AB), F.lit(1 - _HOLT_AB)
+
+    def step(acc, x):
+        # Same IEEE sequence as the oracle: level from (old l + old b),
+        # trend in the expanded linear form ab*x - ab*l + (1-ab)*b.
+        l_new = a * x["l"] + ia * (acc["l"] + acc["b"])
+        b_new = ab * x["l"] - ab * acc["l"] + iab * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(sts, 2, F.size(sts) - 1), F.element_at(sts, 1), step
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return g.select(
+        "user_id",
+        F.size("items").cast("bigint").alias("n_events"),
+        r6(fold["l"]).alias("level"),
+        r6(fold["b"]).alias("trend"),
+        r6(fold["l"] + fold["b"]).alias("forecast_1"),
+    )

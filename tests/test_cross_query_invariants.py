@@ -609,3 +609,39 @@ def test_rolling_hll_tracks_exact_actives(spark):
     assert set(est) == set(exact)
     for d, n in exact.items():
         assert abs(est[d] - n) <= max(2, 0.05 * n), (d, est[d], n)
+
+
+def test_holt_matches_python_replay(spark):
+    """Holt level/trend equal a python replay of the same expanded-
+    form recursion over each user's event-time-ordered values."""
+    import math
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.streaming_queries import (
+        _HOLT_A,
+        _HOLT_AB,
+    )
+
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    got = {
+        r["user_id"]: (r["level"], r["trend"], r["forecast_1"], r["n_events"])
+        for r in REGISTRY["holt_trend_forecast"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_user)
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        l, b = rs[0]["value"], 0.0
+        for r in rs[1:]:
+            x = r["value"]
+            l, b = (
+                _HOLT_A * x + (1 - _HOLT_A) * (l + b),
+                _HOLT_AB * x - _HOLT_AB * l + (1 - _HOLT_AB) * b,
+            )
+        assert got[uid] == (r6(l), r6(b), r6(l + b), len(rs)), uid
