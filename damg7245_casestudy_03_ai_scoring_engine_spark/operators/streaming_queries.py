@@ -1504,10 +1504,13 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mergeable per-day sketches without re-touching the activity
     grain.
     """
-    du = (
+    from ..functions.cache import tracked_persist
+
+    du = tracked_persist(
         load(spark, sf_dir, "events", fan_out=True)
         .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
-        .distinct()
+        .distinct(),
+        "rolling_active_users.day_user",
     )
     days = du.select("day_idx").distinct()
     contrib = du.select(
