@@ -1762,3 +1762,188 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(fold["b"]).alias("trend"),
         r6(fold["l"] + fold["b"]).alias("forecast_1"),
     )
+
+
+@register(
+    "daily_burst_zscores",
+    survey="W5,A10 (extension: trailing-window burst z-scores)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, day_idx, n,
+           CAST(count(*) OVER tw AS BIGINT) AS w_n,
+           CAST(sum(n) OVER tw AS BIGINT) AS w_s1,
+           CAST(sum(n * n) OVER tw AS BIGINT) AS w_s2
+    FROM daily
+    WINDOW tw AS (PARTITION BY event_type ORDER BY day_idx
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day_idx, n, w_n,
+       CASE WHEN w_n >= 3 AND w_n * w_s2 - w_s1 * w_s1 > 0
+            THEN floor((CAST(w_n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(w_s1 AS DOUBLE))
+                       / sqrt(CAST(w_n AS DOUBLE)
+                              * CAST(w_n * w_s2 - w_s1 * w_s1 AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS burst_z
+FROM w
+""",
+)
+def daily_burst_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each (event type, day)'s count scored against
+    its OWN trailing 7-day baseline as a z-score — the anomaly flag
+    that catches "today is 4 sigma above last week" without any
+    global statistics (the trailing frame makes it streaming-shaped
+    and drift-immune, unlike the global-MAD family).
+
+    z = (n − mean)/std over the ROWS 7 PRECEDING..1 PRECEDING frame,
+    computed from exact int64 frame moments (count, Σn, Σn²) as ONE
+    fixed-order double expression — algebraically
+    (w·n − S1)/sqrt(w·(w·S2 − S1²)) so no intermediate mean/variance
+    double ever feeds another aggregate — with degenerate-frame
+    guards (fewer than 3 baseline days, zero variance).
+
+    Scale shape: map-side-combinable daily aggregate, then one
+    type-partitioned window with three aggregates sharing the same
+    frame — a single WindowExec.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    daily = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy(
+            "event_type", F.expr(f"ts div {_DAY_NS}").alias("day_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-7, -1)
+    )
+    w = (
+        daily.withColumn("w_n", F.count(F.lit(1)).over(tw))
+        .withColumn("w_s1", F.sum("n").over(tw))
+        .withColumn("w_s2", F.sum(F.col("n") * F.col("n")).over(tw))
+    )
+    wn, s1, s2, n = (F.col(k) for k in ("w_n", "w_s1", "w_s2", "n"))
+    varn = (wn * s2 - s1 * s1).cast("long")
+    z = F.when(
+        (wn >= 3) & (varn > 0),
+        round_stable(
+            (wn.cast("double") * n.cast("double") - s1.cast("double"))
+            / F.sqrt(wn.cast("double") * varn.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.col("w_n").cast("long").alias("w_n"),
+        z.alias("burst_z"),
+    )
+
+
+def _click_purchase_gap_fn(key, clicks_pdf, purchases_pdf):
+    """Per-user cogrouped kernel: for each purchase, the gap to the
+    most recent STRICTLY-prior click; emits one row per user with a
+    rank-select lower median (engine-exact, no interpolation)."""
+    import numpy as np
+    import pandas as pd
+
+    n_p = len(purchases_pdf)
+    if n_p == 0:
+        return pd.DataFrame(
+            columns=["user_id", "n_purchases", "n_with_prior_click", "median_gap_ns"]
+        )
+    ct = np.sort(clicks_pdf["ts"].to_numpy()) if len(clicks_pdf) else np.array([])
+    gaps = []
+    for t in purchases_pdf["ts"].to_numpy():
+        i = int(np.searchsorted(ct, t, side="left"))
+        if i > 0:
+            gaps.append(int(t) - int(ct[i - 1]))
+    m = len(gaps)
+    med = sorted(gaps)[(m + 1) // 2 - 1] if m else 0
+    return pd.DataFrame(
+        [[key[0], n_p, m, med]],
+        columns=["user_id", "n_purchases", "n_with_prior_click", "median_gap_ns"],
+    )
+
+
+@register(
+    "cogroup_click_purchase_gap",
+    survey="§2.11,J8 (extension: cogrouped applyInPandas as-of kernel)",
+    oracle="""
+WITH c AS (
+    SELECT user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS t
+    FROM events WHERE event_type = 'purchase'
+),
+g AS (
+    SELECT p.user_id, p.event_id, p.t, max(c.t) AS last_click
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t < p.t
+    GROUP BY 1, 2, 3
+),
+gaps AS (
+    SELECT user_id, event_id, t - last_click AS gap
+    FROM g WHERE last_click IS NOT NULL
+),
+agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m FROM gaps GROUP BY 1),
+np_ AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases FROM p GROUP BY 1),
+rk AS (
+    SELECT user_id, gap,
+           row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn
+    FROM gaps
+),
+med AS (
+    SELECT rk.user_id, rk.gap AS median_gap_ns
+    FROM rk JOIN agg ON rk.user_id = agg.user_id
+    WHERE rk.rn = (agg.m + 1) // 2
+)
+SELECT np_.user_id, np_.n_purchases,
+       CAST(coalesce(agg.m, 0) AS BIGINT) AS n_with_prior_click,
+       CAST(coalesce(med.median_gap_ns, 0) AS BIGINT) AS median_gap_ns
+FROM np_
+LEFT JOIN agg ON np_.user_id = agg.user_id
+LEFT JOIN med ON np_.user_id = med.user_id
+""",
+)
+def cogroup_click_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median click→purchase latency per user via
+    `cogroup().applyInPandas` — the two-sided grouped-map surface
+    (§2.11) the UDF inventory lacked: clicks and purchases arrive as
+    SEPARATE aligned pandas frames per user, and the kernel runs a
+    vectorized searchsorted as-of match (most recent strictly-prior
+    click per purchase) plus a rank-select lower median — no
+    interpolation, so the int64-ns output is engine-exact against
+    the relational oracle (prior-click max + row_number median).
+
+    Scale shape: one co-partitioned shuffle on user_id for both
+    sides, Arrow batch transfer, O(log n) per purchase in the
+    kernel.  The same semantics exist join-side as `asof_join_events`
+    — this entry pins the cogroup API against that relational
+    formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            _click_purchase_gap_fn,
+            schema="user_id long, n_purchases long, "
+            "n_with_prior_click long, median_gap_ns long",
+        )
+    )
