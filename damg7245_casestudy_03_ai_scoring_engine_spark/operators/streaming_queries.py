@@ -1947,3 +1947,125 @@ def cogroup_click_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_with_prior_click long, median_gap_ns long",
         )
     )
+
+
+_KM_CENSOR_DAYS = 7  # active within the last N days => censored (not churned)
+
+
+@register(
+    "kaplan_meier_churn",
+    survey="M14-adjacent,W5 (extension: Kaplan-Meier survival with censoring)",
+    oracle=f"""
+WITH span AS (
+    SELECT user_id,
+           min(epoch_ns(ts) // {_DAY_NS}) AS d0,
+           max(epoch_ns(ts) // {_DAY_NS}) AS d1
+    FROM events GROUP BY user_id
+),
+mx AS (SELECT max(d1) AS dmax FROM span),
+u AS (
+    SELECT user_id, d1 - d0 AS dur,
+           CASE WHEN d1 >= (SELECT dmax FROM mx) - {_KM_CENSOR_DAYS}
+                THEN 1 ELSE 0 END AS censored
+    FROM span
+),
+g AS (
+    SELECT dur,
+           CAST(sum(1 - censored) AS BIGINT) AS d,
+           CAST(sum(censored) AS BIGINT) AS c
+    FROM u GROUP BY dur
+),
+rk AS (
+    SELECT dur, d, c,
+           CAST(sum(d + c) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_at_risk
+    FROM g
+),
+fct AS (
+    SELECT dur, d, c, n_at_risk,
+           (CAST(n_at_risk AS DOUBLE) - CAST(d AS DOUBLE))
+               / CAST(n_at_risk AS DOUBLE) AS factor
+    FROM rk
+),
+surv AS (
+    SELECT dur, d, c, n_at_risk,
+           list(factor) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS fs
+    FROM fct
+)
+SELECT dur AS duration_days, d AS n_churned, c AS n_censored, n_at_risk,
+       floor(list_reduce(fs, (a, b) -> a * b) * 1000000 + 0.5) / 1000000
+           AS survival
+FROM surv
+""",
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between
+    first and last activity), right-censoring users still active in
+    the final week — survival analysis, the retention family's
+    statistically honest form: censored users leave the at-risk pool
+    without counting as churn, which a naive retention ratio gets
+    wrong.
+
+    Numerics: at-risk counts are EXACT int64 reverse-cumulative sums
+    over the duration grain; each step factor (n−d)/n is one IEEE
+    division, and S(t) is the prefix product computed as the same
+    left fold over the same ordered factor list on both engines
+    (windowed collect + multiply-reduce — bit-identical doubles
+    before round_stable(6), the EWMA/Holt fold contract).
+
+    Scale shape: one user-grain aggregate over the fact (the work),
+    a broadcast scalar max, then everything rides the DURATION grain
+    — bounded by the observation span in days (the month-lag
+    precedent class), where two windows and the fold are O(span²)
+    worst-case on a few hundred rows.
+    """
+    from pyspark.sql import Window
+
+    span = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr(f"ts div {_DAY_NS}")).alias("d0"),
+            F.max(F.expr(f"ts div {_DAY_NS}")).alias("d1"),
+        )
+    )
+    mx = span.agg(F.max("d1").alias("dmax"))
+    u = span.crossJoin(F.broadcast(mx)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        (F.col("d1") >= F.col("dmax") - _KM_CENSOR_DAYS)
+        .cast("long")
+        .alias("censored"),
+    )
+    g = u.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    rev = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.orderBy(F.asc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = g.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(rev))
+    fct = rk.withColumn(
+        "factor",
+        (F.col("n_at_risk").cast("double") - F.col("d").cast("double"))
+        / F.col("n_at_risk").cast("double"),
+    )
+    surv = fct.withColumn("fs", F.collect_list("factor").over(fwd))
+    prod = F.aggregate(
+        F.slice(F.col("fs"), 2, F.size("fs") - 1),
+        F.element_at(F.col("fs"), 1),
+        lambda a, b: a * b,
+    )
+    return surv.select(
+        F.col("dur").alias("duration_days"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        "n_at_risk",
+        (F.floor(prod * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "survival"
+        ),
+    )

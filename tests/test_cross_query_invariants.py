@@ -685,3 +685,48 @@ def test_expanding_ring_resolves_most_points_before_fallback(spark):
         for r in REGISTRY["spatial_nn_expanding_ring"].fn(spark, SF_SMOKE).collect()
     }
     assert got == best
+
+
+def test_kaplan_meier_matches_python_and_is_monotone(spark):
+    """KM survival equals a python replay (exact at-risk bookkeeping,
+    same fold order) and is non-increasing in duration with S bounded
+    in (0, 1]."""
+    import math
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.streaming_queries import (
+        _KM_CENSOR_DAYS,
+    )
+
+    DAY = 86_400_000_000_000
+    spans: dict = {}
+    for r in load(spark, SF_SMOKE, "events").select("user_id", "ts").collect():
+        d = r["ts"] // DAY
+        lo, hi = spans.get(r["user_id"], (d, d))
+        spans[r["user_id"]] = (min(lo, d), max(hi, d))
+    dmax = max(hi for _, hi in spans.values())
+    grain: dict = {}
+    for lo, hi in spans.values():
+        dur, cens = hi - lo, hi >= dmax - _KM_CENSOR_DAYS
+        d, c = grain.get(dur, (0, 0))
+        grain[dur] = (d + (not cens), c + cens)
+    total = len(spans)
+    rows = sorted(grain.items())
+    expect = {}
+    consumed, s = 0, 1.0
+    for dur, (d, c) in rows:
+        n_at_risk = total - consumed
+        s = s * ((float(n_at_risk) - float(d)) / float(n_at_risk)) if True else s
+        consumed += d + c
+        expect[dur] = (d, c, n_at_risk, math.floor(s * 1e6 + 0.5) / 1e6)
+    got = {
+        r["duration_days"]: (
+            r["n_churned"],
+            r["n_censored"],
+            r["n_at_risk"],
+            r["survival"],
+        )
+        for r in REGISTRY["kaplan_meier_churn"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    survs = [v[3] for _, v in sorted(got.items())]
+    assert all(0 < b <= a <= 1.0 for a, b in zip([1.0] + survs, survs))
