@@ -490,3 +490,137 @@ def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("treat_fail"),
         chi2.alias("chi2"),
     )
+
+
+_DRIFT_BUCKET_W = 50  # fixed-width value buckets (value range ~[0, 500))
+
+
+@register(
+    "drift_chi2_value_buckets",
+    survey="M14-adjacent (extension: cross-period distribution-drift chi-square)",
+    oracle=f"""
+WITH span AS (
+    SELECT min(epoch_ns(ts) // 86400000000000) AS dlo,
+           max(epoch_ns(ts) // 86400000000000) AS dhi
+    FROM events
+),
+cells AS (
+    SELECT event_type,
+           CASE WHEN epoch_ns(ts) // 86400000000000
+                     <= (SELECT (dlo + dhi) // 2 FROM span)
+                THEN 0 ELSE 1 END AS period,
+           least(CAST(floor(value / {_DRIFT_BUCKET_W}) AS BIGINT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT event_type, period, bucket, o,
+           CAST(sum(o) OVER (PARTITION BY event_type, period) AS BIGINT) AS r,
+           CAST(sum(o) OVER (PARTITION BY event_type, bucket) AS BIGINT) AS c,
+           CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM cells
+),
+t AS (
+    SELECT event_type, n,
+           CAST(n * o - r * c AS BIGINT) AS num,
+           CAST(n AS BIGINT) * r * c AS den,
+           period, bucket
+    FROM m
+),
+folded AS (
+    SELECT event_type, any_value(n) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           list(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                ORDER BY period, bucket) AS terms
+    FROM t GROUP BY event_type
+)
+SELECT event_type, n AS n_events, n_cells,
+       floor(list_reduce(terms, (a, b) -> a + b) * 1000000 + 0.5) / 1000000
+           AS drift_chi2
+FROM folded
+""",
+)
+def drift_chi2_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift chi-square per event type: the value
+    distribution (10 fixed-width buckets) of the observation window's
+    first half tested against its second half — the model-monitoring
+    primitive a scoring platform runs before trusting a score batch
+    (PSI's chi-square cousin, chosen because it needs NO logarithm —
+    ln is not correctly-rounded in libm and would break cross-engine
+    parity; chi-square is exact-moment arithmetic).
+
+    Numerics: contingency cells, margins, and each cell's
+    (N·O − r·c)² numerator and N·r·c denominator are exact int64
+    (int64 carrier holds to ~1e5 events/type-period at these widths;
+    beyond that the decimal(38,0) pattern applies); per-cell terms
+    are single IEEE divisions, and the ≤20-term sum is folded in
+    (period, bucket) order on BOTH engines (sorted-collect +
+    add-reduce, the established bit-identical fold contract) instead
+    of an order-unstable SUM().
+
+    Scale shape: one map-side groupBy to the (type, period, bucket)
+    grain, three margin windows sharing the type partitioning, and a
+    20-row-per-type fold.
+    """
+    e = load(spark, sf_dir, "events", fan_out=True)
+    span = e.agg(
+        F.min(F.expr("ts div 86400000000000")).alias("dlo"),
+        F.max(F.expr("ts div 86400000000000")).alias("dhi"),
+    ).select(F.expr("(dlo + dhi) div 2").alias("dmid"))
+    cells = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy(
+            "event_type",
+            F.when(F.expr("ts div 86400000000000") <= F.col("dmid"), 0)
+            .otherwise(1)
+            .alias("period"),
+            F.least(
+                F.floor(F.col("value") / _DRIFT_BUCKET_W).cast("long"),
+                F.lit(9),
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = (
+        cells.withColumn(
+            "r",
+            F.sum("o").over(Window.partitionBy("event_type", "period")),
+        )
+        .withColumn(
+            "c",
+            F.sum("o").over(Window.partitionBy("event_type", "bucket")),
+        )
+        .withColumn("n", F.sum("o").over(Window.partitionBy("event_type")))
+    )
+    num = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("long")
+    den = F.col("n") * F.col("r") * F.col("c")
+    t = m.select(
+        "event_type",
+        "n",
+        "period",
+        "bucket",
+        (num.cast("double") * num.cast("double") / den.cast("double")).alias(
+            "term"
+        ),
+    )
+    folded = t.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.array_sort(
+            F.collect_list(F.struct("period", "bucket", "term"))
+        ).alias("cells"),
+    )
+    terms = F.transform(F.col("cells"), lambda x: x["term"])
+    chi2 = F.aggregate(
+        F.slice(terms, 2, F.size(terms) - 1),
+        F.element_at(terms, 1),
+        lambda a, b: a + b,
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "drift_chi2"
+        ),
+    )

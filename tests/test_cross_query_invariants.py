@@ -730,3 +730,45 @@ def test_kaplan_meier_matches_python_and_is_monotone(spark):
     assert got == expect
     survs = [v[3] for _, v in sorted(got.items())]
     assert all(0 < b <= a <= 1.0 for a, b in zip([1.0] + survs, survs))
+
+
+def test_drift_chi2_matches_python_contingency(spark):
+    """drift_chi2 equals a python replay of the same 2x10 contingency
+    computation with identical fold order, and cells conserve each
+    type's event count."""
+    import math
+
+    DAY = 86_400_000_000_000
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    dlo = min(r["ts"] // DAY for r in rows)
+    dhi = max(r["ts"] // DAY for r in rows)
+    dmid = (dlo + dhi) // 2
+    cells: dict = {}
+    for r in rows:
+        p = 0 if r["ts"] // DAY <= dmid else 1
+        b = min(int(r["value"] // 50), 9)
+        cells[(r["event_type"], p, b)] = cells.get((r["event_type"], p, b), 0) + 1
+    got = {
+        r["event_type"]: (r["n_events"], r["n_cells"], r["drift_chi2"])
+        for r in REGISTRY["drift_chi2_value_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    types = {t for t, _, _ in cells}
+    assert set(got) == types
+    for t in types:
+        sub = {(p, b): o for (tt, p, b), o in cells.items() if tt == t}
+        n = sum(sub.values())
+        rsum = {p: sum(o for (pp, _), o in sub.items() if pp == p) for p in (0, 1)}
+        csum: dict = {}
+        for (_, b), o in sub.items():
+            csum[b] = csum.get(b, 0) + o
+        terms = []
+        for (p, b), o in sorted(sub.items()):
+            num = n * o - rsum[p] * csum[b]
+            den = n * rsum[p] * csum[b]
+            terms.append(float(num) * float(num) / float(den))
+        acc = terms[0]
+        for x in terms[1:]:
+            acc = acc + x
+        assert got[t] == (n, len(sub), math.floor(acc * 1e6 + 0.5) / 1e6), t
