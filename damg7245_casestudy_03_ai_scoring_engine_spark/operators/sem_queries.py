@@ -624,3 +624,73 @@ def drift_chi2_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_chi2"
         ),
     )
+
+
+@register(
+    "calibration_reliability_bins",
+    survey="M14-adjacent (extension: reliability-diagram calibration bins)",
+    oracle="""
+WITH scored AS (
+    SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+           CAST(least(floor(value / 500.0 * 10000 + 0.5), 10000) AS BIGINT) AS conf_q4,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+    FROM events
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_positive,
+       CAST(sum(conf_q4) AS BIGINT) AS conf_sum_q4,
+       floor(CAST(sum(conf_q4) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000
+             * 1000000 + 0.5) / 1000000 AS mean_confidence,
+       floor(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS actual_rate
+FROM scored GROUP BY bin
+""",
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: events bucketed by a derived
+    confidence score (value scaled to [0,1], quantized to 1e-4) with
+    per-bin mean confidence vs actual positive rate — the calibration
+    audit every scoring pipeline runs next to the drift gate (a
+    well-calibrated score has mean_confidence ≈ actual_rate per bin;
+    the gap per bin is the ECE integrand).
+
+    Exact int64 carriers throughout (count, positives, quantized
+    confidence sum) with two guarded round_stable divisions for the
+    display columns.  ONE map-side-combinable groupBy over the fact —
+    no join, no window: the cheapest possible monitoring scan.
+    """
+    from ..functions.core import round_stable
+
+    scored = load(spark, sf_dir, "events", fan_out=True).select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bin"),
+        F.least(
+            F.floor(F.col("value") / F.lit(500.0) * 10000 + F.lit(0.5)),
+            F.lit(10000),
+        )
+        .cast("long")
+        .alias("conf_q4"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    g = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_positive"),
+        F.sum("conf_q4").alias("conf_sum_q4"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_positive",
+        "conf_sum_q4",
+        round_stable(
+            F.col("conf_sum_q4").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(10000),
+            6,
+        ).alias("mean_confidence"),
+        round_stable(
+            F.col("n_positive").cast("double") / F.col("n").cast("double"), 6
+        ).alias("actual_rate"),
+    )
