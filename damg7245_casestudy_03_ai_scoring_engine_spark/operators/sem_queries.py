@@ -694,3 +694,158 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_positive").cast("double") / F.col("n").cast("double"), 6
         ).alias("actual_rate"),
     )
+
+
+@register(
+    "auc_value_score",
+    survey="M14-adjacent (extension: exact rank-statistic ROC AUC)",
+    oracle="""
+WITH s AS (
+    SELECT value AS score,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+    FROM events
+),
+rk AS (
+    SELECT y,
+           CAST(2 * rank() OVER (ORDER BY score)
+                + count(*) OVER (PARTITION BY score) - 1 AS BIGINT) AS mid2
+    FROM s
+),
+agg AS (
+    SELECT CAST(sum(y) AS BIGINT) AS m,
+           CAST(count(*) - sum(y) AS BIGINT) AS neg,
+           CAST(sum(CASE WHEN y = 1 THEN mid2 ELSE 0 END) AS BIGINT) AS s2
+    FROM rk
+)
+SELECT m AS n_positive, neg AS n_negative,
+       CAST(s2 - m * (m + 1) AS BIGINT) AS auc_num,
+       CAST(2 * m * neg AS BIGINT) AS auc_den,
+       floor(CAST(s2 - m * (m + 1) AS DOUBLE) / CAST(2 * m * neg AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS auc
+FROM agg
+""",
+)
+def auc_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the value score separating conversion events
+    (purchase/signup) from the rest, via the Mann-Whitney rank
+    statistic: AUC = (Σ_pos midrank − m(m+1)/2) / (m·n).  Ties get
+    midranks, kept INTEGER by carrying 2·midrank = 2·min_rank +
+    tie_count − 1, so the numerator and denominator are exact int64
+    and the display value is one round_stable division — no
+    trapezoid sweep, no float ranks, bit-stable cross-engine.
+
+    Scale shape: one global rank sort (the same RangePartitioning
+    class as any global order-by; at 100 TB this is the sort-based
+    rank the engine already does for top-k reports) + one tie-count
+    window sharing the sort, then a scalar aggregate.
+    """
+    from ..functions.core import round_stable
+
+    s = load(spark, sf_dir, "events", fan_out=True).select(
+        F.col("value").alias("score"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    rk = s.select(
+        "y",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("score"))
+            + F.count(F.lit(1)).over(Window.partitionBy("score"))
+            - 1
+        )
+        .cast("long")
+        .alias("mid2"),
+    )
+    agg = rk.agg(
+        F.sum("y").alias("m"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("mid2")).otherwise(0)).alias("s2"),
+    )
+    num = (F.col("s2") - F.col("m") * (F.col("m") + 1)).cast("long")
+    den = (F.lit(2) * F.col("m") * F.col("neg")).cast("long")
+    return agg.select(
+        F.col("m").alias("n_positive"),
+        F.col("neg").alias("n_negative"),
+        num.alias("auc_num"),
+        den.alias("auc_den"),
+        round_stable(num.cast("double") / den.cast("double"), 6).alias("auc"),
+    )
+
+
+@register(
+    "pr_curve_thresholds",
+    survey="M14-adjacent,W5 (extension: precision/recall threshold sweep)",
+    oracle="""
+WITH s AS (
+    SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+    FROM events
+),
+b AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+    FROM s GROUP BY bucket
+),
+c AS (
+    SELECT bucket,
+           CAST(sum(n) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS pred_pos,
+           CAST(sum(pos) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS tp,
+           CAST(sum(pos) OVER () AS BIGINT) AS all_pos
+    FROM b
+)
+SELECT bucket AS threshold_bucket, pred_pos, tp, all_pos,
+       floor(CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS precision_at,
+       floor(CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS recall_at
+FROM c
+""",
+)
+def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every score-bucket threshold ("predict
+    positive when score ≥ bucket boundary"): reverse-cumulative TP
+    and predicted-positive counts over the 10-bucket grain give the
+    whole operating curve in one pass — the threshold-picking table
+    that accompanies the AUC scalar and the calibration bins.
+
+    Exact int64 counts at every threshold; precision/recall are
+    guarded round_stable divisions.  Scale shape: one map-side
+    groupBy to the bucket grain, then two windows over ≤10 rows.
+    """
+    from ..functions.core import round_stable
+
+    s = load(spark, sf_dir, "events", fan_out=True).select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bucket"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    b = s.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    rev = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        b.withColumn("pred_pos", F.sum("n").over(rev))
+        .withColumn("tp", F.sum("pos").over(rev))
+        .withColumn(
+            "all_pos",
+            F.sum("pos").over(
+                Window.partitionBy()
+            ),
+        )
+    )
+    return c.select(
+        F.col("bucket").alias("threshold_bucket"),
+        "pred_pos",
+        "tp",
+        "all_pos",
+        round_stable(
+            F.col("tp").cast("double") / F.col("pred_pos").cast("double"), 6
+        ).alias("precision_at"),
+        round_stable(
+            F.col("tp").cast("double") / F.col("all_pos").cast("double"), 6
+        ).alias("recall_at"),
+    )

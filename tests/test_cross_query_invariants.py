@@ -772,3 +772,42 @@ def test_drift_chi2_matches_python_contingency(spark):
         for x in terms[1:]:
             acc = acc + x
         assert got[t] == (n, len(sub), math.floor(acc * 1e6 + 0.5) / 1e6), t
+
+
+def test_auc_matches_python_midrank_replay(spark):
+    """AUC equals a python Mann-Whitney midrank computation and the
+    PR sweep is count-conserving with monotone recall."""
+    rows = load(spark, SF_SMOKE, "events").select("value", "event_type").collect()
+    scored = sorted(
+        (r["value"], 1 if r["event_type"] in ("purchase", "signup") else 0)
+        for r in rows
+    )
+    n = len(scored)
+    # midranks with ties
+    mid2: list = [0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and scored[j][0] == scored[i][0]:
+            j += 1
+        for k in range(i, j):
+            mid2[k] = 2 * (i + 1) + (j - i) - 1
+        i = j
+    m = sum(y for _, y in scored)
+    neg = n - m
+    s2 = sum(mr for (_, y), mr in zip(scored, mid2) if y == 1)
+    row = REGISTRY["auc_value_score"].fn(spark, SF_SMOKE).collect()[0]
+    assert (row["n_positive"], row["n_negative"]) == (m, neg)
+    assert row["auc_num"] == s2 - m * (m + 1)
+    assert row["auc_den"] == 2 * m * neg
+    assert 0.0 <= row["auc"] <= 1.0
+
+    pr = sorted(
+        REGISTRY["pr_curve_thresholds"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["threshold_bucket"],
+    )
+    assert pr[0]["pred_pos"] == n and pr[0]["tp"] == m
+    for a, b in zip(pr, pr[1:]):
+        assert b["pred_pos"] < a["pred_pos"] and b["tp"] <= a["tp"]
+        assert b["recall_at"] <= a["recall_at"]
+        assert 0 <= b["tp"] <= b["pred_pos"]
