@@ -3319,3 +3319,66 @@ def hierarchy_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     )
+
+
+@register(
+    "abc_classification",
+    survey="W5,A9 (extension: Pareto ABC revenue classification)",
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1
+),
+rk AS (
+    SELECT l_partkey, cents,
+           CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(cents) OVER () AS BIGINT) AS total
+    FROM rev
+)
+SELECT l_partkey AS partkey, cents AS revenue_cents,
+       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM rk
+""",
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto ABC classification of parts by revenue: rank by
+    exact-cents revenue, then class A = parts inside the top 80% of
+    cumulative revenue, B = next 15%, C = the tail — the inventory-
+    prioritization report whose class boundaries are INTEGER
+    cross-multiplied comparisons (cum·100 ≤ total·80), so no float
+    share ever exists and cross-engine parity is trivial.
+
+    Scale shape: part-grain aggregate (the work), then one global
+    revenue-ordered running sum — the same RangePartitioning sort
+    class as any global ranking report; ties broken by partkey for a
+    total order.  (int64 cross-products hold to ~9e16 total cents;
+    decimal(38,0) beyond.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    run = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = rev.withColumn("cum", F.sum("cents").over(run)).withColumn(
+        "total", F.sum("cents").over(Window.partitionBy())
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return rk.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("cents").alias("revenue_cents"),
+        cls.alias("abc_class"),
+    )

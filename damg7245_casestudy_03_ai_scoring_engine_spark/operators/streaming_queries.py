@@ -2069,3 +2069,131 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    survey="A1,W5 (extension: daily new-vs-returning user split)",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT epoch_ns(ts) // {_DAY_NS} AS day_idx, user_id FROM events
+),
+fs AS (
+    SELECT user_id, min(day_idx) AS first_day FROM du GROUP BY 1
+)
+SELECT du.day_idx,
+       CAST(sum(CASE WHEN du.day_idx = fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN du.day_idx > fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM du JOIN fs ON du.user_id = fs.user_id
+GROUP BY 1
+""",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever-seen today) vs
+    returning — the activation-vs-retention headline every growth
+    dashboard opens with.  The first-seen day comes from the same
+    deduped (day, user) grain the rolling-actives family persists;
+    the classifying join is user-keyed (co-partitioned with the
+    grain's own shuffle).  All-integer output, epoch-day arithmetic.
+    """
+    from ..functions.cache import tracked_persist
+
+    du = tracked_persist(
+        load(spark, sf_dir, "events", fan_out=True)
+        .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .distinct(),
+        "new_vs_returning.day_user",
+    )
+    fs = du.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.sum(
+                (F.col("day_idx") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day_idx") > F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+        )
+    )
+
+
+_WEEK_NS = 7 * _DAY_NS
+
+
+@register(
+    "cohort_ltv_curve",
+    survey="A2,W5 (extension: cohort cumulative-value (LTV) curve)",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, epoch_ns(ts) // {_WEEK_NS} AS week_idx,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+    FROM events
+),
+fw AS (
+    SELECT user_id, min(week_idx) AS cohort_week FROM e GROUP BY 1
+),
+sz AS (
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM fw GROUP BY 1
+),
+per AS (
+    SELECT fw.cohort_week, e.week_idx - fw.cohort_week AS week_offset,
+           CAST(sum(e.vq) AS BIGINT) AS period_q4
+    FROM e JOIN fw ON e.user_id = fw.user_id
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_week, week_offset, period_q4,
+           CAST(sum(period_q4) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_q4
+    FROM per
+)
+SELECT c.cohort_week, c.week_offset, s.cohort_users, c.period_q4, c.cum_q4
+FROM cum c JOIN sz s ON c.cohort_week = s.cohort_week
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-activity
+    week, each cohort's total quantized value accumulated across the
+    weeks since acquisition — the value-flavored counterpart of
+    `cohort_retention` (which counts presence; this sums spend), and
+    the curve LTV payback models are fit on.
+
+    Exact int64 quantized sums at the (cohort, offset) grain, one
+    cohort-partitioned running sum, and a broadcast cohort-size join.
+    Scale shape: the user-grain first-week aggregate and the
+    user-keyed classify join carry the weight; everything after
+    rides the tiny cohort×offset grain.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events", fan_out=True).select(
+        "user_id",
+        F.expr(f"ts div {_WEEK_NS}").alias("week_idx"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    fw = e.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    sz = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    per = (
+        e.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("vq").alias("period_q4"))
+    )
+    run = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cum_q4", F.sum("period_q4").over(run))
+    return cum.join(F.broadcast(sz), "cohort_week").select(
+        "cohort_week", "week_offset", "cohort_users", "period_q4", "cum_q4"
+    )

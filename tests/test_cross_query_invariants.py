@@ -811,3 +811,64 @@ def test_auc_matches_python_midrank_replay(spark):
         assert b["pred_pos"] < a["pred_pos"] and b["tp"] <= a["tp"]
         assert b["recall_at"] <= a["recall_at"]
         assert 0 <= b["tp"] <= b["pred_pos"]
+
+
+def test_abc_classes_partition_revenue(spark):
+    """ABC: every part classified exactly once; class A holds <=80%
+    cumulative revenue by construction and the class revenue shares
+    follow A >= B >= C ordering of per-part means; totals conserve."""
+    rows = REGISTRY["abc_classification"].fn(spark, SF_SMOKE).collect()
+    total = sum(r["revenue_cents"] for r in rows)
+    by_cls: dict = {}
+    for r in rows:
+        by_cls.setdefault(r["abc_class"], []).append(r["revenue_cents"])
+    assert set(by_cls) <= {"A", "B", "C"} and "A" in by_cls
+    a_sum = sum(by_cls.get("A", []))
+    assert a_sum * 100 <= total * 80 + max(by_cls["A"]) * 100
+    mean = {k: sum(v) / len(v) for k, v in by_cls.items()}
+    order = [mean.get("A", 0), mean.get("B", 0), mean.get("C", 0)]
+    assert order == sorted(order, reverse=True)
+    n_parts = (
+        load(spark, SF_SMOKE, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert len(rows) == n_parts
+
+
+def test_new_returning_conserves_dau_and_ltv_conserves_value(spark):
+    """new+returning per day == rolling_active day-grain actives;
+    cohort LTV grand total == total quantized event value and each
+    cohort's curve is non-decreasing."""
+    nvr = REGISTRY["new_vs_returning_daily"].fn(spark, SF_SMOKE).collect()
+    dau = {
+        r["day_idx"]: r["n"]
+        for r in load(spark, SF_SMOKE, "events")
+        .select(F.expr("ts div 86400000000000").alias("d"), "user_id")
+        .distinct()
+        .groupBy(F.col("d").alias("day_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["day_idx"]: r["new_users"] + r["returning_users"] for r in nvr} == dau
+    assert sum(r["new_users"] for r in nvr) == (
+        load(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+
+    ltv = REGISTRY["cohort_ltv_curve"].fn(spark, SF_SMOKE).collect()
+    total_q4 = (
+        load(spark, SF_SMOKE, "events")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert sum(r["period_q4"] for r in ltv) == total_q4
+    by_cohort: dict = {}
+    for r in ltv:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for rows_ in by_cohort.values():
+        rows_.sort(key=lambda r: r["week_offset"])
+        cums = [r["cum_q4"] for r in rows_]
+        assert cums == sorted(cums)
+        assert cums[-1] == sum(r["period_q4"] for r in rows_)
