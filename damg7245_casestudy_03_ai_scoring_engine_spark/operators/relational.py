@@ -3382,3 +3382,147 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("revenue_cents"),
         cls.alias("abc_class"),
     )
+
+
+@register(
+    "discount_quantity_corr",
+    survey="A18 (extension: per-brand discount-quantity correlation)",
+    oracle="""
+WITH q AS (
+    SELECT p.p_brand,
+           CAST(round(l.l_discount * 100) AS BIGINT) AS d100,
+           CAST(round(l.l_quantity) AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d100) AS BIGINT) AS sx, CAST(sum(qty) AS BIGINT) AS sy,
+           CAST(sum(d100 * d100) AS BIGINT) AS sxx,
+           CAST(sum(qty * qty) AS BIGINT) AS syy,
+           CAST(sum(d100 * qty) AS BIGINT) AS sxy
+    FROM q GROUP BY 1
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS corr_discount_qty
+FROM s
+""",
+)
+def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between discount depth and
+    quantity — "do discounts move volume for this brand?", the
+    pricing-analytics question answered with the exact-moment
+    contract: discounts quantized to integer basis points, quantities
+    integer, all five moments exact int64, correlation one guarded
+    fixed-order double (the autocorr/xcorr numeric pattern applied to
+    a fact⋈dim grain).  Broadcast part join, one map-side moments
+    groupBy."""
+    from ..functions.core import round_stable
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("long").alias("d100"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    s = q.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d100").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("d100") * F.col("d100")).alias("sxx"),
+        F.sum(F.col("qty") * F.col("qty")).alias("syy"),
+        F.sum(F.col("d100") * F.col("qty")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(k) for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    num = (n * sxy - sx * sy).cast("long")
+    d1 = (n * sxx - sx * sx).cast("long")
+    d2 = (n * syy - sy * sy).cast("long")
+    r = F.when(
+        (d1 > 0) & (d2 > 0),
+        round_stable(
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select("p_brand", "n", num.alias("r_num"), r.alias("corr_discount_qty"))
+
+
+@register(
+    "supplier_return_wilson",
+    survey="A10,W4 (extension: Wilson lower-bound proportion ranking)",
+    oracle="""
+WITH s AS (
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM lineitem GROUP BY 1
+),
+w AS (
+    SELECT l_suppkey, n, k,
+           floor((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 1.9208 / CAST(n AS DOUBLE)
+                   - 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                  + 0.9604 / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE)))
+                  / (1.0 + 3.8416 / CAST(n AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS wilson_lb
+    FROM s
+)
+SELECT l_suppkey AS suppkey, n, k AS n_returned, wilson_lb,
+       CAST(row_number() OVER (ORDER BY wilson_lb DESC, l_suppkey) AS BIGINT)
+           AS risk_rank
+FROM w
+""",
+)
+def supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the Wilson-score LOWER bound of their
+    return rate — the statistically honest way to rank proportions
+    (a raw k/n ranks a 1-of-1 returner above a 40-of-100 one; the
+    Wilson bound shrinks small samples toward zero).  Exact (k, n)
+    integer carriers; the bound is ONE fixed-order double expression
+    with the z=1.96 constants pre-squared as literals (1.9208 =
+    z²/2, 0.9604 = z²/4·... spelled identically in both engines —
+    sqrt/div are correctly rounded, so the doubles match bit-for-bit
+    before the fixed-point floor).  One map-side groupBy + the
+    global ranking sort."""
+    from ..functions.core import round_stable
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    lb = round_stable(
+        (
+            p
+            + F.lit(1.9208) / nd
+            - F.lit(1.96)
+            * F.sqrt((p * (F.lit(1.0) - p) + F.lit(0.9604) / nd) / nd)
+        )
+        / (F.lit(1.0) + F.lit(3.8416) / nd),
+        6,
+    )
+    w = s.withColumn("wilson_lb", lb)
+    return w.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "n",
+        F.col("k").alias("n_returned"),
+        "wilson_lb",
+        F.row_number()
+        .over(Window.orderBy(F.desc("wilson_lb"), F.asc("l_suppkey")))
+        .cast("long")
+        .alias("risk_rank"),
+    )
