@@ -3526,3 +3526,78 @@ def supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("risk_rank"),
     )
+
+
+_LAG_QUANTILES = (25, 50, 90, 99)  # percent
+
+
+@register(
+    "fulfillment_lag_quantiles",
+    survey="W3,J2 (extension: ship-lag quantiles per order priority)",
+    oracle=f"""
+WITH lag_days AS (
+    SELECT o.o_orderpriority,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ranked AS (
+    SELECT o_orderpriority, lag_d,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY lag_d, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM lag_days
+),
+qs AS (
+    SELECT p FROM (VALUES {", ".join(f"({p})" for p in _LAG_QUANTILES)}) t(p)
+)
+SELECT r.o_orderpriority AS priority, q.p,
+       CAST(min(r.lag_d) AS BIGINT) AS lag_days
+FROM ranked r JOIN qs q ON r.rn = CAST(ceil(q.p * r.n / 100.0) AS BIGINT)
+GROUP BY 1, 2
+""",
+)
+def fulfillment_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag quantiles (p25/p50/p90/p99 days) per order
+    priority — the supply-chain SLA report ("does URGENT actually
+    ship faster, and what does the tail look like?"), computed with
+    the exact rank-select contract (value at row ceil(p·n/100) of a
+    total order, no interpolation drift) over DATE-space day lags.
+
+    Scale shape: the fact⋈fact join shuffles on orderkey once, the
+    rank runs per priority partition (5 groups), and the quantile
+    list is a 4-row broadcast.  `quantile_profile` documents the
+    pattern; this entry applies it to a joined two-fact grain.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lag_days = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag_d", "l_orderkey", "l_linenumber"
+    )
+    ranked = lag_days.select(
+        "o_orderpriority",
+        "lag_d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    qs = spark.createDataFrame([(p,) for p in _LAG_QUANTILES], "p int")
+    hit = ranked.join(
+        F.broadcast(qs),
+        F.col("rn") == F.ceil(F.col("p") * F.col("n") / 100.0).cast("bigint"),
+    )
+    return hit.groupBy(
+        F.col("o_orderpriority").alias("priority"), "p"
+    ).agg(F.min("lag_d").cast("bigint").alias("lag_days"))
