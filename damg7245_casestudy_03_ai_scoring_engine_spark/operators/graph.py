@@ -395,3 +395,116 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind", "degree")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+_BF_ROUNDS = 4
+
+
+def _bf_oracle() -> str:
+    steps = []
+    for k in range(1, _BF_ROUNDS + 1):
+        prev = f"d{k - 1}"
+        steps.append(
+            f"""d{k} AS (
+    SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+        SELECT node, cost FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.cost + e.w AS cost
+        FROM {prev} p JOIN we e ON e.src = p.node
+    ) GROUP BY node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pair AS (
+    SELECT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp,
+           CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 10 = 0
+    GROUP BY 1, 2
+),
+we AS (
+    SELECT cust AS src, supp AS dst, w FROM pair
+    UNION ALL
+    SELECT supp, cust, w FROM pair
+),
+d0 AS (
+    SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+    FROM we WHERE src < {_BFS_SRC_MAX}
+),
+{chain}
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END AS kind,
+       cost AS min_cost_cents
+FROM d{_BF_ROUNDS}
+"""
+
+
+@register(
+    "cheapest_path_bellman_ford",
+    survey="iterative analytics (extension: min-plus shortest path, fixed rounds)",
+    oracle=_bf_oracle(),
+)
+def cheapest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-COST path (≤4 relaxation rounds) from the seed
+    customers over the weighted transaction graph — the min-plus
+    semiring sibling of `bfs_hop_distance` (hops count edges; this
+    sums exact-cents edge weights, the supply-chain "cheapest
+    connection" question).  Each edge carries the pair's minimum
+    lineitem price; k Bellman-Ford rounds give exact answers for
+    all paths of ≤k edges, replayed in DuckDB as the identical
+    unrolled UNION-ALL + min CTE chain (iterative-oracle pattern).
+
+    Spark rounds are relax-join + min-groupBy + localCheckpoint
+    (constant plan depth); all-integer costs, so no float exposure
+    anywhere.  Unreached nodes are absent (same contract as BFS).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("w")
+        )
+    )
+    we = tracked_persist(
+        pair.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+        ).unionAll(
+            pair.select(
+                F.col("supp").alias("src"), F.col("cust").alias("dst"), "w"
+            )
+        ),
+        "cheapest_path.edges",
+    )
+    dist = (
+        we.select(F.col("src").alias("node"))
+        .filter(F.col("node") < _BFS_SRC_MAX)
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(_BF_ROUNDS):
+        relax = (
+            dist.join(we, dist.node == we.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        F.col("cost").alias("min_cost_cents"),
+    )

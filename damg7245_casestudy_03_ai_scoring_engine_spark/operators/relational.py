@@ -3601,3 +3601,70 @@ def fulfillment_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy(
         F.col("o_orderpriority").alias("priority"), "p"
     ).agg(F.min("lag_d").cast("bigint").alias("lag_days"))
+
+
+_TE_SMOOTH_M = 20  # additive-smoothing pseudo-count
+
+
+@register(
+    "target_encoding_smoothed",
+    survey="A3,F13 (extension: additive-smoothed target encoding)",
+    oracle=f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS na, CAST(sum(s) AS BIGINT) AS sa FROM g
+)
+SELECT g.segment, g.n, g.s AS sum_cents,
+       CAST(g.s * tot.na + {_TE_SMOOTH_M} * tot.sa AS BIGINT) AS enc_num,
+       CAST(tot.na * (g.n + {_TE_SMOOTH_M}) AS BIGINT) AS enc_den,
+       floor(CAST(g.s * tot.na + {_TE_SMOOTH_M} * tot.sa AS DOUBLE)
+             / CAST(tot.na * (g.n + {_TE_SMOOTH_M}) AS DOUBLE)
+             * 100 + 0.5) / 100 AS encoded_value
+FROM g, tot
+""",
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-smoothed target encoding of market segment by order
+    value: enc = (Σ_cat + m·prior)/(n_cat + m) with the global mean
+    as prior — the leakage-resistant categorical feature encoder
+    (smoothing shrinks rare categories toward the prior instead of
+    memorizing them).  The blend is carried as ONE exact integer
+    fraction — enc = (Σ_s·N + m·Σ_all)/(N·(n_s + m)) after clearing
+    the prior's denominator — so num/den are exact int64 (holds to
+    ~3e9 total cents·rows; decimal(38,0) beyond) and the display
+    value is a single round_stable division.  One fact groupBy + a
+    broadcast 1-row total."""
+    from ..functions.core import round_stable
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tot = g.agg(F.sum("n").alias("na"), F.sum("s").alias("sa"))
+    j = g.crossJoin(F.broadcast(tot))
+    num = (F.col("s") * F.col("na") + _TE_SMOOTH_M * F.col("sa")).cast("long")
+    den = (F.col("na") * (F.col("n") + _TE_SMOOTH_M)).cast("long")
+    return j.select(
+        "segment",
+        "n",
+        F.col("s").alias("sum_cents"),
+        num.alias("enc_num"),
+        den.alias("enc_den"),
+        round_stable(num.cast("double") / den.cast("double"), 2).alias(
+            "encoded_value"
+        ),
+    )

@@ -872,3 +872,53 @@ def test_new_returning_conserves_dau_and_ltv_conserves_value(spark):
         cums = [r["cum_q4"] for r in rows_]
         assert cums == sorted(cums)
         assert cums[-1] == sum(r["period_q4"] for r in rows_)
+
+
+def test_bellman_ford_matches_python_dijkstra_within_hops(spark):
+    """Min-plus 4-round costs equal a python replay of 4 relaxation
+    rounds, reach the same node set as BFS, and cost 0 exactly on
+    the seed set."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.graph import (
+        _BF_ROUNDS,
+        _BFS_SRC_MAX,
+    )
+
+    rows = REGISTRY["cheapest_path_bellman_ford"].fn(spark, SF_SMOKE).collect()
+    got = {r["node"]: r["min_cost_cents"] for r in rows}
+    bfs_nodes = {
+        r["node"] for r in REGISTRY["bfs_hop_distance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == bfs_nodes
+
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .join(
+            load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("w")
+        )
+        .collect()
+    )
+    edges: dict = {}
+    for r in li:
+        u, v, w = r["o_custkey"], r["l_suppkey"] + 1_000_000, r["w"]
+        edges.setdefault(u, []).append((v, w))
+        edges.setdefault(v, []).append((u, w))
+    dist = {n: 0 for n in edges if n < _BFS_SRC_MAX}
+    for _ in range(_BF_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in edges.get(u, ()):
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    assert got == dist
+    for n, c in got.items():
+        if n < _BFS_SRC_MAX:
+            assert c == 0
