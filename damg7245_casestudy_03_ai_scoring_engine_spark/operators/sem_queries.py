@@ -849,3 +849,145 @@ def pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("double") / F.col("all_pos").cast("double"), 6
         ).alias("recall_at"),
     )
+
+
+@register(
+    "cuped_adjusted_lift",
+    survey="M14-adjacent (extension: CUPED variance-reduced A/B means)",
+    oracle="""
+WITH span AS (
+    SELECT min(epoch_ns(ts) // 86400000000000) AS dlo,
+           max(epoch_ns(ts) // 86400000000000) AS dhi
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS variant,
+           CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
+                              <= (SELECT (dlo + dhi) // 2 FROM span)
+                         THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
+                              > (SELECT (dlo + dhi) // 2 FROM span)
+                         THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+pooled AS (
+    SELECT CAST(count(*) AS BIGINT) AS nn,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM per_user
+),
+v AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+    FROM per_user GROUP BY 1
+)
+SELECT v.variant, v.n, v.vx AS x_sum_q4, v.vy AS y_sum_q4,
+       CASE WHEN p.nn * p.sxx - p.sx * p.sx > 0
+            THEN floor((CAST(p.nn AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                        - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                       / (CAST(p.nn AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                          - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS theta,
+       floor((CAST(v.vy AS DOUBLE) / CAST(v.n AS DOUBLE)
+              - (CASE WHEN p.nn * p.sxx - p.sx * p.sx > 0
+                      THEN floor((CAST(p.nn AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                                  - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                                 / (CAST(p.nn AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                                    - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                                 * 1000000 + 0.5) / 1000000
+                      ELSE 0.0 END)
+                * (CAST(v.vx AS DOUBLE) / CAST(v.n AS DOUBLE)
+                   - CAST(p.sx AS DOUBLE) / CAST(p.nn AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS adjusted_mean_q4
+FROM v, pooled p
+""",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the parity-split experiment:
+    each user's FIRST-half activity is the pre-experiment covariate,
+    the SECOND half the metric; the pooled regression coefficient
+    θ = cov(x,y)/var(x) comes from exact int64 moments, and each
+    variant's adjusted mean ȳ_v − θ(x̄_v − x̄) is one fixed-order
+    double expression over exact integer carriers — the modern
+    experimentation readout that shrinks metric variance using
+    pre-period behaviour without biasing the lift.  θ is rounded
+    through the same round_stable(6) formula BEFORE use on both
+    engines, so the adjusted means are bit-identical by
+    construction.
+
+    Scale shape: one user-grain conditional aggregate over the fact
+    (broadcast scalar split day), then 2-row variant totals × a
+    1-row pooled frame.
+    """
+    from ..functions.core import round_stable
+
+    DAY = 86_400_000_000_000
+    e = load(spark, sf_dir, "events", fan_out=True)
+    span = e.agg(
+        F.expr(f"(min(ts div {DAY}) + max(ts div {DAY})) div 2").alias("dmid")
+    )
+    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.expr(f"ts div {DAY}") <= F.col("dmid"), vq).otherwise(
+                    0
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(F.expr(f"ts div {DAY}") > F.col("dmid"), vq).otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("vx"),
+        F.sum("y").alias("vy"),
+    )
+    j = v.crossJoin(F.broadcast(pooled))
+    varx = (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    theta = F.when(
+        varx > 0,
+        round_stable(
+            (
+                F.col("nn").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("nn").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    adj = round_stable(
+        F.col("vy").cast("double") / F.col("n").cast("double")
+        - theta
+        * (
+            F.col("vx").cast("double") / F.col("n").cast("double")
+            - F.col("sx").cast("double") / F.col("nn").cast("double")
+        ),
+        6,
+    )
+    return j.select(
+        "variant",
+        "n",
+        F.col("vx").alias("x_sum_q4"),
+        F.col("vy").alias("y_sum_q4"),
+        theta.alias("theta"),
+        adj.alias("adjusted_mean_q4"),
+    )
