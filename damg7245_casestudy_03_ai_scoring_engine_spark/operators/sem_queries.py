@@ -865,11 +865,11 @@ per_user AS (
            CAST(user_id % 2 AS BIGINT) AS variant,
            CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
                               <= (SELECT (dlo + dhi) // 2 FROM span)
-                         THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS x,
            CAST(sum(CASE WHEN epoch_ns(ts) // 86400000000000
                               > (SELECT (dlo + dhi) // 2 FROM span)
-                         THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS y
     FROM events GROUP BY 1
 ),
@@ -884,7 +884,7 @@ v AS (
            CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
     FROM per_user GROUP BY 1
 )
-SELECT v.variant, v.n, v.vx AS x_sum_q4, v.vy AS y_sum_q4,
+SELECT v.variant, v.n, v.vx AS x_sum_q2, v.vy AS y_sum_q2,
        CASE WHEN p.nn * p.sxx - p.sx * p.sx > 0
             THEN floor((CAST(p.nn AS DOUBLE) * CAST(p.sxy AS DOUBLE)
                         - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
@@ -902,13 +902,13 @@ SELECT v.variant, v.n, v.vx AS x_sum_q4, v.vy AS y_sum_q4,
                       ELSE 0.0 END)
                 * (CAST(v.vx AS DOUBLE) / CAST(v.n AS DOUBLE)
                    - CAST(p.sx AS DOUBLE) / CAST(p.nn AS DOUBLE)))
-             * 1000000 + 0.5) / 1000000 AS adjusted_mean_q4
+             * 1000000 + 0.5) / 1000000 AS adjusted_mean_q2
 FROM v, pooled p
 """,
 )
 def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction for the parity-split experiment:
-    each user's FIRST-half activity is the pre-experiment covariate,
+    each user's FIRST-half activity (exact cents) is the pre-experiment covariate,
     the SECOND half the metric; the pooled regression coefficient
     θ = cov(x,y)/var(x) comes from exact int64 moments, and each
     variant's adjusted mean ȳ_v − θ(x̄_v − x̄) is one fixed-order
@@ -930,7 +930,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = e.agg(
         F.expr(f"(min(ts div {DAY}) + max(ts div {DAY})) div 2").alias("dmid")
     )
-    vq = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    vq = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     per_user = (
         e.crossJoin(F.broadcast(span))
         .groupBy("user_id")
@@ -986,8 +986,8 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "variant",
         "n",
-        F.col("vx").alias("x_sum_q4"),
-        F.col("vy").alias("y_sum_q4"),
+        F.col("vx").alias("x_sum_q2"),
+        F.col("vy").alias("y_sum_q2"),
         theta.alias("theta"),
-        adj.alias("adjusted_mean_q4"),
+        adj.alias("adjusted_mean_q2"),
     )
