@@ -991,3 +991,92 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         adj.alias("adjusted_mean_q2"),
     )
+
+
+@register(
+    "ab_power_mde",
+    survey="M14-adjacent (extension: A/B minimum detectable effect)",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           CAST(user_id % 2 AS BIGINT) AS variant,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vq) AS BIGINT) AS s1,
+           CAST(sum(vq * vq) AS BIGINT) AS s2,
+           CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM q GROUP BY 1
+)
+SELECT event_type, n0 AS n_control, n1 AS n_treatment,
+       CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num,
+       CAST(n * (n - 1) AS BIGINT) AS var_den,
+       CASE WHEN n >= 2 AND n0 > 0 AND n1 > 0 AND n * s2 - s1 * s1 > 0
+            THEN floor(2.8016 * sqrt((CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                      / CAST(n * (n - 1) AS DOUBLE))
+                                     * (1.0 / CAST(n0 AS DOUBLE)
+                                        + 1.0 / CAST(n1 AS DOUBLE)))
+                       / 100.0 * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS mde_value
+FROM s
+""",
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the parity-split experiment per
+    segment at alpha=0.05 / power=0.8: MDE = (z_{a/2}+z_b)·
+    sqrt(s²·(1/n0 + 1/n1)) with the z-sum pre-evaluated to the
+    2.8016 literal — the pre-experiment sizing readout that belongs
+    next to the chi-square and CUPED entries (is this test even able
+    to see the effect you care about?).
+
+    The pooled sample variance is carried as an EXACT integer
+    fraction (n·Σv² − (Σv)², n(n−1)) over cents-quantized values
+    (the squared-moment int64 budget rule), and the MDE is one
+    fixed-order double expression (sqrt correctly rounded) through
+    round_stable(6), reported back in value units.  One map-side
+    conditional aggregate, no join.
+    """
+    from ..functions.core import round_stable
+
+    q = load(spark, sf_dir, "events", fan_out=True).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).alias("s2"),
+        F.sum((F.col("variant") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n1"),
+    )
+    n, s1, s2, n0, n1 = (F.col(k) for k in ("n", "s1", "s2", "n0", "n1"))
+    var_num = (n * s2 - s1 * s1).cast("long")
+    var_den = (n * (n - 1)).cast("long")
+    mde = F.when(
+        (n >= 2) & (n0 > 0) & (n1 > 0) & (var_num > 0),
+        round_stable(
+            F.lit(2.8016)
+            * F.sqrt(
+                (var_num.cast("double") / var_den.cast("double"))
+                * (
+                    F.lit(1.0) / n0.cast("double")
+                    + F.lit(1.0) / n1.cast("double")
+                )
+            )
+            / F.lit(100.0),
+            6,
+        ),
+    )
+    return s.select(
+        "event_type",
+        n0.alias("n_control"),
+        n1.alias("n_treatment"),
+        var_num.alias("var_num"),
+        var_den.alias("var_den"),
+        mde.alias("mde_value"),
+    )

@@ -2197,3 +2197,75 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.join(F.broadcast(sz), "cohort_week").select(
         "cohort_week", "week_offset", "cohort_users", "period_q4", "cum_q4"
     )
+
+
+@register(
+    "stickiness_dau_mau",
+    survey="A15,W5 (extension: DAU/MAU stickiness ratio)",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT epoch_ns(ts) // {_DAY_NS} AS day_idx, user_id FROM events
+),
+days AS (SELECT DISTINCT day_idx FROM du),
+dau AS (
+    SELECT day_idx, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1
+),
+mau AS (
+    SELECT d.day_idx, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM days d JOIN du u
+      ON u.day_idx BETWEEN d.day_idx - 27 AND d.day_idx
+    GROUP BY 1
+)
+SELECT dau.day_idx, dau.dau, mau.mau,
+       floor(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS stickiness
+FROM dau JOIN mau ON dau.day_idx = mau.day_idx
+""",
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day stickiness (DAU / trailing-28-day MAU) — the
+    engagement-quality ratio product dashboards track beside the WAU
+    curve.  MAU reuses the rolling-actives contract: each deduped
+    (day, user) activity is exploded to the 28 window-end days it
+    reaches (expansion on the deduped grain, never raw events),
+    suppressed to observed days, counted distinct; DAU is the plain
+    day grain; the ratio is one guarded round_stable division over
+    exact counts.
+    """
+    from ..functions.cache import tracked_persist
+
+    du = tracked_persist(
+        load(spark, sf_dir, "events", fan_out=True)
+        .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .distinct(),
+        "stickiness.day_user",
+    )
+    days = du.select("day_idx").distinct()
+    dau = du.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        "day_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+        "user_id",
+    ).select((F.col("day_idx") + F.col("o")).alias("window_day"), "user_id")
+    mau = (
+        contrib.join(
+            days.withColumnRenamed("day_idx", "window_day"),
+            "window_day",
+            "left_semi",
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    from ..functions.core import round_stable
+
+    return (
+        dau.join(mau, dau.day_idx == mau.window_day)
+        .select(
+            "day_idx",
+            "dau",
+            F.col("mau").cast("long").alias("mau"),
+            round_stable(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
