@@ -2269,3 +2269,104 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+_ATTR_WINDOW_NS = 7 * _DAY_NS  # attribution lookback
+
+
+@register(
+    "position_attribution_credits",
+    survey="J8,W5 (extension: position-based multi-touch attribution)",
+    oracle=f"""
+WITH p AS (
+    SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS pt
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_id AS touch_id, event_type, epoch_ns(ts) AS tt
+    FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+    SELECT p.conv_id, t.touch_id, t.event_type, t.tt
+    FROM p JOIN t ON p.user_id = t.user_id
+     AND t.tt < p.pt AND t.tt >= p.pt - {_ATTR_WINDOW_NS}
+),
+rk AS (
+    SELECT conv_id, touch_id, event_type,
+           CAST(row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY tt, touch_id) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS k
+    FROM j
+)
+SELECT conv_id, touch_id, event_type,
+       CAST(CASE
+            WHEN k = 1 THEN 10000
+            WHEN k = 2 THEN 5000
+            WHEN rn = 1 OR rn = k THEN 4000
+            ELSE 2000 // (k - 2)
+                 + CASE WHEN rn - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END
+       END AS BIGINT) AS credit_bp
+FROM rk
+""",
+)
+def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase distributes EXACTLY 10,000 basis points of credit over
+    the user's click/view touchpoints in the prior 7 days — 40% to
+    the first touch, 40% to the last, the middle 20% split by
+    Hamilton largest-remainder (floor share + leftover units to the
+    earliest middles), so per-conversion credit conservation is an
+    integer identity, not a float approximation (pinned in
+    tests/test_cross_query_invariants.py).  Degenerate paths: one
+    touch takes all 10,000; two touches split 5,000/5,000.
+
+    Scale shape: a user-keyed interval join (the click_error_followups
+    contract — watermarkable on a stream), one conversion-partitioned
+    rank window, pure integer credit arithmetic.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("pt"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("ts").alias("tt"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - F.lit(_ATTR_WINDOW_NS)),
+    ).select("conv_id", "touch_id", "event_type", "tt")
+    by_conv = Window.partitionBy("conv_id")
+    rk = j.select(
+        "conv_id",
+        "touch_id",
+        "event_type",
+        F.row_number()
+        .over(by_conv.orderBy("tt", "touch_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_conv).cast("long").alias("k"),
+    )
+    mid_share = F.expr("2000 div (k - 2)") + (
+        (F.col("rn") - 1) <= F.expr("2000 % (k - 2)")
+    ).cast("long")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(4000))
+        .otherwise(mid_share)
+    )
+    return rk.select(
+        "conv_id",
+        "touch_id",
+        "event_type",
+        credit.cast("long").alias("credit_bp"),
+    )

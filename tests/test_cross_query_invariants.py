@@ -922,3 +922,24 @@ def test_bellman_ford_matches_python_dijkstra_within_hops(spark):
     for n, c in got.items():
         if n < _BFS_SRC_MAX:
             assert c == 0
+
+
+def test_attribution_credits_conserve_exactly(spark):
+    """Every conversion's credits sum to EXACTLY 10,000 bp; first and
+    last touches of k>=3 paths carry 4,000 each; middles differ by at
+    most 1 unit."""
+    rows = (
+        REGISTRY["position_attribution_credits"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["credit_bp"])
+    for conv, credits in by_conv.items():
+        assert sum(credits) == 10000, conv
+        k = len(credits)
+        if k >= 3:
+            assert credits.count(4000) >= 2
+            mids = sorted(c for c in credits if c != 4000)
+            if mids:
+                assert mids[-1] - mids[0] <= 1
