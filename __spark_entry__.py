@@ -48,6 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # a real DuckDB oracle: the same fixed-200-iteration power method
 # replayed as a recursive CTE (sem_queries._pca_eta_oracle), with the
 # numpy-exact pin still in tests/test_mllib_parity.py.
+# Round-5 final rotation: three extension-tier greens whose family
+# stays windowed (gopher_repetition_flags / unigram_ll_quality ->
+# curation_decision_gate composes both signals; semantic_dedup ->
+# minhash + containment_prefix keep dedup covered) swapped for the
+# late-session flagships kaplan_meier_churn, auc_value_score, and
+# position_attribution_credits.
 # Round-5 late rotation: seven more multi-round greens
 # (time_window_census, cohort_retention, asof_join_events,
 # fpgrowth_brand_rules, embedding_near_dup, sem_ols_ci,
@@ -92,17 +98,17 @@ _PRIORITY = (
     "zorder_layout_scan",
     "dynamic_partition_pruned_join",
     "dedup_minhash_lsh",
-    "semantic_dedup",
+    "position_attribution_credits",
     "pareto_frontier_orders",
     "dedup_containment_prefix",
     "decontaminate_ngram_overlap",
-    "gopher_repetition_flags",
+    "kaplan_meier_churn",
     "ann_ivf_topk",
     "mutual_nn_pairs",
     "lsh_cosine_pairs",
     "curation_decision_gate",
     "multimodal_meta",
-    "unigram_ll_quality",
+    "auc_value_score",
     "containment_closure_rcte",
     "fuzzy_entity_match",
     "weighted_sample_per_source",
