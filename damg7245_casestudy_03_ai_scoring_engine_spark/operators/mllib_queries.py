@@ -414,3 +414,88 @@ def fpgrowth_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(lift * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("lift"),
         )
     )
+
+
+def pav_fit(pairs: list[tuple[float, float, float]]) -> list[float]:
+    """Exact pool-adjacent-violators on (x-sorted) (x, y, w) triples:
+    returns the isotonic fitted value per input position.  The
+    reference cross-check for the MLlib twin (same algorithm MLlib
+    runs per-partition + merge)."""
+    blocks: list[list[float]] = []  # [sum_wy, sum_w, count]
+    for _, y, w in pairs:
+        blocks.append([y * w, w, 1])
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out: list[float] = []
+    for swy, sw, cnt in blocks:
+        out.extend([swy / sw] * cnt)
+    return out
+
+
+@register(
+    "isotonic_calibration_fit",
+    survey="M13-adjacent (extension: isotonic (PAV) score calibration, MLlib)",
+    # rows-only: PAV is an inherently sequential pooling algorithm (no
+    # SQL closed form); exactness is pinned against the pure-python
+    # PAV replay in tests/test_cross_query_invariants.py.
+)
+def isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the derived confidence
+    score against observed conversion: fits the best monotone
+    step-function mapping score→P(positive) with MLlib's distributed
+    IsotonicRegression (per-partition PAV + merge) over the
+    per-bucket aggregated rates — the calibration FIT that the
+    reliability-bin audit (`calibration_reliability_bins`) motivates
+    (PAV is what turns a mis-calibrated score into a usable
+    probability without assuming a parametric shape).
+
+    Runs on the 100-point quantized score grain (weight = bucket
+    count, label = bucket positive rate), so the driver-side model
+    is O(100) regardless of corpus size — the standard
+    calibrate-on-aggregates pattern.  Output: per score point, the
+    fitted monotone probability (6dp round_stable), pinned against a pure-python PAV replay (<=1e-6, the
+    fit's own rounding grain).
+    """
+    e = load(spark, sf_dir, "events", fan_out=True)
+    pts = (
+        e.select(
+            F.least(
+                F.floor(F.col("value") / F.lit(5.0)).cast("long"), F.lit(99)
+            ).alias("score_pt"),
+            F.col("event_type")
+            .isin("purchase", "signup")
+            .cast("long")
+            .alias("y"),
+        )
+        .groupBy("score_pt")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("y").alias("k"))
+    )
+    try:
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import IsotonicRegression
+    except ImportError:  # pragma: no cover - MLlib ships with pyspark
+        raise
+    train = pts.select(
+        F.col("score_pt").cast("double").alias("feature"),
+        (F.col("k").cast("double") / F.col("w").cast("double")).alias("label"),
+        F.col("w").cast("double").alias("weight"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["feature"], outputCol="features"
+    ).transform(train)
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label", weightCol="weight"
+    ).fit(assembled)
+    fitted = model.transform(assembled)
+    return fitted.select(
+        F.col("feature").cast("long").alias("score_pt"),
+        F.col("weight").cast("long").alias("n"),
+        (F.floor(F.col("prediction") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+            "calibrated_p"
+        ),
+    )

@@ -2370,3 +2370,107 @@ def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         credit.cast("long").alias("credit_bp"),
     )
+
+
+@register(
+    "forecast_backtest_mae",
+    survey="W5,A3 (extension: seasonal-naive vs naive backtest)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT a.event_type, a.day_idx, a.dq,
+           n1.dq AS naive_pred, n7.dq AS seasonal_pred
+    FROM daily a
+    JOIN daily n1 ON n1.event_type = a.event_type
+                 AND n1.day_idx = a.day_idx - 1
+    JOIN daily n7 ON n7.event_type = a.event_type
+                 AND n7.day_idx = a.day_idx - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(dq - naive_pred)) AS BIGINT) AS naive_ae_sum,
+       CAST(sum(abs(dq - seasonal_pred)) AS BIGINT) AS seasonal_ae_sum,
+       floor(CAST(sum(abs(dq - naive_pred)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS naive_mae,
+       floor(CAST(sum(abs(dq - seasonal_pred)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS seasonal_mae
+FROM j GROUP BY 1
+""",
+)
+def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two baseline forecasters every real forecast
+    must beat: naive (yesterday's value) vs seasonal-naive (same
+    weekday last week), scored by mean absolute error on each type's
+    daily series over the days where both predictions exist — the
+    honest yardstick that anchors the Holt/EWMA family (a model that
+    can't beat seasonal-naive has no business shipping).
+
+    Absolute errors are exact int64 on quantized cents (days joined
+    by day−1 / day−7 equi-keys, no spine); MAEs are single
+    round_stable divisions.  Fact aggregate + two self equi-joins on
+    the tiny (type, day) grain.
+    """
+    from ..functions.core import round_stable
+
+    daily = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy(
+            "event_type", F.expr(f"ts div {_DAY_NS}").alias("day_idx")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("dq")
+        )
+    )
+    n1 = daily.select(
+        F.col("event_type").alias("t1"),
+        (F.col("day_idx") + 1).alias("d1"),
+        F.col("dq").alias("naive_pred"),
+    )
+    n7 = daily.select(
+        F.col("event_type").alias("t7"),
+        (F.col("day_idx") + 7).alias("d7"),
+        F.col("dq").alias("seasonal_pred"),
+    )
+    j = (
+        daily.join(
+            n1,
+            (F.col("t1") == F.col("event_type"))
+            & (F.col("d1") == F.col("day_idx")),
+        )
+        .join(
+            n7,
+            (F.col("t7") == F.col("event_type"))
+            & (F.col("d7") == F.col("day_idx")),
+        )
+        .select("event_type", "dq", "naive_pred", "seasonal_pred")
+    )
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("dq") - F.col("naive_pred"))).alias("naive_ae_sum"),
+        F.sum(F.abs(F.col("dq") - F.col("seasonal_pred"))).alias(
+            "seasonal_ae_sum"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "naive_ae_sum",
+        "seasonal_ae_sum",
+        round_stable(
+            F.col("naive_ae_sum").cast("double") / F.col("n_days").cast("double"),
+            6,
+        ).alias("naive_mae"),
+        round_stable(
+            F.col("seasonal_ae_sum").cast("double")
+            / F.col("n_days").cast("double"),
+            6,
+        ).alias("seasonal_mae"),
+    )

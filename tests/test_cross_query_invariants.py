@@ -943,3 +943,41 @@ def test_attribution_credits_conserve_exactly(spark):
             mids = sorted(c for c in credits if c != 4000)
             if mids:
                 assert mids[-1] - mids[0] <= 1
+
+
+def test_isotonic_fit_matches_python_pav(spark):
+    """MLlib's distributed isotonic fit equals the sequential
+    pool-adjacent-violators replay on the same aggregated points
+    (<=1e-6), and the fitted curve is monotone non-decreasing."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.mllib_queries import (
+        pav_fit,
+    )
+
+    pts = (
+        load(spark, SF_SMOKE, "events")
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.lit(5.0)).cast("long"), F.lit(99)
+            ).alias("score_pt"),
+            F.col("event_type")
+            .isin("purchase", "signup")
+            .cast("long")
+            .alias("y"),
+        )
+        .groupBy("score_pt")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("y").alias("k"))
+        .collect()
+    )
+    triples = sorted(
+        (float(r["score_pt"]), r["k"] / r["w"], float(r["w"])) for r in pts
+    )
+    expect = dict(zip([t[0] for t in triples], pav_fit(triples)))
+    got = {
+        float(r["score_pt"]): r["calibrated_p"]
+        for r in REGISTRY["isotonic_calibration_fit"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) <= 1e-6, (k, v, expect[k])
+    ordered = [got[k] for k in sorted(got)]
+    assert ordered == sorted(ordered)
