@@ -708,3 +708,21 @@ def test_spatial_radius_join_blocks_on_cells_no_cross(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     s2 = explain_str(_plan(spark, "spatial_nearest_neighbor"))
     assert "CartesianProduct" not in s2 and "BroadcastNestedLoopJoin" not in s2
+
+
+def test_capped_balance_is_single_exchange_no_join(spark):
+    """The Lindley closed form must stay a pure window plan: one
+    user-partitioned exchange, no join operator of any kind."""
+    s = explain_str(_plan(spark, "capped_running_balance"))
+    assert s.count("Exchange hashpartitioning") == 1, s
+    assert not any(j in s for j in _JOIN_OPS)
+
+
+def test_rolling_actives_semi_join_no_cartesian(spark):
+    """Rolling actives must keep the observed-day suppression as a
+    (broadcastable) semi join — never a cartesian — and the 7x
+    explode must ride the deduped grain (persisted once)."""
+    s = explain_str(_plan(spark, "rolling_active_users"))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s or "left_semi" in s.lower()
+    assert "InMemoryRelation" in s or "InMemoryTableScan" in s
