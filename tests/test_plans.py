@@ -714,7 +714,9 @@ def test_capped_balance_is_single_exchange_no_join(spark):
     """The Lindley closed form must stay a pure window plan: one
     user-partitioned exchange, no join operator of any kind."""
     s = explain_str(_plan(spark, "capped_running_balance"))
-    assert s.count("Exchange hashpartitioning") == 1, s
+    # formatted explain prints each node twice (tree + details):
+    # count only the tree lines.
+    assert len(re.findall(r"\+- Exchange ", s)) == 1, s
     assert not any(j in s for j in _JOIN_OPS)
 
 
