@@ -2474,3 +2474,143 @@ def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_mae"),
     )
+
+
+_ABSORB_STEPS = 5
+_ABSORB_STATE = "purchase"
+
+
+def _absorption_oracle() -> str:
+    rounds = []
+    for k in range(1, _ABSORB_STEPS + 1):
+        prev = f"r{k - 1}"
+        rounds.append(
+            f"""r{k} AS (
+    SELECT st.s,
+           CASE WHEN st.s = '{_ABSORB_STATE}' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(f.v, CAST(0.0 AS DOUBLE)) END AS pv
+    FROM states st LEFT JOIN (
+        SELECT pm.cur AS s,
+               list_reduce(list(pm.p * p.pv ORDER BY pm.nxt),
+                           (a, b) -> a + b) AS v
+        FROM pm JOIN {prev} p ON pm.nxt = p.s
+        GROUP BY pm.cur
+    ) f ON st.s = f.s
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH o AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS cur, next_type AS nxt FROM o WHERE next_type IS NOT NULL
+),
+c AS (
+    SELECT cur, nxt, count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY cur) AS n_cur
+    FROM pairs GROUP BY cur, nxt
+),
+pm AS (
+    SELECT cur, nxt, CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE) AS p,
+           CAST(n_cur AS BIGINT) AS n_cur
+    FROM c
+),
+states AS (SELECT DISTINCT cur AS s FROM pm),
+tot AS (SELECT cur AS s, CAST(max(n_cur) AS BIGINT) AS n_out FROM pm GROUP BY 1),
+r0 AS (
+    SELECT s, CASE WHEN s = '{_ABSORB_STATE}' THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS pv
+    FROM states
+),
+{chain}
+SELECT r.s AS start_state, t.n_out,
+       floor(r.pv * 1000000 + 0.5) / 1000000 AS p_convert_5
+FROM r{_ABSORB_STEPS} r JOIN tot t ON r.s = t.s
+"""
+
+
+@register(
+    "markov_absorption_conversion",
+    survey="W5 (extension: absorbing-Markov k-step conversion probability)",
+    oracle=_absorption_oracle(),
+)
+def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(reach the purchase state within 5 steps | current state) —
+    the absorbing-Markov readout of the transition matrix
+    (`event_transition_matrix` estimates P; this answers the question
+    PMs actually ask of it).  Purchase is forced absorbing (pv = 1
+    every round, its outgoing transitions unused), and each round
+    computes p_{{k+1}}(s) = Σ_t P(s,t)·p_k(t) with the sum folded in
+    next-state order on BOTH engines (sorted-collect + add-reduce),
+    so the five float iterates are bit-identical before the final
+    round_stable — the finite-iteration-replay contract at state-
+    grain size (≤ #event types rows per round).
+
+    Scale shape: the transition estimate is the work (user window +
+    pair groupBy); the 5 iteration rounds ride the tiny state grain.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = (
+        o.groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_cur", F.sum("n").over(Window.partitionBy("cur")))
+    )
+    pm = c.select(
+        "cur",
+        "nxt",
+        (F.col("n").cast("double") / F.col("n_cur").cast("double")).alias("p"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    ).localCheckpoint()
+    states = pm.select(F.col("cur").alias("s")).distinct()
+    tot = pm.groupBy(F.col("cur").alias("s")).agg(
+        F.max("n_cur").alias("n_out")
+    )
+    pv = F.when(F.col("s") == _ABSORB_STATE, F.lit(1.0)).otherwise(F.lit(0.0))
+    p_cur = states.select("s", pv.alias("pv"))
+    for _ in range(_ABSORB_STEPS):
+        terms = pm.join(p_cur, pm.nxt == p_cur.s).select(
+            F.col("cur"),
+            F.col("nxt"),
+            (F.col("p") * F.col("pv")).alias("term"),
+        )
+        folded = terms.groupBy("cur").agg(
+            F.array_sort(F.collect_list(F.struct("nxt", "term"))).alias("ts_")
+        )
+        arr = F.transform(F.col("ts_"), lambda x: x["term"])
+        summed = folded.select(
+            F.col("cur").alias("s"),
+            F.aggregate(
+                F.slice(arr, 2, F.size(arr) - 1),
+                F.element_at(arr, 1),
+                lambda a, b: a + b,
+            ).alias("v"),
+        )
+        p_cur = (
+            states.join(summed, "s", "left")
+            .select(
+                "s",
+                F.when(F.col("s") == _ABSORB_STATE, F.lit(1.0))
+                .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
+                .alias("pv"),
+            )
+            .localCheckpoint()
+        )
+    return p_cur.join(tot, "s").select(
+        F.col("s").alias("start_state"),
+        "n_out",
+        (F.floor(F.col("pv") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "p_convert_5"
+        ),
+    )

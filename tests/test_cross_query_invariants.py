@@ -981,3 +981,56 @@ def test_isotonic_fit_matches_python_pav(spark):
         assert abs(v - expect[k]) <= 1e-6, (k, v, expect[k])
     ordered = [got[k] for k in sorted(got)]
     assert ordered == sorted(ordered)
+
+
+def test_markov_absorption_matches_python_and_bounds(spark):
+    """5-step absorption probabilities equal a python replay of the
+    same fixed-order iteration on the exact transition counts, are
+    monotone-compatible with probabilities in [0, 1], and purchase
+    itself reports 1."""
+    import math
+
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts: dict = {}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rs, rs[1:]):
+            counts[(a["event_type"], b["event_type"])] = (
+                counts.get((a["event_type"], b["event_type"]), 0) + 1
+            )
+    n_cur: dict = {}
+    for (c, _), n in counts.items():
+        n_cur[c] = n_cur.get(c, 0) + 1 * n
+    pm = {(c, t): n / n_cur[c] for (c, t), n in counts.items()}
+    states = sorted(n_cur)
+    pv = {s: 1.0 if s == "purchase" else 0.0 for s in states}
+    for _ in range(5):
+        nxt_pv = {}
+        for s in states:
+            if s == "purchase":
+                nxt_pv[s] = 1.0
+                continue
+            terms = sorted(
+                (t, pm[(s, t)] * pv.get(t, 0.0))
+                for t in [t for (c, t) in pm if c == s]
+            )
+            acc = terms[0][1] if terms else 0.0
+            for _, v in terms[1:]:
+                acc = acc + v
+            nxt_pv[s] = acc
+        pv = nxt_pv
+    got = {
+        r["start_state"]: (r["n_out"], r["p_convert_5"])
+        for r in REGISTRY["markov_absorption_conversion"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(states)
+    for s in states:
+        assert got[s][0] == n_cur[s]
+        assert got[s][1] == math.floor(pv[s] * 1e6 + 0.5) / 1e6, s
+        assert 0.0 <= got[s][1] <= 1.0
+    assert got["purchase"][1] == 1.0
