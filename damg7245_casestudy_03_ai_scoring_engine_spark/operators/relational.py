@@ -3668,3 +3668,155 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "encoded_value"
         ),
     )
+
+
+_NEYMAN_BUDGET = 1_000  # total sample size across strata
+
+
+@register(
+    "neyman_stratified_sample",
+    survey="O5,A10 (extension: Neyman-allocated deterministic stratified sample)",
+    oracle=f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS stratum, o.o_orderkey,
+           CAST(round(o.o_totalprice) AS BIGINT) AS dollars
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+st AS (
+    SELECT stratum,
+           CAST(count(*) AS BIGINT) AS nh,
+           CAST(sum(dollars) AS BIGINT) AS s1,
+           CAST(sum(dollars * dollars) AS BIGINT) AS s2
+    FROM base GROUP BY 1
+),
+wts AS (
+    SELECT stratum, nh,
+           CAST(floor(CAST(nh AS DOUBLE)
+                      * sqrt((CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                             / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)))
+                      * 100.0) AS BIGINT) AS w
+    FROM st WHERE nh >= 2
+),
+tw AS (
+    SELECT stratum, nh, w, CAST(sum(w) OVER () AS BIGINT) AS wtot FROM wts
+),
+alloc AS (
+    SELECT stratum, nh,
+           ({_NEYMAN_BUDGET} * w) // wtot AS base_n,
+           {_NEYMAN_BUDGET} * w - (({_NEYMAN_BUDGET} * w) // wtot) * wtot AS rem,
+           CAST({_NEYMAN_BUDGET} - sum(({_NEYMAN_BUDGET} * w) // wtot) OVER ()
+                AS BIGINT) AS leftover
+    FROM tw
+),
+final_alloc AS (
+    SELECT stratum, nh,
+           CAST(base_n + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+                                   <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_take
+    FROM alloc
+),
+rk AS (
+    SELECT b.stratum, b.o_orderkey, f.n_take,
+           row_number() OVER (
+               PARTITION BY b.stratum
+               ORDER BY md5('neyman|' || CAST(b.o_orderkey AS VARCHAR)), b.o_orderkey
+           ) AS rn
+    FROM base b JOIN final_alloc f ON b.stratum = f.stratum
+)
+SELECT stratum, o_orderkey, CAST(n_take AS BIGINT) AS stratum_quota
+FROM rk WHERE rn <= n_take
+""",
+)
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with NEYMAN allocation: the 1,000-order
+    budget is split across market segments proportional to
+    N_h·σ_h (variance-heavy strata get more samples — the
+    minimum-variance design survey statistics prescribes, vs the
+    proportional split `stratified_sample` uses), the integer split
+    by Hamilton largest-remainder, and membership by deterministic
+    salted-md5 order — fully replayable, no rand().
+
+    Numerics: per-stratum variance is the exact integer fraction
+    (n·Σx² − (Σx)²)/(n(n−1)) over WHOLE DOLLARS — the squared-moment
+    int64 budget rule: dollar² sums hold to ~1e6 rows/stratum at
+    these magnitudes where cents² would overflow at sf0.1 (caught by
+    the pre-commit sf0.1 run), decimal(38,0) beyond; the weight
+    N_h·σ_h is ONE fixed-order sqrt quantized to an int64 at 1e-2
+    resolution before the all-integer Hamilton split, so allocation
+    is bit-stable cross-engine.
+
+    Scale shape: one fact aggregate for moments, a 5-row allocation
+    frame, then a per-stratum top-n_take window over the salted
+    hash — the same two-level sample-order contract as
+    weighted_sample_per_source.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("stratum"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice")).cast("long").alias("dollars"),
+    )
+    st = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("dollars").alias("s1"),
+        F.sum(F.col("dollars") * F.col("dollars")).alias("s2"),
+    ).filter(F.col("nh") >= 2)
+    nhd = F.col("nh").cast("double")
+    var = (
+        nhd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nhd * (F.col("nh") - 1).cast("double"))
+    wts = st.select(
+        "stratum",
+        "nh",
+        F.floor(nhd * F.sqrt(var) * F.lit(100.0)).cast("long").alias("w"),
+    )
+    tw = wts.withColumn("wtot", F.sum("w").over(Window.partitionBy()))
+    B = _NEYMAN_BUDGET
+    alloc = tw.select(
+        "stratum",
+        "nh",
+        F.expr(f"({B} * w) div wtot").alias("base_n"),
+        F.expr(f"{B} * w - (({B} * w) div wtot) * wtot").alias("rem"),
+    ).withColumn(
+        "leftover",
+        (F.lit(B) - F.sum("base_n").over(Window.partitionBy())).cast("long"),
+    )
+    final_alloc = alloc.select(
+        "stratum",
+        "nh",
+        (
+            F.col("base_n")
+            + (
+                F.row_number().over(
+                    Window.orderBy(F.desc("rem"), F.asc("stratum"))
+                )
+                <= F.col("leftover")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_take"),
+    )
+    rk = base.join(F.broadcast(final_alloc), "stratum").select(
+        "stratum",
+        "o_orderkey",
+        "n_take",
+        F.row_number()
+        .over(
+            Window.partitionBy("stratum").orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit("neyman|"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                F.asc("o_orderkey"),
+            )
+        )
+        .alias("rn"),
+    )
+    return rk.filter(F.col("rn") <= F.col("n_take")).select(
+        "stratum",
+        "o_orderkey",
+        F.col("n_take").cast("long").alias("stratum_quota"),
+    )

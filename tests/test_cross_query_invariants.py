@@ -1034,3 +1034,67 @@ def test_markov_absorption_matches_python_and_bounds(spark):
         assert got[s][1] == math.floor(pv[s] * 1e6 + 0.5) / 1e6, s
         assert 0.0 <= got[s][1] <= 1.0
     assert got["purchase"][1] == 1.0
+
+
+def test_neyman_sample_conserves_budget_and_weights(spark):
+    """The Neyman sample takes EXACTLY the budget overall, per-stratum
+    takes match the Hamilton split of the N*sigma weights (python
+    replay), and membership is the salted-md5 prefix of each
+    stratum."""
+    import hashlib
+    import math
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.relational import (
+        _NEYMAN_BUDGET,
+    )
+
+    rows = REGISTRY["neyman_stratified_sample"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == _NEYMAN_BUDGET
+    base = (
+        load(spark, SF_SMOKE, "orders")
+        .join(
+            load(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("stratum"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice")).cast("long").alias("dollars"),
+        )
+        .collect()
+    )
+    by_st: dict = {}
+    for r in base:
+        by_st.setdefault(r["stratum"], []).append((r["o_orderkey"], r["dollars"]))
+    w = {}
+    for st, xs in by_st.items():
+        n = len(xs)
+        s1 = sum(d for _, d in xs)
+        s2 = sum(d * d for _, d in xs)
+        var = (n * s2 - s1 * s1) / (n * (n - 1))
+        w[st] = math.floor(n * math.sqrt(var) * 100.0)
+    wtot = sum(w.values())
+    base_n = {st: (_NEYMAN_BUDGET * wv) // wtot for st, wv in w.items()}
+    rem = {st: _NEYMAN_BUDGET * wv - base_n[st] * wtot for st, wv in w.items()}
+    leftover = _NEYMAN_BUDGET - sum(base_n.values())
+    order = sorted(w, key=lambda st: (-rem[st], st))
+    expect_n = {
+        st: base_n[st] + (1 if i < leftover else 0)
+        for i, st in enumerate(order)
+    }
+    got_n: dict = {}
+    got_keys: dict = {}
+    for r in rows:
+        got_n[r["stratum"]] = got_n.get(r["stratum"], 0) + 1
+        got_keys.setdefault(r["stratum"], set()).add(r["o_orderkey"])
+        assert r["stratum_quota"] == expect_n[r["stratum"]]
+    assert got_n == expect_n
+    for st, keys in got_keys.items():
+        ranked = sorted(
+            by_st[st],
+            key=lambda kv: (
+                hashlib.md5(f"neyman|{kv[0]}".encode()).hexdigest(),
+                kv[0],
+            ),
+        )
+        assert {k for k, _ in ranked[: expect_n[st]]} == keys, st
