@@ -2614,3 +2614,88 @@ def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_convert_5"
         ),
     )
+
+
+@register(
+    "rolling_trend_slope",
+    survey="W5,A18 (extension: trailing-window regression slope)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, day_idx, dq,
+           CAST(count(*) OVER tw AS BIGINT) AS wn,
+           CAST(sum(day_idx) OVER tw AS BIGINT) AS sx,
+           CAST(sum(dq) OVER tw AS BIGINT) AS sy,
+           CAST(sum(day_idx * day_idx) OVER tw AS BIGINT) AS sxx,
+           CAST(sum(day_idx * dq) OVER tw AS BIGINT) AS sxy
+    FROM daily
+    WINDOW tw AS (PARTITION BY event_type ORDER BY day_idx
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day_idx, dq, wn,
+       CASE WHEN wn >= 3 AND wn * sxx - sx * sx > 0
+            THEN floor(CAST(wn * sxy - sx * sy AS DOUBLE)
+                       / CAST(wn * sxx - sx * sx AS DOUBLE)
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS slope_q2_per_day
+FROM w
+""",
+)
+def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day OLS slope of each type's daily series at every
+    day — "how fast is this metric moving right now", the windowed
+    regression that upgrades the burst z-score (level anomaly) with a
+    trend readout, and the feature a forecasting model consumes.
+
+    Five exact int64 frame moments per row (count, Σx, Σy, Σx², Σxy
+    over ROWS 13 PRECEDING..CURRENT; x is the epoch-day index so x²
+    sums stay ~1e17 for decades — int64-budget-checked) feed the
+    closed-form slope (wΣxy − ΣxΣy)/(wΣxx − (Σx)²) as ONE guarded
+    fixed-order double.  A single WindowExec serves all five frames.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    daily = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy(
+            "event_type", F.expr(f"ts div {_DAY_NS}").alias("day_idx")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("dq")
+        )
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-13, 0)
+    )
+    w = (
+        daily.withColumn("wn", F.count(F.lit(1)).over(tw))
+        .withColumn("sx", F.sum("day_idx").over(tw))
+        .withColumn("sy", F.sum("dq").over(tw))
+        .withColumn("sxx", F.sum(F.col("day_idx") * F.col("day_idx")).over(tw))
+        .withColumn("sxy", F.sum(F.col("day_idx") * F.col("dq")).over(tw))
+    )
+    wn, sx, sy, sxx, sxy = (F.col(k) for k in ("wn", "sx", "sy", "sxx", "sxy"))
+    den = (wn * sxx - sx * sx).cast("long")
+    slope = F.when(
+        (wn >= 3) & (den > 0),
+        round_stable(
+            (wn * sxy - sx * sy).cast("double") / den.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "event_type",
+        "day_idx",
+        "dq",
+        wn.cast("long").alias("wn"),
+        slope.alias("slope_q2_per_day"),
+    )
