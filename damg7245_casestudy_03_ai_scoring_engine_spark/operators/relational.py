@@ -3820,3 +3820,93 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("n_take").cast("long").alias("stratum_quota"),
     )
+
+
+@register(
+    "price_index_monthly",
+    survey="A2,F6 (extension: matched-basket monthly price index)",
+    oracle="""
+WITH m AS (
+    SELECT l_partkey,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+p AS (
+    SELECT l_partkey, month, (cents * 100) // qty AS unit_p
+    FROM m WHERE qty > 0
+),
+base AS (
+    SELECT l_partkey, unit_p AS base_p
+    FROM p WHERE month = (SELECT min(month) FROM p)
+),
+j AS (
+    SELECT p.month, p.unit_p, b.base_p
+    FROM p JOIN base b ON p.l_partkey = b.l_partkey
+),
+agg AS (
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS basket_parts,
+           CAST(sum(unit_p) AS BIGINT) AS cur_sum,
+           CAST(sum(base_p) AS BIGINT) AS base_sum
+    FROM j GROUP BY 1
+)
+SELECT month, basket_parts, cur_sum, base_sum,
+       floor(CAST(cur_sum AS DOUBLE) / CAST(base_sum AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS price_index
+FROM agg
+""",
+)
+def price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-basket monthly price index: each month's average unit
+    prices (exact integer-division quantization ⌊100·cents/qty⌋, so
+    no rational sums exist) compared against the FIRST month for the
+    parts traded in both — the inflation/price-drift monitor an
+    analytics platform runs over any priced fact stream.  Basket
+    membership is matched per month (parts present in both periods),
+    with the basket size reported so index jumps from composition
+    changes are visible.
+
+    Scale shape: one (part, month) aggregate, a broadcast base-month
+    join keyed on part, and a month rollup — exact int64 price sums
+    with ONE guarded round_stable division per month.
+    """
+    from ..functions.core import round_stable
+
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+    )
+    p = m.filter(F.col("qty") > 0).select(
+        "l_partkey", "month", F.expr("(cents * 100) div qty").alias("unit_p")
+    )
+    base_month = p.agg(F.min("month").alias("m0"))
+    base = (
+        p.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("m0"))
+        .select("l_partkey", F.col("unit_p").alias("base_p"))
+    )
+    j = p.join(base, "l_partkey")
+    agg = j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("basket_parts"),
+        F.sum("unit_p").alias("cur_sum"),
+        F.sum("base_p").alias("base_sum"),
+    )
+    return agg.select(
+        "month",
+        "basket_parts",
+        "cur_sum",
+        "base_sum",
+        round_stable(
+            F.col("cur_sum").cast("double") / F.col("base_sum").cast("double"),
+            6,
+        ).alias("price_index"),
+    )
