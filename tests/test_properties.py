@@ -253,3 +253,125 @@ def test_prefix_filter_candidates_are_complete(spark, docs):
         jac = len(a & b) / len(a | b)
         if jac >= t:
             assert (i, j) in cand, (i, j, jac, sets[i], sets[j], cand)
+
+
+# --- round-5 operator algebra ------------------------------------------------
+
+deltas_lists = st.lists(
+    st.integers(min_value=-1_000, max_value=1_000), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(deltas=deltas_lists)
+def test_lindley_closed_form_property(spark, deltas):
+    """prefix − min(0, running-min(prefix)) == sequential
+    max(0, prev+delta) for ARBITRARY integer delta sequences (the
+    identity capped_running_balance relies on), checked through the
+    actual Spark window plan."""
+    from pyspark.sql import Window
+
+    rows = [(1, i, int(d)) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("pfx", F.sum("delta").over(w))
+        .withColumn("runmin", F.min("pfx").over(w))
+        .select(
+            "seq",
+            (F.col("pfx") - F.least(F.lit(0), F.col("runmin"))).alias("bal"),
+        )
+        .collect()
+    )
+    got = {r["seq"]: r["bal"] for r in out}
+    bal = 0
+    for i, d in enumerate(deltas):
+        bal = max(0, bal + d)
+        assert got[i] == bal
+
+
+votes_lists = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(votes=votes_lists, seats=st.integers(min_value=1, max_value=60))
+def test_dhondt_topk_equals_sequential_property(votes, seats):
+    """The flattened top-k-of-quotients D'Hondt == the sequential
+    highest-averages grant loop for arbitrary vote vectors (the
+    equivalence dhondt_apportionment's plan relies on; pure-python
+    model of both sides)."""
+    # sequential
+    alloc = [0] * len(votes)
+    for _ in range(seats):
+        win = max(
+            range(len(votes)),
+            key=lambda i: (votes[i] / (alloc[i] + 1), -i),
+        )
+        alloc[win] += 1
+    # flattened: rank all v/i quotients, count top-`seats` per party
+    quot = [
+        (votes[i] / k, i, k)
+        for i in range(len(votes))
+        for k in range(1, seats + 1)
+    ]
+    quot.sort(key=lambda t: (-t[0], t[1], t[2]))
+    flat = [0] * len(votes)
+    for _, i, _ in quot[:seats]:
+        flat[i] += 1
+    assert flat == alloc
+    assert sum(flat) == seats
+
+
+pav_series = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=1, allow_nan=False),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(series=pav_series)
+def test_pav_monotone_and_mean_preserving_property(series):
+    """PAV output is monotone non-decreasing, stays within the input
+    range, and preserves the weighted mean exactly (pooling law)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.mllib_queries import (
+        pav_fit,
+    )
+
+    triples = [(float(i), y, float(w)) for i, (y, w) in enumerate(series)]
+    out = pav_fit(triples)
+    assert len(out) == len(triples)
+    assert all(b >= a - 1e-12 for a, b in zip(out, out[1:]))
+    lo = min(y for _, y, _ in triples)
+    hi = max(y for _, y, _ in triples)
+    assert all(lo - 1e-12 <= v <= hi + 1e-12 for v in out)
+    got_mean = sum(v * w for v, (_, _, w) in zip(out, triples))
+    want_mean = sum(y * w for _, y, w in triples)
+    assert abs(got_mean - want_mean) <= 1e-6 * max(1.0, abs(want_mean))
+
+
+def test_attribution_credit_formula_conserves_for_all_path_lengths():
+    """The U-shaped credit formula used by position_attribution_credits
+    sums to exactly 10,000 bp for every path length 1..500."""
+    for k in range(1, 501):
+        if k == 1:
+            credits = [10000]
+        elif k == 2:
+            credits = [5000, 5000]
+        else:
+            mids = [
+                2000 // (k - 2) + (1 if j <= 2000 % (k - 2) else 0)
+                for j in range(1, k - 1)
+            ]
+            credits = [4000] + mids + [4000]
+        assert sum(credits) == 10000, k
+        assert len(credits) == k
