@@ -1080,3 +1080,112 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_den.alias("var_den"),
         mde.alias("mde_value"),
     )
+
+
+@register(
+    "ks_two_sample_drift",
+    survey="M14-adjacent,W5 (extension: exact two-sample Kolmogorov-Smirnov)",
+    oracle="""
+WITH span AS (
+    SELECT min(epoch_ns(ts) // 86400000000000) AS dlo,
+           max(epoch_ns(ts) // 86400000000000) AS dhi
+    FROM events
+),
+s AS (
+    SELECT event_type, value,
+           CASE WHEN epoch_ns(ts) // 86400000000000
+                     <= (SELECT (dlo + dhi) // 2 FROM span)
+                THEN 0 ELSE 1 END AS half
+    FROM events
+),
+g AS (
+    SELECT event_type, value,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+    FROM s GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type,
+           CAST(sum(c0) OVER w AS BIGINT) AS f0,
+           CAST(sum(c1) OVER w AS BIGINT) AS f1,
+           CAST(sum(c0) OVER (PARTITION BY event_type) AS BIGINT) AS n0,
+           CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+    FROM g
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING)
+),
+mx AS (
+    SELECT event_type, n0, n1,
+           CAST(max(abs(f0 * n1 - f1 * n0)) AS BIGINT) AS d_num
+    FROM cum GROUP BY event_type, n0, n1
+)
+SELECT event_type, n0 AS n_first, n1 AS n_second, d_num,
+       floor(CAST(d_num AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS ks_stat
+FROM mx
+""",
+)
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    first and second half of each event type's value distribution —
+    the bin-free drift test that complements the bucketed chi-square
+    (`drift_chi2_value_buckets`): KS sees any distributional shift,
+    not just the 10-bucket projection.
+
+    The supremum |F̂₀(v) − F̂₁(v)| is computed EXACTLY: cumulative
+    counts over the merged distinct-value grain, cross-multiplied to
+    the integer numerator |f0·n1 − f1·n0| (bounded by n0·n1 ≈ 4e8 at
+    sf0.1, int64-budget-safe to ~3e9-row halves), max'd as an
+    integer, and divided once for the display value — no ECDF floats
+    anywhere until the final round_stable.
+
+    Scale shape: value-grain aggregate, ONE type-partitioned window
+    sort serving both cumulative sums and both totals, then a max
+    rollup on the window's own partitioning.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    DAY = 86_400_000_000_000
+    e = load(spark, sf_dir, "events", fan_out=True)
+    span = e.agg(
+        F.expr(f"(min(ts div {DAY}) + max(ts div {DAY})) div 2").alias("dmid")
+    )
+    s = e.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        (F.expr(f"ts div {DAY}") > F.col("dmid")).cast("long").alias("half"),
+    )
+    g = s.groupBy("event_type", "value").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("c0"),
+        F.sum(F.col("half")).alias("c1"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        F.sum("c0").over(run).alias("f0"),
+        F.sum("c1").over(run).alias("f1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    mx = cum.groupBy("event_type", "n0", "n1").agg(
+        F.max(F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))).alias(
+            "d_num"
+        )
+    )
+    return mx.select(
+        "event_type",
+        F.col("n0").alias("n_first"),
+        F.col("n1").alias("n_second"),
+        F.col("d_num").cast("long").alias("d_num"),
+        round_stable(
+            F.col("d_num").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )

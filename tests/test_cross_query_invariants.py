@@ -1098,3 +1098,38 @@ def test_neyman_sample_conserves_budget_and_weights(spark):
             ),
         )
         assert {k for k, _ in ranked[: expect_n[st]]} == keys, st
+
+
+def test_ks_matches_scipy_free_python_replay(spark):
+    """KS equals a python two-sample ECDF supremum on the same split,
+    with the exact integer numerator."""
+    import math
+
+    DAY = 86_400_000_000_000
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    dlo = min(r["ts"] // DAY for r in rows)
+    dhi = max(r["ts"] // DAY for r in rows)
+    dmid = (dlo + dhi) // 2
+    by_type: dict = {}
+    for r in rows:
+        h = 0 if r["ts"] // DAY <= dmid else 1
+        by_type.setdefault(r["event_type"], ([], []))[h].append(r["value"])
+    got = {
+        r["event_type"]: (r["n_first"], r["n_second"], r["d_num"], r["ks_stat"])
+        for r in REGISTRY["ks_two_sample_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, (a, b) in by_type.items():
+        n0, n1 = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        values = sorted(set(a) | set(b))
+        import bisect
+
+        d_num = max(
+            abs(bisect.bisect_right(sa, v) * n1 - bisect.bisect_right(sb, v) * n0)
+            for v in values
+        )
+        ks = math.floor(d_num / (n0 * n1) * 1e6 + 0.5) / 1e6
+        assert got[t] == (n0, n1, d_num, ks), t
