@@ -3910,3 +3910,120 @@ def price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_index"),
     )
+
+
+@register(
+    "eb_shrunk_return_rates",
+    survey="A3,A10 (extension: empirical-Bayes beta-binomial shrinkage)",
+    oracle="""
+WITH s AS (
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT l_suppkey, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+    FROM s
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           list_reduce(list(rate ORDER BY l_suppkey), (a, b) -> a + b) AS sr,
+           list_reduce(list(rate * rate ORDER BY l_suppkey), (a, b) -> a + b)
+               AS srr
+    FROM r
+),
+prior AS (
+    SELECT m, sr / m AS mu,
+           srr / m - (sr / m) * (sr / m) AS v
+    FROM mom
+),
+ab AS (
+    SELECT CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+                THEN floor(mu * (mu * (1.0 - mu) / v - 1.0) * 1000000 + 0.5)
+                     / 1000000
+                ELSE 1.0 END AS alpha,
+           CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+                THEN floor((1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+                           * 1000000 + 0.5) / 1000000
+                ELSE 1.0 END AS beta
+    FROM prior
+)
+SELECT r.l_suppkey AS suppkey, r.n, r.k,
+       ab.alpha, ab.beta,
+       floor((CAST(r.k AS DOUBLE) + ab.alpha)
+             / (CAST(r.n AS DOUBLE) + ab.alpha + ab.beta)
+             * 1000000 + 0.5) / 1000000 AS shrunk_rate
+FROM r, ab
+""",
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-supplier return rates: a
+    beta-binomial prior is fit by method of moments on the observed
+    rate distribution (the classic batting-average estimator), and
+    each supplier's rate shrinks toward it proportionally to its
+    evidence — the third leg of the small-sample-honesty family
+    (Wilson bounds rank pessimistically, smoothing-encoders blend a
+    fixed pseudo-count; EB LEARNS the pseudo-counts from the data).
+
+    Numerics: per-supplier rates are single exact-int divisions; the
+    prior moments Σr and Σr² fold in supplier-key order on BOTH
+    engines (sorted-collect + add-reduce over the bounded
+    supplier-dimension grain); α and β pass through round_stable(6)
+    BEFORE use (the CUPED θ contract) so every shrunk rate is one
+    bit-identical fixed-order double.  Degenerate prior (zero
+    variance) falls back to Beta(1,1).
+    """
+    from ..functions.core import round_stable
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("k"),
+    )
+    r = s.withColumn(
+        "rate", F.col("k").cast("double") / F.col("n").cast("double")
+    )
+    folded = r.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.array_sort(F.collect_list(F.struct("l_suppkey", "rate"))).alias("arr"),
+    )
+    rates = F.transform(F.col("arr"), lambda x: x["rate"])
+    sq = F.transform(F.col("arr"), lambda x: x["rate"] * x["rate"])
+
+    def fold_sum(a):
+        return F.aggregate(
+            F.slice(a, 2, F.size(a) - 1), F.element_at(a, 1), lambda x, y: x + y
+        )
+
+    mom = folded.select(
+        "m", fold_sum(rates).alias("sr"), fold_sum(sq).alias("srr")
+    )
+    mu = F.col("sr") / F.col("m")
+    v = F.col("srr") / F.col("m") - mu * mu
+    common = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    ok = (v > 0) & (common > 0)
+    ab = mom.select(
+        F.when(ok, round_stable(mu * common, 6)).otherwise(F.lit(1.0)).alias(
+            "alpha"
+        ),
+        F.when(ok, round_stable((F.lit(1.0) - mu) * common, 6))
+        .otherwise(F.lit(1.0))
+        .alias("beta"),
+    )
+    j = r.crossJoin(F.broadcast(ab))
+    shrunk = round_stable(
+        (F.col("k").cast("double") + F.col("alpha"))
+        / (F.col("n").cast("double") + F.col("alpha") + F.col("beta")),
+        6,
+    )
+    return j.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "n",
+        "k",
+        "alpha",
+        "beta",
+        shrunk.alias("shrunk_rate"),
+    )

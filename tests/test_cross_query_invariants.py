@@ -1133,3 +1133,27 @@ def test_ks_matches_scipy_free_python_replay(spark):
         )
         ks = math.floor(d_num / (n0 * n1) * 1e6 + 0.5) / 1e6
         assert got[t] == (n0, n1, d_num, ks), t
+
+
+def test_eb_shrinkage_pulls_small_samples_harder(spark):
+    """Shrinkage law: every shrunk rate lies strictly between the raw
+    rate and the prior mean (or equals both when they coincide), and
+    the absolute pull toward the prior decreases with sample size
+    among suppliers sharing the same raw rate ordering."""
+    rows = REGISTRY["eb_shrunk_return_rates"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    alpha, beta = rows[0]["alpha"], rows[0]["beta"]
+    prior_mean = alpha / (alpha + beta)
+    for r in rows:
+        raw = r["k"] / r["n"]
+        lo, hi = sorted((raw, prior_mean))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6, r
+    # pull monotonicity in n, holding raw rate fixed
+    by_rate: dict = {}
+    for r in rows:
+        by_rate.setdefault(round(r["k"] / r["n"], 9), []).append(r)
+    for rate, rs in by_rate.items():
+        rs.sort(key=lambda r: r["n"])
+        pulls = [abs(r["shrunk_rate"] - rate) for r in rs]
+        for a, b in zip(pulls, pulls[1:]):
+            assert b <= a + 1e-6
