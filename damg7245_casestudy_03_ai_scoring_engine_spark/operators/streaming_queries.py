@@ -2699,3 +2699,88 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         wn.cast("long").alias("wn"),
         slope.alias("slope_q2_per_day"),
     )
+
+
+_DECAY_MAX_WEEKS = 30  # ages beyond this carry zero weight
+
+
+@register(
+    "trending_users_decayed",
+    survey="W4,W5 (extension: exponential time-decay trending score)",
+    oracle=f"""
+WITH mx AS (
+    SELECT max(epoch_ns(ts) // {_DAY_NS}) AS dmax FROM events
+),
+w AS (
+    SELECT user_id,
+           ((SELECT dmax FROM mx) - epoch_ns(ts) // {_DAY_NS}) // 7 AS age_w
+    FROM events
+),
+sc AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN age_w <= {_DECAY_MAX_WEEKS}
+                         THEN (CAST(1 AS BIGINT) << ({_DECAY_MAX_WEEKS} - age_w))
+                         ELSE 0 END) AS BIGINT) AS score_scaled
+    FROM w GROUP BY 1
+),
+rk AS (
+    SELECT user_id, score_scaled,
+           row_number() OVER (ORDER BY score_scaled DESC, user_id) AS rn
+    FROM sc
+)
+SELECT user_id, score_scaled, CAST(rn AS BIGINT) AS trend_rank,
+       floor(CAST(score_scaled AS DOUBLE) / {2**_DECAY_MAX_WEEKS}
+             * 1000000 + 0.5) / 1000000 AS decayed_score
+FROM rk WHERE rn <= 20
+""",
+)
+def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trending users by exponentially time-decayed activity
+    (weekly half-life): each event contributes 2^(−age_weeks),
+    anchored at the data's own max day — the feed/leaderboard decay
+    everyone implements with floating pow() and regrets.  Here the
+    weight is the INTEGER 2^(30 − age_weeks) (a bit shift; ages past
+    30 weeks round to zero — they would be below one part in 2^30
+    anyway), so scores are exact int64 sums — no libm pow, no
+    summation-order sensitivity, bit-stable ranking with a user-id
+    tie-break — and the display score is one final division by 2^30.
+
+    Scale shape: one map-side-combinable groupBy over the fact with
+    a broadcast max-day scalar, then the usual global top-k sort.
+    """
+    ev = load(spark, sf_dir, "events", fan_out=True)
+    mx = ev.agg(F.max(F.expr(f"ts div {_DAY_NS}")).alias("dmax"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(f"(dmax - (ts div {_DAY_NS})) div 7").alias("age_w"),
+    )
+    sc = w.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("age_w") <= _DECAY_MAX_WEEKS,
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast({_DECAY_MAX_WEEKS} - age_w as int))"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("score_scaled")
+    )
+    from pyspark.sql import Window
+
+    rk = sc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_scaled"), F.asc("user_id"))
+        ),
+    ).filter(F.col("rn") <= 20)
+    from ..functions.core import round_stable
+
+    return rk.select(
+        "user_id",
+        "score_scaled",
+        F.col("rn").cast("long").alias("trend_rank"),
+        round_stable(
+            F.col("score_scaled").cast("double") / F.lit(float(2**_DECAY_MAX_WEEKS)),
+            6,
+        ).alias("decayed_score"),
+    )
