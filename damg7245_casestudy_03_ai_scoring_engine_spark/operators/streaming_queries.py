@@ -1450,7 +1450,10 @@ def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     Scale shape: one exchange (groupBy user), state is O(1) per key,
     batch transfer is Arrow; per-user row counts bound task memory
     (a pathological hot user is a repartition/AQE concern, not a
-    correctness one).
+    correctness one).  The INCREMENTAL form of this same walk runs as
+    a stateful stream (streaming/jobs.py::running_balance_stream —
+    the carried int state fully summarizes the clamp recursion;
+    stream == batch pinned by a 3-micro-batch drain test).
     """
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 

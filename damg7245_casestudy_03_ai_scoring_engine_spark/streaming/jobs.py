@@ -691,3 +691,68 @@ def click_error_pairs_outer_stream(
         ),
         "leftOuter",
     ).select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")
+
+
+# --- two-sided clamped running balance (stateful stream) ---------------------
+
+BALANCE_DRAIN_CENTS = 3_400  # matches operators/streaming_queries._DRAIN_CENTS
+BALANCE_CAP_CENTS = 20_000  # matches _BALANCE_CAP_CENTS
+_BALANCE_OUT_SCHEMA = "user_id long, event_id long, balance_cents long"
+
+
+def running_balance_stream(
+    events: DataFrame,
+    cap: int = BALANCE_CAP_CENTS,
+    drain: int = BALANCE_DRAIN_CENTS,
+) -> DataFrame:
+    """Streaming twin of the two-sided clamped balance walk
+    (`bounded_running_balance_stateful`): per-user balance state is a
+    single int carried across micro-batches in `applyInPandasWithState`;
+    each batch's events are walked in (ts, event_id) order from the
+    carried balance and every event's post-clamp balance is emitted
+    (update mode).  With chronological per-user batch arrival — the
+    property event-time-partitioned ingestion provides — the
+    concatenated emissions equal the batch walk exactly (pinned by
+    the drain test), because the clamp recursion's state is fully
+    summarized by the last balance.
+
+    This is the operator that JUSTIFIES the stateful API here: the
+    floor-only walk has a prefix closed form (`capped_running_balance`
+    runs as a plain window), the two-sided clamp provably does not —
+    so its incremental form NEEDS carried state.
+    """
+    src = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            - F.lit(drain)
+        ).alias("delta"),
+    ).groupBy("user_id")
+
+    def walk(key, pdfs, state):
+        bal = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts_ns", "event_id"], kind="mergesort")
+        out = []
+        for d in pdf["delta"].to_numpy():
+            bal = min(cap, max(0, bal + int(d)))
+            out.append(bal)
+        state.update((int(bal),))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "balance_cents": out,
+            }
+        )
+
+    return src.applyInPandasWithState(
+        walk,
+        outputStructType=_BALANCE_OUT_SCHEMA,
+        stateStructType="bal bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

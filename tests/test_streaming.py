@@ -673,3 +673,52 @@ def test_lifetime_stats_backend_validation(spark):
     assert user_lifetime_stats_stream(df, backend="apiws") is not None
     if tws_available():
         assert user_lifetime_stats_stream(df, backend="tws") is not None
+
+
+def test_running_balance_stream_equals_batch_walk(spark, tmp_path):
+    """The stateful streaming balance walk, fed the events fixture in
+    three chronological micro-batches, must emit per-event balances
+    identical to the batch two-sided walk — the carried int state
+    fully summarizes the clamp recursion."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        running_balance_stream,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").orderBy("ts", "event_id").collect()
+    n = len(ev)
+    data_dir = tmp_path / "bal_data"
+    os.makedirs(data_dir)
+    for chunk in (ev[: n // 3], ev[n // 3 : 2 * n // 3], ev[2 * n // 3 :]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            str(data_dir)
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(ev[:1]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    q = (
+        running_balance_stream(stream)
+        .writeStream.format("memory")
+        .queryName("bal_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.user_id, r.event_id): r.balance_cents
+        for r in spark.table("bal_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["balance_cents"]
+        for r in REGISTRY["bounded_running_balance_stateful"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
