@@ -2787,3 +2787,58 @@ def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decayed_score"),
     )
+
+
+@register(
+    "peak_event_rate_per_user",
+    survey="J8,W5 (extension: exact max sliding-window event rate)",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS t FROM events
+)
+SELECT a.user_id,
+       CAST(max(cnt) AS BIGINT) AS peak_events_per_hour
+FROM (
+    SELECT a.user_id, a.event_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.t >= a.t AND b.t < a.t + {_HOUR_NS}
+    GROUP BY a.user_id, a.event_id
+) a
+GROUP BY a.user_id
+""",
+)
+def peak_event_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's TRUE peak hourly event rate: the maximum number of
+    events in ANY 60-minute window (anchored at each event — the
+    classic sweep argument: some maximal window starts exactly at an
+    event, so anchoring at events is lossless).  Tumbling or slide-
+    aligned windows UNDERCOUNT bursts that straddle boundaries; this
+    is the exact figure rate-limit and capacity sizing needs.
+
+    Expressed as a user-keyed self interval join (the
+    click_error_followups contract — each event pairs with the events
+    in its forward hour), a per-anchor count, and a per-user max —
+    candidate volume is bounded by events-per-user-hour, never
+    quadratic in history.  All-integer output.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").alias("t")
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"), F.col("t").alias("bt")
+    )
+    cnt = (
+        e.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("bt") >= F.col("t"))
+            & (F.col("bt") < F.col("t") + F.lit(_HOUR_NS)),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cnt.groupBy("user_id").agg(
+        F.max("cnt").cast("long").alias("peak_events_per_hour")
+    )

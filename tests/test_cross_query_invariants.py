@@ -1157,3 +1157,34 @@ def test_eb_shrinkage_pulls_small_samples_harder(spark):
         pulls = [abs(r["shrunk_rate"] - rate) for r in rs]
         for a, b in zip(pulls, pulls[1:]):
             assert b <= a + 1e-6
+
+
+def test_peak_rate_matches_two_pointer_and_dominates_tumbling(spark):
+    """Peak sliding rate equals a python two-pointer replay and is >=
+    every fixed tumbling-hour count for the same user."""
+    HOUR = 3_600 * 1_000_000_000
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    expect = {}
+    tumbling_max = {}
+    for uid, ts in by_user.items():
+        ts.sort()
+        best, j = 0, 0
+        for i in range(len(ts)):
+            while j < len(ts) and ts[j] < ts[i] + HOUR:
+                j += 1
+            best = max(best, j - i)
+        expect[uid] = best
+        buckets: dict = {}
+        for t in ts:
+            buckets[t // HOUR] = buckets.get(t // HOUR, 0) + 1
+        tumbling_max[uid] = max(buckets.values())
+    got = {
+        r["user_id"]: r["peak_events_per_hour"]
+        for r in REGISTRY["peak_event_rate_per_user"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for uid in got:
+        assert got[uid] >= tumbling_max[uid]
