@@ -489,3 +489,73 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum(F.coalesce("bal1", "bal0")), 2).alias("bal_total"),
     )
+
+
+@register(
+    "schema_evolution_scan",
+    survey="S15 (extension: mergeSchema read across file generations)",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen2,
+       CAST(sum(CASE WHEN gen = 2 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS gen2_chars
+FROM (
+    SELECT source, n_chars,
+           CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS gen
+    FROM documents
+)
+GROUP BY source
+""",
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution round trip: generation-1 files are written
+    WITHOUT the `quality_gen` column, generation-2 files WITH it;
+    a `mergeSchema` read unifies both (gen-1 rows surface NULL for
+    the late column) and the query aggregates across generations —
+    the additive-column migration every long-lived lake table goes
+    through, proven against an oracle computed from the ORIGINAL
+    table (so the write→evolve→read→aggregate loop must be lossless).
+
+    The 100 TB point: additive evolution means NO rewrite of old
+    files — readers reconcile footers; only the changed aggregate
+    logic (NULL-tolerant) ships.  Writes are hash-clustered per
+    generation so the layout is deterministic.
+    """
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    gen2_flag = (F.col("doc_id") % 3) == 0
+    key = f"_schema_evo_{os.path.basename(str(sf_dir)).replace('.', '_')}"
+    cached = getattr(spark, key, None)
+    if cached is None:
+        out = tempfile.mkdtemp(prefix="schema_evo_")
+        g1 = d.filter(~gen2_flag).select("doc_id", "source", "n_chars")
+        g2 = (
+            d.filter(gen2_flag)
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.lit(2).cast("long").alias("quality_gen"),
+            )
+        )
+        g1.coalesce(1).write.mode("append").parquet(out)
+        g2.coalesce(1).write.mode("append").parquet(out)
+        setattr(spark, key, out)
+        cached = out
+    merged = spark.read.option("mergeSchema", "true").parquet(cached)
+    return (
+        merged.withColumn(
+            "gen", F.coalesce(F.col("quality_gen"), F.lit(1)).cast("long")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("gen") == 2).cast("long")).alias("n_gen2"),
+            F.sum(
+                F.when(F.col("gen") == 2, F.col("n_chars")).otherwise(0)
+            ).alias("gen2_chars"),
+        )
+    )
