@@ -559,3 +559,78 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gen2_chars"),
         )
     )
+
+
+@register(
+    "cdc_apply_latest",
+    survey="S17,W1 (extension: CDC change-feed compaction with deletes)",
+    oracle="""
+WITH feed AS (
+    SELECT l_orderkey AS key, l_linenumber AS seq,
+           CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                THEN 'D' ELSE 'U' END AS op,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+latest AS (
+    SELECT key, seq, op, cents,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY seq DESC, op, cents) AS rn,
+           CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_changes
+    FROM feed
+)
+SELECT key AS orderkey, cents AS latest_cents, n_changes,
+       CAST(seq AS BIGINT) AS latest_seq
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed compaction: a synthesized per-order change
+    stream (lineitems as sequenced upserts, returned-and-finalized
+    lines as DELETE markers) materialized to final table state by
+    the latest-wins rule — keys whose LAST operation is a delete
+    vanish entirely.  This is the log-to-table step every
+    Debezium/lakehouse ingestion pipeline runs, and the asymmetry it
+    must get right (a delete followed by a later upsert RESURRECTS
+    the key; an upsert followed by a delete removes it) falls out of
+    ranking on the full feed before filtering, never filtering
+    first.  The fixture's (order, linenumber) pairs are NOT unique,
+    so the rank's tie-break covers every emitted field (op, cents) —
+    residual ties are value-identical by construction.
+
+    Scale shape: one key-partitioned window over the feed (rank +
+    count share the partitioning).  In production the same plan runs
+    incrementally per micro-batch with the persisted state as the
+    base generation — the merge_upsert/SCD2 family's contract.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    feed = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(
+            (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    by_key = Window.partitionBy("key")
+    latest = feed.select(
+        "key",
+        "seq",
+        "op",
+        "cents",
+        F.row_number()
+        .over(by_key.orderBy(F.desc("seq"), F.asc("op"), F.asc("cents")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_key).cast("long").alias("n_changes"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("key").alias("orderkey"),
+        F.col("cents").alias("latest_cents"),
+        "n_changes",
+        F.col("seq").cast("long").alias("latest_seq"),
+    )
