@@ -4027,3 +4027,132 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "beta",
         shrunk.alias("shrunk_rate"),
     )
+
+
+_HIER_BUDGET = 100_000  # units apportioned at the top level
+
+
+@register(
+    "hierarchical_budget_allocation",
+    survey="W5,A2 (extension: two-level nested Hamilton apportionment)",
+    oracle=f"""
+WITH rev AS (
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+),
+reg AS (
+    SELECT r_name, CAST(sum(cents) AS BIGINT) AS w,
+           CAST(sum(sum(cents)) OVER () AS BIGINT) AS tot
+    FROM rev GROUP BY r_name
+),
+reg_alloc AS (
+    SELECT r_name,
+           CAST(({_HIER_BUDGET} * w) // tot
+                + CASE WHEN row_number() OVER (
+                           ORDER BY {_HIER_BUDGET} * w
+                                    - (({_HIER_BUDGET} * w) // tot) * tot DESC,
+                                    r_name)
+                       <= {_HIER_BUDGET}
+                          - sum(({_HIER_BUDGET} * w) // tot) OVER ()
+                       THEN 1 ELSE 0 END AS BIGINT) AS region_units
+    FROM reg
+),
+nat AS (
+    SELECT rev.r_name, rev.n_name, rev.cents,
+           CAST(sum(rev.cents) OVER (PARTITION BY rev.r_name) AS BIGINT)
+               AS rtot,
+           ra.region_units
+    FROM rev JOIN reg_alloc ra ON rev.r_name = ra.r_name
+)
+SELECT r_name, n_name, region_units,
+       CAST((region_units * cents) // rtot
+            + CASE WHEN row_number() OVER (
+                       PARTITION BY r_name
+                       ORDER BY region_units * cents
+                                - ((region_units * cents) // rtot) * rtot DESC,
+                                n_name)
+                   <= region_units
+                      - sum((region_units * cents) // rtot)
+                            OVER (PARTITION BY r_name)
+                   THEN 1 ELSE 0 END AS BIGINT) AS nation_units
+FROM nat
+""",
+)
+def hierarchical_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL nested apportionment: a 100,000-unit budget is
+    Hamilton-split across regions by exact-cents revenue, then each
+    region's integer award is Hamilton-split again across its
+    nations — the planning-system allocation where conservation must
+    hold at EVERY level simultaneously (Σ nations == region's units,
+    Σ regions == budget; both pinned).  Single-level rounding then
+    re-normalizing floats would violate one level or the other;
+    nesting the integer method is the correct construction.
+
+    All arithmetic is int64 (floor via div, remainders exact,
+    total-order tie-breaks at both levels).  Scale shape: one fact
+    aggregate to the (region, nation) grain, then two window layers
+    over dimension-sized frames.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    B = _HIER_BUDGET
+    reg = rev.groupBy("r_name").agg(F.sum("cents").alias("w")).withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    )
+    base = F.expr(f"({B} * w) div tot")
+    rem = F.expr(f"{B} * w - (({B} * w) div tot) * tot")
+    reg_alloc = reg.select(
+        "r_name",
+        (
+            base
+            + (
+                F.row_number().over(Window.orderBy(F.desc(rem), F.asc("r_name")))
+                <= F.lit(B) - F.sum(base).over(Window.partitionBy())
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("region_units"),
+    )
+    nat = rev.join(F.broadcast(reg_alloc), "r_name").withColumn(
+        "rtot", F.sum("cents").over(Window.partitionBy("r_name"))
+    )
+    nbase = F.expr("(region_units * cents) div rtot")
+    nrem = F.expr(
+        "region_units * cents - ((region_units * cents) div rtot) * rtot"
+    )
+    by_region = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "region_units",
+        (
+            nbase
+            + (
+                F.row_number().over(
+                    by_region.orderBy(F.desc(nrem), F.asc("n_name"))
+                )
+                <= F.col("region_units") - F.sum(nbase).over(by_region)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("nation_units"),
+    )

@@ -2842,3 +2842,97 @@ def peak_event_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.groupBy("user_id").agg(
         F.max("cnt").cast("long").alias("peak_events_per_hour")
     )
+
+
+@register(
+    "audience_overlap_daily",
+    survey="U1,A15 (extension: day-over-day audience Jaccard)",
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT epoch_ns(ts) // {_DAY_NS} AS day_idx, user_id FROM events
+),
+dau AS (
+    SELECT day_idx, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1
+),
+inter AS (
+    SELECT a.day_idx,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND b.day_idx = a.day_idx + 1
+    GROUP BY a.day_idx
+)
+SELECT a.day_idx, a.n AS n_today, b.n AS n_tomorrow,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+             / CAST(a.n + b.n - coalesce(i.n_common, 0) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS jaccard,
+       floor(CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(a.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS next_day_retention
+FROM dau a
+JOIN dau b ON b.day_idx = a.day_idx + 1
+LEFT JOIN inter i ON i.day_idx = a.day_idx
+""",
+)
+def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap: for each consecutive day pair,
+    the exact Jaccard similarity of the two user sets and the
+    next-day retention rate (|A∩B|/|A|) — the audience-churn pulse
+    between the single-day DAU view and the week-scale cohort
+    curves.  The intersection is a user equi-join on the deduped
+    (day, user) grain shifted by one day; union size is the
+    inclusion-exclusion identity on exact counts, so both ratios are
+    single guarded round_stable divisions over int64.
+    """
+    from ..functions.cache import tracked_persist
+    from ..functions.core import round_stable
+
+    du = tracked_persist(
+        load(spark, sf_dir, "events", fan_out=True)
+        .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .distinct(),
+        "audience_overlap.day_user",
+    )
+    dau = du.groupBy("day_idx").agg(F.count(F.lit(1)).alias("n"))
+    b = du.select(
+        (F.col("day_idx") - 1).alias("a_day"), F.col("user_id").alias("b_user")
+    )
+    inter = (
+        du.join(
+            b,
+            (F.col("day_idx") == F.col("a_day"))
+            & (F.col("user_id") == F.col("b_user")),
+        )
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nxt = dau.select(
+        (F.col("day_idx") - 1).alias("p_day"), F.col("n").alias("n_tomorrow")
+    )
+    j = (
+        dau.join(nxt, F.col("day_idx") == F.col("p_day"))
+        .join(inter, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.col("n").alias("n_today"),
+            "n_tomorrow",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+        )
+    )
+    union_n = (
+        F.col("n_today") + F.col("n_tomorrow") - F.col("n_common")
+    ).cast("double")
+    return j.select(
+        "day_idx",
+        "n_today",
+        "n_tomorrow",
+        "n_common",
+        round_stable(F.col("n_common").cast("double") / union_n, 6).alias(
+            "jaccard"
+        ),
+        round_stable(
+            F.col("n_common").cast("double") / F.col("n_today").cast("double"),
+            6,
+        ).alias("next_day_retention"),
+    )

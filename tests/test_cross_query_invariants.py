@@ -1188,3 +1188,28 @@ def test_peak_rate_matches_two_pointer_and_dominates_tumbling(spark):
     assert got == expect
     for uid in got:
         assert got[uid] >= tumbling_max[uid]
+
+
+def test_hierarchical_allocation_conserves_both_levels(spark):
+    """Nested Hamilton: nation units sum EXACTLY to their region's
+    units, region units sum EXACTLY to the budget, and no level goes
+    negative."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.relational import (
+        _HIER_BUDGET,
+    )
+
+    rows = (
+        REGISTRY["hierarchical_budget_allocation"].fn(spark, SF_SMOKE).collect()
+    )
+    by_region: dict = {}
+    for r in rows:
+        assert r["nation_units"] >= 0
+        by_region.setdefault(r["r_name"], []).append(r)
+    total = 0
+    for reg, rs in by_region.items():
+        ru = {r["region_units"] for r in rs}
+        assert len(ru) == 1, reg
+        units = ru.pop()
+        assert sum(r["nation_units"] for r in rs) == units, reg
+        total += units
+    assert total == _HIER_BUDGET
