@@ -2936,3 +2936,56 @@ def audience_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("next_day_retention"),
     )
+
+
+@register(
+    "audience_overlap_hll",
+    survey="A16,U1 (extension: audience intersection from sketch algebra)",
+    # rows-only: Datasketches HLL binaries are engine-specific; the
+    # estimate is pinned against the exact audience_overlap_daily in
+    # tests/test_cross_query_invariants.py.
+)
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for `audience_overlap_daily`: day-over-day
+    audience intersection WITHOUT any user-level join, from stored
+    per-day HLL sketches alone — |A∩B| = |A| + |B| − |A∪B| with the
+    union a sketch merge.  The same persisted daily sketches that
+    serve rolling actives answer overlap questions here: sketch
+    algebra turns set questions into metadata lookups.  (Intersection
+    via inclusion-exclusion compounds the HLL error of three
+    estimates — fine for audience-sized overlaps, documented
+    unsuitable for needle-sized ones; the exact twin pins tolerance.)
+    """
+    ev = load(spark, sf_dir, "events", fan_out=True)
+    daily = (
+        ev.groupBy(F.expr(f"ts div {_DAY_NS}").alias("day_idx"))
+        .agg(
+            F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .localCheckpoint()
+    )
+    nxt = daily.select(
+        (F.col("day_idx") - 1).alias("p_day"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pair = daily.join(nxt, F.col("day_idx") == F.col("p_day")).select(
+        "day_idx",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_a"),
+        F.expr("hll_sketch_estimate(sk_b)").cast("long").alias("est_b"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(sk, sk_b))"
+        )
+        .cast("long")
+        .alias("est_union"),
+    )
+    return pair.select(
+        "day_idx",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .cast("long")
+        .alias("est_common"),
+    )

@@ -1213,3 +1213,19 @@ def test_hierarchical_allocation_conserves_both_levels(spark):
         assert sum(r["nation_units"] for r in rs) == units, reg
         total += units
     assert total == _HIER_BUDGET
+
+
+def test_hll_overlap_tracks_exact_overlap(spark):
+    """Sketch-algebra intersection tracks the exact day-over-day
+    overlap within HLL(lgk=14) + inclusion-exclusion tolerance."""
+    exact = {
+        r["day_idx"]: r["n_common"]
+        for r in REGISTRY["audience_overlap_daily"].fn(spark, SF_SMOKE).collect()
+    }
+    est = {
+        r["day_idx"]: r["est_common"]
+        for r in REGISTRY["audience_overlap_hll"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(5, 0.1 * n), (d, est[d], n)
