@@ -728,3 +728,46 @@ def test_rolling_actives_semi_join_no_cartesian(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     assert "LeftSemi" in s or "left_semi" in s.lower()
     assert "InMemoryRelation" in s or "InMemoryTableScan" in s
+
+
+def test_runtime_bloom_filter_join_pushdown(spark):
+    """Spark's runtime Bloom-filter join pushdown (InjectRuntimeFilter):
+    with broadcast disabled and the application-side size gate lowered
+    (at 100 TB the fact side IS over the default 10 GB gate and the
+    selective dim side is NOT broadcastable — the confs recreate that
+    regime at test scale), a selective dim filter must materialize as
+    a bloom_filter_agg on the creation side and a might_contain
+    pre-filter on the fact scan — the shuffle-join analog of DPP.
+    Results must equal the default-conf plan exactly."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_totalprice") > 300000
+    )
+
+    def q():
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        got = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert got == baseline
