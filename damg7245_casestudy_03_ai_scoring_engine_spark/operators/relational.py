@@ -4156,3 +4156,74 @@ def hierarchical_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("nation_units"),
     )
+
+
+@register(
+    "mom_waterfall_by_segment",
+    survey="A2,W5 (extension: MoM revenue-change waterfall decomposition)",
+    oracle="""
+WITH m AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+lg AS (
+    SELECT segment, month, cents,
+           lag(cents) OVER (PARTITION BY segment ORDER BY month) AS prev_cents
+    FROM m
+),
+d AS (
+    SELECT segment, month,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents
+    FROM lg WHERE prev_cents IS NOT NULL
+)
+SELECT segment, month, delta_cents,
+       CAST(sum(delta_cents) OVER (PARTITION BY month) AS BIGINT)
+           AS month_total_delta
+FROM d
+""",
+)
+def mom_waterfall_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change waterfall: each segment's
+    exact-cents contribution to the month's total change, with the
+    additivity identity (segment deltas sum to the month delta)
+    carried as a column so the decomposition is self-auditing — the
+    bridge chart every revenue review opens with, and a pure integer
+    identity here (pinned in tests).  Segments absent from a month
+    pair drop out of that month's bridge (matched-pair semantics,
+    like the price index's matched basket).
+
+    Scale shape: one (segment, month) aggregate, a segment-
+    partitioned lag, a month-partitioned sum — all on the
+    dimension×calendar grain.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    lg = m.withColumn(
+        "prev_cents",
+        F.lag("cents").over(Window.partitionBy("segment").orderBy("month")),
+    ).filter(F.col("prev_cents").isNotNull())
+    d = lg.select(
+        "segment",
+        "month",
+        (F.col("cents") - F.col("prev_cents")).cast("long").alias("delta_cents"),
+    )
+    return d.withColumn(
+        "month_total_delta",
+        F.sum("delta_cents").over(Window.partitionBy("month")).cast("long"),
+    )

@@ -305,3 +305,34 @@ def spatial_nn_expanding_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("nearest_custkey"),
         "dist2",
     )
+
+
+@register(
+    "spatial_density_grid",
+    survey="A1,J8 (extension: spatial density grid / hotspot cells)",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT x // {_RADIUS} AS cell_x, y // {_RADIUS} AS cell_y,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def spatial_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density map over the derived point field: point
+    counts per R-sized cell, keeping cells with at least two points —
+    the hotspot histogram read before any spatial join to size the
+    skew strategy (dense cells are exactly where the radius join's
+    AQE skew handling earns its keep), and the spatial sibling of
+    `graph_degree_histogram`.  One map-side-combinable groupBy on
+    integer cell keys."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.expr(f"x div {_RADIUS}").alias("cell_x"),
+            F.expr(f"y div {_RADIUS}").alias("cell_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= 2)
+    )

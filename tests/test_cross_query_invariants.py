@@ -1229,3 +1229,42 @@ def test_hll_overlap_tracks_exact_overlap(spark):
     assert set(est) == set(exact)
     for d, n in exact.items():
         assert abs(est[d] - n) <= max(5, 0.1 * n), (d, est[d], n)
+
+
+def test_waterfall_matches_python_replay(spark):
+    """Waterfall additivity (segment deltas sum to the reported month
+    total) plus a full python replay of the per-segment month-lag
+    deltas — note each segment lags against ITS OWN previous present
+    month, so no cross-check against calendar-adjacent totals is
+    valid when a segment skips a month."""
+    rows = REGISTRY["mom_waterfall_by_segment"].fn(spark, SF_SMOKE).collect()
+    base = (
+        load(spark, SF_SMOKE, "orders")
+        .join(
+            load(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series: dict = {}
+    for r in base:
+        series.setdefault(r["segment"], []).append((r["month"], r["cents"]))
+    expect = {}
+    for seg, ms in series.items():
+        ms.sort()
+        for (pm, pc), (m, c) in zip(ms, ms[1:]):
+            expect[(seg, m)] = c - pc
+    got = {(r["segment"], r["month"]): r["delta_cents"] for r in rows}
+    assert got == expect
+    by_month: dict = {}
+    for r in rows:
+        by_month.setdefault(r["month"], []).append(r)
+    for m, rs in by_month.items():
+        total = {r["month_total_delta"] for r in rs}
+        assert len(total) == 1
+        assert sum(r["delta_cents"] for r in rs) == total.pop()
