@@ -4227,3 +4227,98 @@ def mom_waterfall_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_total_delta",
         F.sum("delta_cents").over(Window.partitionBy("month")).cast("long"),
     )
+
+
+@register(
+    "price_volume_mix_monthly",
+    survey="A2,W5 (extension: price/volume effect decomposition)",
+    oracle="""
+WITH m AS (
+    SELECT l_partkey,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+p AS (
+    SELECT l_partkey, month, qty, (cents * 100) // qty AS unit_p
+    FROM m WHERE qty > 0
+),
+lg AS (
+    SELECT l_partkey, month, qty, unit_p,
+           lag(qty) OVER w AS q0, lag(unit_p) OVER w AS p0,
+           lag(month) OVER w AS prev_month
+    FROM p
+    WINDOW w AS (PARTITION BY l_partkey ORDER BY month)
+),
+eff AS (
+    SELECT month,
+           CAST((qty - q0) * p0 AS BIGINT) AS volume_eff,
+           CAST(qty * (unit_p - p0) AS BIGINT) AS price_eff
+    FROM lg
+    WHERE q0 IS NOT NULL
+      AND prev_month = CAST(month - INTERVAL 1 MONTH AS DATE)
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS matched_parts,
+       CAST(sum(volume_eff) AS BIGINT) AS volume_effect,
+       CAST(sum(price_eff) AS BIGINT) AS price_effect,
+       CAST(sum(volume_eff) + sum(price_eff) AS BIGINT) AS total_change
+FROM eff GROUP BY month
+""",
+)
+def price_volume_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of month-over-month change — the
+    finance bridge "how much of the revenue move was price, how much
+    was volume": per part matched with its immediately-previous
+    month, ΔR = (q₁−q₀)·p₀ + q₁·(p₁−p₀) on integer-quantized unit
+    prices, so volume_effect + price_effect equals the total change
+    EXACTLY by algebraic identity on the quantized terms (carried as
+    a self-auditing column; only calendar-adjacent part-months pair,
+    the matched-pair rule shared with the price index and the
+    waterfall).
+
+    Scale shape: one (part, month) aggregate, one part-partitioned
+    lag, one month rollup — all integer arithmetic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+    )
+    p = m.filter(F.col("qty") > 0).select(
+        "l_partkey", "month", "qty", F.expr("(cents * 100) div qty").alias("unit_p")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("month")
+    lg = (
+        p.withColumn("q0", F.lag("qty").over(w))
+        .withColumn("p0", F.lag("unit_p").over(w))
+        .withColumn("prev_month", F.lag("month").over(w))
+        .filter(
+            F.col("q0").isNotNull()
+            & (F.col("prev_month") == F.add_months(F.col("month"), -1))
+        )
+    )
+    eff = lg.select(
+        "month",
+        ((F.col("qty") - F.col("q0")) * F.col("p0")).cast("long").alias(
+            "volume_eff"
+        ),
+        (F.col("qty") * (F.col("unit_p") - F.col("p0"))).cast("long").alias(
+            "price_eff"
+        ),
+    )
+    return eff.groupBy("month").agg(
+        F.count(F.lit(1)).alias("matched_parts"),
+        F.sum("volume_eff").alias("volume_effect"),
+        F.sum("price_eff").alias("price_effect"),
+        (F.sum("volume_eff") + F.sum("price_eff")).cast("long").alias(
+            "total_change"
+        ),
+    )
