@@ -4322,3 +4322,53 @@ def price_volume_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_change"
         ),
     )
+
+
+@register(
+    "sql_udf_banding",
+    survey="F12,§2.11 (extension: Spark 4 SQL UDF + parameterized SQL)",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN least(greatest(CAST(n_chars AS DOUBLE) / 20.0, 0.0),
+                               100.0) >= 50.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_band
+FROM documents
+WHERE n_chars > 100
+GROUP BY lang
+""",
+)
+def sql_udf_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface coverage in one query: a SQL-defined UDF
+    (`CREATE OR REPLACE TEMPORARY FUNCTION ... RETURN least(...)`) —
+    a declarative scalar function that stays fully inside Catalyst
+    (inlined into the plan, codegen'd, predicate-pushdown-friendly —
+    everything a Python UDF is not) — applied through a
+    PARAMETERIZED `spark.sql` call (named parameter markers, the
+    injection-safe API for user-supplied thresholds).  The oracle
+    spells the UDF body inline, proving the function definition
+    round-trips through the catalog unchanged.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_udf_docs"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION clamp_score(x DOUBLE)
+        RETURNS DOUBLE
+        RETURN least(greatest(x, 0.0), 100.0)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN clamp_score(CAST(n_chars AS DOUBLE) / 20.0)
+                                  >= :band THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_band
+        FROM sql_udf_docs
+        WHERE n_chars > :minlen
+        GROUP BY lang
+        """,
+        args={"band": 50.0, "minlen": 100},
+    )
