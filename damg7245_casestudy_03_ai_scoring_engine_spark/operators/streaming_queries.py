@@ -2989,3 +2989,230 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_common"),
     )
+
+
+def _removal_oracle() -> str:
+    """Removal-effect oracle: the absorption chain re-run with each
+    channel knocked out (its probability pinned to 0), plus the
+    empirical first-event start distribution."""
+
+    def chain(tag: str, removed: str | None) -> str:
+        zero = (
+            f"st.s = '{removed}' OR " if removed is not None else ""
+        )
+        rounds = []
+        for k in range(1, _ABSORB_STEPS + 1):
+            prev = f"r{k - 1}{tag}"
+            rounds.append(
+                f"""r{k}{tag} AS (
+    SELECT st.s,
+           CASE WHEN {zero}FALSE THEN CAST(0.0 AS DOUBLE)
+                WHEN st.s = '{_ABSORB_STATE}' THEN CAST(1.0 AS DOUBLE)
+                ELSE coalesce(f.v, CAST(0.0 AS DOUBLE)) END AS pv
+    FROM states st LEFT JOIN (
+        SELECT pm.cur AS s,
+               list_reduce(list(pm.p * p.pv ORDER BY pm.nxt),
+                           (a, b) -> a + b) AS v
+        FROM pm JOIN {prev} p ON pm.nxt = p.s
+        GROUP BY pm.cur
+    ) f ON st.s = f.s
+)"""
+            )
+        r0 = f"""r0{tag} AS (
+    SELECT s, CASE WHEN {zero}FALSE THEN CAST(0.0 AS DOUBLE)
+                   WHEN s = '{_ABSORB_STATE}' THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS pv
+    FROM states
+)"""
+        conv = f"""conv{tag} AS (
+    SELECT list_reduce(
+        list(pi.w * r.pv ORDER BY pi.s), (a, b) -> a + b) AS p_conv
+    FROM pi JOIN r{_ABSORB_STEPS}{tag} r ON pi.s = r.s
+)"""
+        return ",\n".join([r0] + rounds + [conv])
+
+    channels = ["click", "view", "signup", "error"]
+    chains = ",\n".join(
+        [chain("_base", None)]
+        + [chain(f"_c{i}", ch) for i, ch in enumerate(channels)]
+    )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT '{ch}' AS channel,
+       floor((1.0 - c.p_conv / b.p_conv) * 1000000 + 0.5) / 1000000
+           AS removal_effect
+FROM conv_c{i} c, conv_base b"""
+        for i, ch in enumerate(channels)
+    )
+    return f"""
+WITH o AS (
+    SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS next_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts), event_id) AS rn
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS cur, next_type AS nxt FROM o WHERE next_type IS NOT NULL
+),
+c AS (
+    SELECT cur, nxt, count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY cur) AS n_cur
+    FROM pairs GROUP BY cur, nxt
+),
+pm AS (
+    SELECT cur, nxt, CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE) AS p FROM c
+),
+states AS (SELECT DISTINCT cur AS s FROM pm),
+starts AS (
+    SELECT event_type AS s, CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE rn = 1 GROUP BY 1
+),
+pi AS (
+    SELECT st.s,
+           CAST(coalesce(sta.n, 0) AS DOUBLE)
+               / CAST((SELECT sum(n) FROM starts) AS DOUBLE) AS w
+    FROM states st LEFT JOIN starts sta ON st.s = sta.s
+),
+{chains}
+{sel}
+"""
+
+
+@register(
+    "markov_removal_attribution",
+    survey="W5 (extension: Markov removal-effect channel attribution)",
+    oracle=_removal_oracle(),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov (removal-effect) channel attribution — the data-driven
+    alternative to the position-based U-shape: each channel's value
+    is how much 5-step conversion probability DISAPPEARS when that
+    channel is knocked out of the chain (its state zeroed each
+    round, so paths through it die), weighted by the empirical
+    first-event start distribution: effect(c) = 1 − P₋c/P.
+
+    Every per-channel run replays the same fixed-order-fold
+    iteration as `markov_absorption_conversion` (bit-identical
+    doubles), the start weights are exact-count ratios, and the
+    final effect is one guarded division through round_stable(6).
+    The oracle unrolls all five chains (base + 4 removals) as CTE
+    families.  Scale shape: the transition estimate and start
+    distribution are the data-touching work; 25 iteration rounds
+    ride the tiny state grain.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type").over(w_user).alias("next_type"),
+        F.row_number().over(w_user).alias("rn"),
+    )
+    pairs = o.filter(F.col("next_type").isNotNull())
+    c = (
+        pairs.groupBy(
+            F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_cur", F.sum("n").over(Window.partitionBy("cur")))
+    )
+    pm = c.select(
+        "cur",
+        "nxt",
+        (F.col("n").cast("double") / F.col("n_cur").cast("double")).alias("p"),
+    ).localCheckpoint()
+    states = pm.select(F.col("cur").alias("s")).distinct().localCheckpoint()
+    starts = (
+        o.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pi = (
+        states.join(starts, "s", "left")
+        .crossJoin(
+            F.broadcast(starts.agg(F.sum("n").alias("tot")))
+        )
+        .select(
+            "s",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            ).alias("w"),
+        )
+        .localCheckpoint()
+    )
+
+    def absorb_prob(removed: str | None):
+        dead = (
+            (F.col("s") == removed) if removed is not None else F.lit(False)
+        )
+        pv0 = (
+            F.when(dead, F.lit(0.0))
+            .when(F.col("s") == _ABSORB_STATE, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        p_cur = states.select("s", pv0.alias("pv"))
+        for _ in range(_ABSORB_STEPS):
+            terms = pm.join(p_cur, pm.nxt == p_cur.s).select(
+                "cur", "nxt", (F.col("p") * F.col("pv")).alias("term")
+            )
+            folded = terms.groupBy("cur").agg(
+                F.array_sort(F.collect_list(F.struct("nxt", "term"))).alias(
+                    "ts_"
+                )
+            )
+            arr = F.transform(F.col("ts_"), lambda x: x["term"])
+            summed = folded.select(
+                F.col("cur").alias("s"),
+                F.aggregate(
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    F.element_at(arr, 1),
+                    lambda a, b: a + b,
+                ).alias("v"),
+            )
+            p_cur = (
+                states.join(summed, "s", "left")
+                .select(
+                    "s",
+                    F.when(dead, F.lit(0.0))
+                    .when(F.col("s") == _ABSORB_STATE, F.lit(1.0))
+                    .otherwise(F.coalesce(F.col("v"), F.lit(0.0)))
+                    .alias("pv"),
+                )
+                .localCheckpoint()
+            )
+        wt = pi.join(p_cur, "s").select(
+            "s", (F.col("w") * F.col("pv")).alias("term")
+        )
+        g = wt.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("s", "term"))).alias("ts_")
+        )
+        arr = F.transform(F.col("ts_"), lambda x: x["term"])
+        return g.select(
+            F.aggregate(
+                F.slice(arr, 2, F.size(arr) - 1),
+                F.element_at(arr, 1),
+                lambda a, b: a + b,
+            ).alias("p_conv")
+        )
+
+    base = absorb_prob(None).select(F.col("p_conv").alias("p_base"))
+    channels = ["click", "view", "signup", "error"]
+    out = None
+    for ch in channels:
+        eff = (
+            absorb_prob(ch)
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(ch).alias("channel"),
+                round_stable(
+                    F.lit(1.0) - F.col("p_conv") / F.col("p_base"), 6
+                ).alias("removal_effect"),
+            )
+        )
+        out = eff if out is None else out.unionAll(eff)
+    return out

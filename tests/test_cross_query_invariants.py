@@ -1268,3 +1268,74 @@ def test_waterfall_matches_python_replay(spark):
         total = {r["month_total_delta"] for r in rs}
         assert len(total) == 1
         assert sum(r["delta_cents"] for r in rs) == total.pop()
+
+
+def test_removal_attribution_matches_python_and_bounds(spark):
+    """Removal effects equal a python replay of the knocked-out
+    absorption chains (same fold orders) and each effect lies in
+    [0, 1] — removing a channel can only lose conversion mass."""
+    import math
+
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts: dict = {}
+    firsts: dict = {}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        firsts[rs[0]["event_type"]] = firsts.get(rs[0]["event_type"], 0) + 1
+        for a, b in zip(rs, rs[1:]):
+            counts[(a["event_type"], b["event_type"])] = (
+                counts.get((a["event_type"], b["event_type"]), 0) + 1
+            )
+    n_cur: dict = {}
+    for (c, _), n in counts.items():
+        n_cur[c] = n_cur.get(c, 0) + n
+    pm = {(c, t): n / n_cur[c] for (c, t), n in counts.items()}
+    states = sorted(n_cur)
+    n_first_total = sum(firsts.values())
+    pi = {s: firsts.get(s, 0) / n_first_total for s in states}
+
+    def p_conv(removed):
+        pv = {
+            s: 0.0
+            if s == removed
+            else (1.0 if s == "purchase" else 0.0)
+            for s in states
+        }
+        for _ in range(5):
+            nxt = {}
+            for s in states:
+                if s == removed:
+                    nxt[s] = 0.0
+                    continue
+                if s == "purchase":
+                    nxt[s] = 1.0
+                    continue
+                terms = sorted(
+                    (t, pm[(s, t)] * pv.get(t, 0.0))
+                    for t in [t for (c, t) in pm if c == s]
+                )
+                acc = terms[0][1] if terms else 0.0
+                for _, v in terms[1:]:
+                    acc = acc + v
+                nxt[s] = acc
+            pv = nxt
+        wterms = sorted((s, pi[s] * pv[s]) for s in states)
+        acc = wterms[0][1]
+        for _, v in wterms[1:]:
+            acc = acc + v
+        return acc
+
+    base = p_conv(None)
+    got = {
+        r["channel"]: r["removal_effect"]
+        for r in REGISTRY["markov_removal_attribution"].fn(spark, SF_SMOKE).collect()
+    }
+    for ch in ("click", "view", "signup", "error"):
+        expect = math.floor((1.0 - p_conv(ch) / base) * 1e6 + 0.5) / 1e6
+        assert got[ch] == expect, ch
+        assert 0.0 <= got[ch] <= 1.0
