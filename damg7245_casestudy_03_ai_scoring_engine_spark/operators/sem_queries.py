@@ -1189,3 +1189,109 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "qini_curve_buckets",
+    survey="M14-adjacent,W5 (extension: Qini uplift curve)",
+    oracle="""
+WITH s AS (
+    SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+           CAST(user_id % 2 AS BIGINT) AS variant,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+    FROM events
+),
+b AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+           CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS t_pos,
+           CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+           CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS c_pos
+    FROM s GROUP BY bucket
+),
+cum AS (
+    SELECT bucket,
+           CAST(sum(t_n) OVER w AS BIGINT) AS ct_n,
+           CAST(sum(t_pos) OVER w AS BIGINT) AS ct_pos,
+           CAST(sum(c_n) OVER w AS BIGINT) AS cc_n,
+           CAST(sum(c_pos) OVER w AS BIGINT) AS cc_pos
+    FROM b
+    WINDOW w AS (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket AS threshold_bucket, ct_n, ct_pos, cc_n, cc_pos,
+       CAST(ct_pos * cc_n - cc_pos * ct_n AS BIGINT) AS qini_num,
+       CASE WHEN cc_n > 0
+            THEN floor((CAST(ct_pos AS DOUBLE)
+                        - CAST(cc_pos AS DOUBLE) * CAST(ct_n AS DOUBLE)
+                          / CAST(cc_n AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS qini_incremental
+FROM cum
+""",
+)
+def qini_curve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve for the parity-split experiment: targeting
+    the top score buckets first, the cumulative INCREMENTAL
+    conversions (treated positives minus the control positives scaled
+    to the treated exposure) at every depth — the evaluation curve
+    for uplift/targeting models, where plain AUC misleads (a model
+    can rank conversions well yet target people who'd convert
+    anyway).
+
+    Exact int64 cumulative cells at every depth; the scale-free
+    numerator ct_pos·cc_n − cc_pos·ct_n is emitted as an exact
+    integer (positive ⟺ treatment is winning at that depth) and the
+    conventional incremental-count display is one guarded
+    fixed-order double.  One map-side groupBy to the bucket grain,
+    one window over ≤10 rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    s = load(spark, sf_dir, "events", fan_out=True).select(
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9)
+        ).alias("bucket"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        F.col("event_type").isin("purchase", "signup").cast("long").alias("y"),
+    )
+    b = s.groupBy("bucket").agg(
+        F.sum(F.col("variant")).alias("t_n"),
+        F.sum(F.col("variant") * F.col("y")).alias("t_pos"),
+        F.sum(F.lit(1) - F.col("variant")).alias("c_n"),
+        F.sum((F.lit(1) - F.col("variant")) * F.col("y")).alias("c_pos"),
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "bucket",
+        F.sum("t_n").over(w).alias("ct_n"),
+        F.sum("t_pos").over(w).alias("ct_pos"),
+        F.sum("c_n").over(w).alias("cc_n"),
+        F.sum("c_pos").over(w).alias("cc_pos"),
+    )
+    qnum = (
+        F.col("ct_pos") * F.col("cc_n") - F.col("cc_pos") * F.col("ct_n")
+    ).cast("long")
+    qinc = F.when(
+        F.col("cc_n") > 0,
+        round_stable(
+            F.col("ct_pos").cast("double")
+            - F.col("cc_pos").cast("double")
+            * F.col("ct_n").cast("double")
+            / F.col("cc_n").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        F.col("bucket").alias("threshold_bucket"),
+        "ct_n",
+        "ct_pos",
+        "cc_n",
+        "cc_pos",
+        qnum.alias("qini_num"),
+        qinc.alias("qini_incremental"),
+    )
