@@ -3216,3 +3216,187 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = eff if out is None else out.unionAll(eff)
     return out
+
+
+@register(
+    "logrank_conversion_test",
+    survey="M14-adjacent,W5 (extension: log-rank time-to-conversion comparison)",
+    oracle=f"""
+WITH fp AS (
+    SELECT user_id,
+           min(epoch_ns(ts) // {_DAY_NS}) AS first_day,
+           max(epoch_ns(ts) // {_DAY_NS}) AS last_day,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_ns(ts) // {_DAY_NS} END) AS conv_day
+    FROM events GROUP BY user_id
+),
+u AS (
+    SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+           CASE WHEN conv_day IS NULL THEN last_day - first_day
+                ELSE conv_day - first_day END AS dur,
+           CASE WHEN conv_day IS NULL THEN 1 ELSE 0 END AS censored
+    FROM fp
+),
+g AS (
+    SELECT dur,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 - censored ELSE 0 END) AS BIGINT) AS d1_,
+           CAST(sum(CASE WHEN grp = 0 THEN 1 - censored ELSE 0 END) AS BIGINT) AS d0_,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0
+    FROM u GROUP BY dur
+),
+rk AS (
+    SELECT dur, d1_, d0_,
+           CAST(sum(a1) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n1,
+           CAST(sum(a0) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n0
+    FROM g
+),
+terms AS (
+    SELECT dur, d1_,
+           CAST(d1_ + d0_ AS BIGINT) AS d,
+           CAST(n1 + n0 AS BIGINT) AS n,
+           n1
+    FROM rk WHERE d1_ + d0_ > 0
+),
+folded AS (
+    SELECT CAST(sum(d1_) AS BIGINT) AS o1,
+           list_reduce(
+               list(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+                    ORDER BY dur),
+               (a, b) -> a + b) AS e1,
+           list_reduce(
+               list(CASE WHEN n > 1
+                         THEN ((CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                                                     / CAST(n AS DOUBLE)))
+                               * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                              * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                         ELSE 0.0 END ORDER BY dur),
+               (a, b) -> a + b) AS v
+    FROM terms
+)
+SELECT o1,
+       floor(e1 * 1000000 + 0.5) / 1000000 AS e1,
+       floor(v * 1000000 + 0.5) / 1000000 AS variance,
+       CASE WHEN v > 0
+            THEN floor((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+                       / v * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS logrank_chi2
+FROM folded
+""",
+)
+def logrank_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing TIME-TO-FIRST-PURCHASE between the two
+    parity-split arms — "does treatment speed up conversion?",
+    answered the survival-statistics way: users who never purchase
+    are right-CENSORED at their last activity (a naive mean-latency
+    comparison silently drops or biases exactly those users).  At
+    each conversion time the observed group-1 conversions are
+    compared with the hypergeometric expectation d·n₁/n and its
+    variance; the statistic is (O−E)²/V.
+
+    Numerics: conversions and at-risk counts are exact int64 reverse
+    cumsums on the duration grain; the E and V accumulations are
+    rationals folded in duration order on BOTH engines (the bounded-
+    grain sorted-fold contract), and the statistic is one guarded
+    fixed-order double through round_stable(6).  (The lifetime-churn
+    framing is degenerate on this fixture — every user is active in
+    the final week — so the operator measures the conversion clock,
+    where real variation exists.)
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    fp = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr(f"ts div {_DAY_NS}")).alias("first_day"),
+            F.max(F.expr(f"ts div {_DAY_NS}")).alias("last_day"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(f"ts div {_DAY_NS}"),
+                )
+            ).alias("conv_day"),
+        )
+    )
+    u = fp.select(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.when(
+            F.col("conv_day").isNull(), F.col("last_day") - F.col("first_day")
+        )
+        .otherwise(F.col("conv_day") - F.col("first_day"))
+        .alias("dur"),
+        F.col("conv_day").isNull().cast("long").alias("censored"),
+    )
+    g = u.groupBy("dur").agg(
+        F.sum(F.col("grp") * (F.lit(1) - F.col("censored"))).alias("d1_"),
+        F.sum((F.lit(1) - F.col("grp")) * (F.lit(1) - F.col("censored"))).alias(
+            "d0_"
+        ),
+        F.sum(F.col("grp")).alias("a1"),
+        F.sum(F.lit(1) - F.col("grp")).alias("a0"),
+    )
+    rev = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = g.withColumn("n1", F.sum("a1").over(rev)).withColumn(
+        "n0", F.sum("a0").over(rev)
+    )
+    terms = rk.filter(F.col("d1_") + F.col("d0_") > 0).select(
+        "dur",
+        "d1_",
+        (F.col("d1_") + F.col("d0_")).alias("d"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+        "n1",
+    )
+    e_term = F.col("d").cast("double") * F.col("n1").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    frac = F.col("n1").cast("double") / F.col("n").cast("double")
+    v_term = F.when(
+        F.col("n") > 1,
+        ((F.col("d").cast("double") * frac) * (F.lit(1.0) - frac))
+        * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    folded = terms.select(
+        "dur", "d1_", e_term.alias("et"), v_term.alias("vt")
+    ).groupBy().agg(
+        F.sum("d1_").alias("o1"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dur"), F.col("et").alias("val")))
+        ).alias("ea"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dur"), F.col("vt").alias("val")))
+        ).alias("va"),
+    )
+
+    def fold_sum(col):
+        arr = F.transform(col, lambda x: x["val"])
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, b: a + b,
+        )
+
+    e1, v = fold_sum(F.col("ea")), fold_sum(F.col("va"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    chi2 = F.when(
+        v > 0,
+        round_stable(
+            (F.col("o1").cast("double") - e1)
+            * (F.col("o1").cast("double") - e1)
+            / v,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return folded.select(
+        F.col("o1").cast("long").alias("o1"),
+        r6(e1).alias("e1"),
+        r6(v).alias("variance"),
+        chi2.alias("logrank_chi2"),
+    )
