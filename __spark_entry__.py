@@ -52,7 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays windowed (gopher_repetition_flags / unigram_ll_quality ->
 # curation_decision_gate composes both signals; semantic_dedup ->
 # minhash + containment_prefix keep dedup covered) swapped for the
-# late-session flagships kaplan_meier_churn, auc_value_score, and
+# late-session flagships kaplan_meier_conversion (the non-degenerate
+# conversion-clock KM; the churn-framed sibling stays pytest-oracle),
+# auc_value_score, and
 # position_attribution_credits.
 # Round-5 late rotation: seven more multi-round greens
 # (time_window_census, cohort_retention, asof_join_events,
@@ -102,7 +104,7 @@ _PRIORITY = (
     "pareto_frontier_orders",
     "dedup_containment_prefix",
     "decontaminate_ngram_overlap",
-    "kaplan_meier_churn",
+    "kaplan_meier_conversion",
     "ann_ivf_topk",
     "mutual_nn_pairs",
     "lsh_cosine_pairs",

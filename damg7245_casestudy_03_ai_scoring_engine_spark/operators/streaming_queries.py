@@ -3400,3 +3400,123 @@ def logrank_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(v).alias("variance"),
         chi2.alias("logrank_chi2"),
     )
+
+
+@register(
+    "kaplan_meier_conversion",
+    survey="M14-adjacent,W5 (extension: time-to-conversion survival curve)",
+    oracle=f"""
+WITH fp AS (
+    SELECT user_id,
+           min(epoch_ns(ts) // {_DAY_NS}) AS first_day,
+           max(epoch_ns(ts) // {_DAY_NS}) AS last_day,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_ns(ts) // {_DAY_NS} END) AS conv_day
+    FROM events GROUP BY user_id
+),
+u AS (
+    SELECT CASE WHEN conv_day IS NULL THEN last_day - first_day
+                ELSE conv_day - first_day END AS dur,
+           CASE WHEN conv_day IS NULL THEN 1 ELSE 0 END AS censored
+    FROM fp
+),
+g AS (
+    SELECT dur,
+           CAST(sum(1 - censored) AS BIGINT) AS d,
+           CAST(sum(censored) AS BIGINT) AS c
+    FROM u GROUP BY dur
+),
+rk AS (
+    SELECT dur, d, c,
+           CAST(sum(d + c) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_at_risk
+    FROM g
+),
+fct AS (
+    SELECT dur, d, c, n_at_risk,
+           (CAST(n_at_risk AS DOUBLE) - CAST(d AS DOUBLE))
+               / CAST(n_at_risk AS DOUBLE) AS factor
+    FROM rk
+),
+surv AS (
+    SELECT dur, d, c, n_at_risk,
+           list(factor) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS fs
+    FROM fct
+)
+SELECT dur AS days_to_convert, d AS n_converted, c AS n_censored, n_at_risk,
+       floor(list_reduce(fs, (a, b) -> a * b) * 1000000 + 0.5) / 1000000
+           AS not_yet_converted
+FROM surv
+""",
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve on the CONVERSION clock: S(t) = P(still not
+    purchased t days after first activity), with never-purchasers
+    right-censored at their last activity — the curve the log-rank
+    test compares, and the non-degenerate companion to
+    `kaplan_meier_churn` on this fixture (every user survives the
+    churn framing; conversion actually happens).  1 − S(t) is the
+    cumulative-conversion curve growth teams plot.
+
+    Same numeric contract as the churn curve: exact int64 at-risk
+    reverse cumsums on the bounded duration grain, the survival
+    prefix product as the bit-identical windowed-collect fold,
+    round_stable(6) display.
+    """
+    from pyspark.sql import Window
+
+    fp = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr(f"ts div {_DAY_NS}")).alias("first_day"),
+            F.max(F.expr(f"ts div {_DAY_NS}")).alias("last_day"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(f"ts div {_DAY_NS}"),
+                )
+            ).alias("conv_day"),
+        )
+    )
+    u = fp.select(
+        F.when(
+            F.col("conv_day").isNull(), F.col("last_day") - F.col("first_day")
+        )
+        .otherwise(F.col("conv_day") - F.col("first_day"))
+        .alias("dur"),
+        F.col("conv_day").isNull().cast("long").alias("censored"),
+    )
+    g = u.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    rev = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.orderBy(F.asc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = g.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(rev))
+    fct = rk.withColumn(
+        "factor",
+        (F.col("n_at_risk").cast("double") - F.col("d").cast("double"))
+        / F.col("n_at_risk").cast("double"),
+    )
+    surv = fct.withColumn("fs", F.collect_list("factor").over(fwd))
+    prod = F.aggregate(
+        F.slice(F.col("fs"), 2, F.size("fs") - 1),
+        F.element_at(F.col("fs"), 1),
+        lambda a, b: a * b,
+    )
+    return surv.select(
+        F.col("dur").alias("days_to_convert"),
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        "n_at_risk",
+        (F.floor(prod * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "not_yet_converted"
+        ),
+    )
