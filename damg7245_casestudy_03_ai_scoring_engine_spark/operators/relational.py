@@ -4372,3 +4372,101 @@ def sql_udf_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"band": 50.0, "minlen": 100},
     )
+
+
+_MRR_LCM = 2520  # lcm(1..10): makes 2520/rank an exact integer
+
+
+@register(
+    "popularity_recsys_eval",
+    survey="W4,A18 (extension: recommender hit-rate@10 / exact MRR)",
+    oracle=f"""
+WITH pop AS (
+    SELECT l_suppkey,
+           row_number() OVER (ORDER BY count(*) DESC, l_suppkey) AS rnk
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY count(*) DESC, l_suppkey LIMIT 10
+),
+truth AS (
+    SELECT DISTINCT o.o_custkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hits AS (
+    SELECT t.o_custkey, CAST(min(p.rnk) AS BIGINT) AS first_hit
+    FROM truth t JOIN pop p ON t.l_suppkey = p.l_suppkey
+    GROUP BY t.o_custkey
+),
+users AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM truth)
+SELECT users.n AS n_users,
+       CAST(count(hits.o_custkey) AS BIGINT) AS n_hit,
+       CAST(sum({_MRR_LCM} // hits.first_hit) AS BIGINT) AS mrr_scaled,
+       floor(CAST(count(hits.o_custkey) AS DOUBLE) / CAST(users.n AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS hit_rate_at_10,
+       floor(CAST(sum({_MRR_LCM} // hits.first_hit) AS DOUBLE)
+             / ({_MRR_LCM}.0 * CAST(users.n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS mrr_at_10
+FROM users LEFT JOIN hits ON TRUE
+GROUP BY users.n
+""",
+)
+def popularity_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation of the popularity baseline: recommend
+    every customer the global top-10 suppliers by volume, score
+    against each customer's ACTUAL supplier set — hit-rate@10 and
+    MRR@10, the metrics any learned recommender must beat (the
+    popularity-baseline sanity check recsys papers are required to
+    report).
+
+    The MRR reciprocal-rank sum — normally an order-sensitive float
+    accumulation — is EXACT here: with ranks ≤ 10, 2520/rank
+    (lcm(1..10)) is an integer, so the scaled MRR is an int64 sum
+    and the display value one final division.  Hit ranks come from a
+    min over the broadcast 10-row popularity list joined to the
+    deduped customer-supplier truth grain.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import round_stable
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pop = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("l_suppkey"))),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("l_suppkey", "rnk")
+    )
+    truth = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    hits = (
+        truth.join(F.broadcast(pop), "l_suppkey")
+        .groupBy("o_custkey")
+        .agg(F.min("rnk").cast("long").alias("first_hit"))
+    )
+    users = truth.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_users")
+    )
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"{_MRR_LCM} div first_hit")).alias("mrr_scaled"),
+    ).crossJoin(F.broadcast(users))
+    return agg.select(
+        "n_users",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("mrr_scaled").cast("long").alias("mrr_scaled"),
+        round_stable(
+            F.col("n_hit").cast("double") / F.col("n_users").cast("double"), 6
+        ).alias("hit_rate_at_10"),
+        round_stable(
+            F.col("mrr_scaled").cast("double")
+            / (F.lit(float(_MRR_LCM)) * F.col("n_users").cast("double")),
+            6,
+        ).alias("mrr_at_10"),
+    )
