@@ -192,7 +192,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT lang) AS n_langs
 FROM (
     SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT % 100 < 90
@@ -1823,7 +1823,7 @@ ranked AS (
 )
 SELECT CAST(shard AS INT) AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(rk * (h % 997)) AS BIGINT) AS order_checksum
 FROM ranked
 GROUP BY shard
@@ -1878,7 +1878,8 @@ def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="LLM-pipeline extension: per-domain corpus budget (C4/Dolma-style source caps)",
     oracle="""
 WITH per_src AS (
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents
     GROUP BY source
 ),

@@ -106,6 +106,29 @@ def test_oracle_parity(spark, duck, name):
     _lint_double_outputs(name, sdf, srows)
 
 
+def test_oracle_output_types_no_hugeint(duck):
+    """Registry-wide typing lint: no oracle may OUTPUT a HUGEINT
+    (int128) column.  DuckDB types a bare `sum(bigint_col)` as
+    HUGEINT; the driver's comparator materializes oracle results
+    through a path where int128 degrades to float64, so the value
+    hash of `8254.0` no longer matches Spark's int64 `8254` even
+    though fetchall()-based local mirrors (drive.py,
+    tools/exact_parity.py) see identical Python ints and pass.
+    Round-5 red row `domain_token_budget` was exactly this; wrap
+    integer-sum outputs in CAST(... AS BIGINT).  DESCRIBE plans
+    without executing, so this sweeps all oracles cheaply."""
+    offenders = {}
+    for name in ORACLE_QUERIES:
+        desc = duck.execute("DESCRIBE " + REGISTRY[name].oracle).fetchall()
+        hug = [c for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, (
+        f"oracles with HUGEINT output columns (driver value-hash trap; "
+        f"CAST them to BIGINT): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", WEAK_QUERIES)
 def test_rows_only(spark, name):
     spec = REGISTRY[name]
