@@ -31,11 +31,18 @@ JOIN_OPS = (
 PY_OPS = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython")
 
 
-def audit(s: str) -> dict:
+def audit(s: str, s_exec: str) -> dict:
+    """`s` is the declarative (pre-execution) formatted plan — join
+    strategies / exchanges / pushed filters are read from it so the
+    table reflects what Catalyst chose from the query shape alone.
+    `s_exec` is the formatted plan AFTER one execution: under AQE the
+    pre-execution plan is an unfinalized AdaptiveSparkPlan that
+    carries NO `[codegen id : N]` annotations (they only appear once
+    isFinalPlan=true), so codegen spans must be counted post-run."""
     joins = {j: s.count(f" {j}") + s.count(f"({j}") for j in JOIN_OPS}
     joins = {j: n for j, n in joins.items() if n}
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", s)
-    codegen_ids = {int(m) for m in re.findall(r"\[codegen id : (\d+)\]", s)}
+    codegen_ids = {int(m) for m in re.findall(r"\[codegen id : (\d+)\]", s_exec)}
     return {
         "joins": ", ".join(f"{j}×{n}" if n > 1 else j for j, n in joins.items()) or "—",
         "exchanges": s.count("Exchange "),
@@ -52,7 +59,10 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         if not spec.bench:
             continue
-        a = audit(explain_str(spec.fn(spark, SF)))
+        df = spec.fn(spark, SF)
+        s = explain_str(df)
+        df.collect()  # finalize AQE so codegen ids materialize
+        a = audit(s, explain_str(df))
         rows.append((name, a))
 
     out = [
