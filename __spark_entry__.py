@@ -64,57 +64,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-exercised: spatial_radius_join, interval_islands_coverage,
 # timeseries_gapfill_locf, dhondt_apportionment, bfs_hop_distance,
 # mutual_nn_pairs, ab_test_chi2.
+# Round-6 rotation: r5's sole red row was an oracle-typing artifact
+# (domain_token_budget's un-cast HUGEINT sum — fixed + linted
+# registry-wide in tests/test_oracle_parity.py); it stays windowed to
+# flip red→green.  Every other r4/r5 multi-round green rotates back
+# to pytest-oracle coverage, making room for 41 oracle-backed queries
+# the driver has NEVER run: the r5 late additions (qini / markov
+# removal / log-rank / recsys eval / price-volume-mix / waterfall /
+# SQL-UDF / Holt / KS drift / EB shrinkage / trending), the lake
+# lifecycle tier (CDC compaction, mergeSchema evolution), layout +
+# skew scale paths (Bloom-index lookup, partition-pruned scan, salted
+# skew join, sized sharding), the iterative-oracle trio (k-means,
+# PageRank, dedup clusters), the never-driver-run bench headliners
+# (cross-doc spans, TF-IDF, heavy hitters, brute-force ANN, rolling
+# actives, capped balance), retrieval (BM25, RRF hybrid), and the
+# Spark-4 surfaces (Python data source, UDTF twin).  The spine that
+# stays: flagship, PCA-eta (recursive-CTE oracle), dimension/evidence/
+# rubric scoring, section split, session windows, DPP join.
 _PRIORITY = (
     "org_air_flagship",
-    "interval_islands_coverage",
-    "timeseries_gapfill_locf",
     "pca_one_factor_eta",
-    "session_window_rollup",
-    "click_error_followups",
-    "spatial_radius_join",
-    "dhondt_apportionment",
-    "rule_synergy_scores",
-    "sem_spearman_brown",
-    "ab_test_chi2",
-    "bfs_hop_distance",
-    "hr_position_stack",
-    "portfolio_range_validation",
     "dimension_scores_table",
-    "rubric_dimension_scores",
-    "keyword_taxonomy_match",
     "evidence_dimension_features",
-    "job_posting_analysis",
-    "talent_concentration",
-    "review_culture_scores",
-    "board_governance_scores",
+    "rubric_dimension_scores",
+    "sem_training_rows",
+    "board_proxy_extract",
+    "tolerant_datetime_parse",
+    "unpivot_profit_metrics",
+    "source_payloads",
     "section_split_10k",
-    "submissions_scan",
-    "pdf_text_extract",
-    "throttled_fetch_artifacts",
-    "binaryfile_artifact_scan",
-    "pagination_keyset",
-    "merge_upsert_balances",
-    "scd2_apply",
-    "max_concurrent_sessions",
-    "bucketed_colocated_join",
-    "zorder_layout_scan",
+    "udtf_section_split",
+    "cdc_apply_latest",
+    "schema_evolution_scan",
+    "sized_output_sharding",
+    "file_bloom_index_lookup",
+    "partition_pruned_scan",
+    "salted_skew_join",
     "dynamic_partition_pruned_join",
-    "dedup_minhash_lsh",
-    "position_attribution_credits",
-    "pareto_frontier_orders",
-    "dedup_containment_prefix",
-    "decontaminate_ngram_overlap",
-    "kaplan_meier_conversion",
-    "ann_ivf_topk",
-    "mutual_nn_pairs",
-    "lsh_cosine_pairs",
-    "curation_decision_gate",
-    "multimodal_meta",
-    "auc_value_score",
-    "containment_closure_rcte",
-    "fuzzy_entity_match",
-    "weighted_sample_per_source",
+    "python_datasource_scan",
+    "session_window_rollup",
+    "click_error_outer_rate",
+    "peak_event_rate_per_user",
+    "stream_dedup_twin",
+    "watermark_drop_audit",
+    "trending_users_decayed",
+    "rolling_active_users",
+    "capped_running_balance",
+    "ks_two_sample_drift",
+    "eb_shrunk_return_rates",
+    "qini_curve_buckets",
+    "markov_removal_attribution",
+    "logrank_conversion_test",
+    "popularity_recsys_eval",
+    "price_volume_mix_monthly",
+    "mom_waterfall_by_segment",
+    "sql_udf_banding",
+    "holt_trend_forecast",
+    "kmeans_lloyd_deterministic",
+    "pagerank_top_nodes",
     "domain_token_budget",
+    "cross_doc_dup_spans",
+    "tfidf_top_terms",
+    "heavy_hitter_tokens",
+    "ann_topk_bruteforce",
+    "hybrid_retrieval_rrf",
+    "bm25_retrieval",
+    "exact_dedup_keep_best",
+    "dedup_clusters",
+    "multimodal_resize_rollup",
 )
 
 

@@ -20,6 +20,20 @@ from conftest import SF_CORRECTNESS
 WINDOW = [n for n in list(entry.queries())[:50] if REGISTRY[n].oracle]
 
 
+def test_window_is_full_and_fully_oracle_backed():
+    """The driver gate samples exactly the first 50 queries() entries
+    and can only turn a row green through its DuckDB oracle — a
+    rows-only query in the window burns a slot as `no_oracle` (the
+    round-4 49/50).  Pin: the curated window is exactly 50 distinct
+    registered queries, every one oracle-backed."""
+    names = list(entry.queries())[:50]
+    assert len(entry._PRIORITY) == 50
+    assert names == list(entry._PRIORITY)
+    assert len(set(names)) == 50
+    missing = [n for n in names if not REGISTRY[n].oracle]
+    assert not missing, f"rows-only queries in the driver window: {missing}"
+
+
 @pytest.fixture(scope="module")
 def duck01():
     import os
