@@ -4470,3 +4470,218 @@ def popularity_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr_at_10"),
     )
+
+
+@register(
+    "item_cooccurrence_topk",
+    survey="LLM/recsys extension: item-item co-occurrence with lift (market-basket CF)",
+    oracle="""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+n AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket
+),
+item AS (
+    SELECT l_suppkey AS item, count(*) AS c_i FROM basket GROUP BY l_suppkey
+),
+pair AS (
+    SELECT a.l_suppkey AS ia, b.l_suppkey AS ib, count(*) AS c_ab
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+),
+directed AS (
+    SELECT ia AS item, ib AS partner, c_ab FROM pair
+    UNION ALL
+    SELECT ib AS item, ia AS partner, c_ab FROM pair
+),
+scored AS (
+    SELECT d.item, d.partner, CAST(d.c_ab AS BIGINT) AS c_ab,
+           CAST((1000000 * n.n_orders * d.c_ab) // (i.c_i * p.c_i) AS BIGINT)
+               AS lift_ppm
+    FROM directed d
+    CROSS JOIN n
+    JOIN item i ON i.item = d.item
+    JOIN item p ON p.item = d.partner
+)
+SELECT item, partner, c_ab, lift_ppm, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY lift_ppm DESC, c_ab DESC, partner
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= 3
+""",
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: for every
+    supplier, the top-3 co-purchased partners ranked by lift
+    (n·c_ab / (c_a·c_b) > 1 ⟺ the pair co-occurs more than
+    independence predicts) — the classic "customers also bought"
+    candidate generator next to `popularity_recsys_eval`'s baseline.
+
+    Lift is emitted as an exact INTEGER ppm (single int64 floor
+    division of exact counts on both engines) so the ranking and the
+    value hash are float-free.  Scale shape: the pair grain comes from
+    a self equi-join on the basket key — work is Σ(basket size²),
+    never corpus², and the per-item top-3 is a bounded window.  At
+    100 TB the basket self-join shuffles on l_orderkey once; the two
+    item-count joins broadcast (item cardinality ≪ pair cardinality).
+    """
+    basket = (
+        load(spark, sf_dir, "lineitem", fan_out=True)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = basket.groupBy(F.col("l_suppkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("c_i")
+    )
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ia"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ib"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    directed = pair.select(
+        F.col("ia").alias("item"), F.col("ib").alias("partner"), "c_ab"
+    ).unionByName(
+        pair.select(F.col("ib").alias("item"), F.col("ia").alias("partner"), "c_ab")
+    )
+    ci = F.broadcast(item)
+    scored = (
+        directed.crossJoin(F.broadcast(n))
+        .join(ci, "item")
+        .join(
+            ci.select(F.col("item").alias("partner"), F.col("c_i").alias("c_p")),
+            "partner",
+        )
+        .select(
+            "item",
+            "partner",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.expr("CAST((1000000 * n_orders * c_ab) div (c_i * c_p) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("lift_ppm"), F.desc("c_ab"), F.asc("partner")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .select("item", "partner", "c_ab", "lift_ppm", "rk")
+    )
+
+
+@register(
+    "mad_robust_outliers",
+    survey="stats extension: median/MAD robust outlier counts per event type",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+),
+med AS (
+    SELECT event_type, n, value AS med_value
+    FROM ranked WHERE rk = (n + 1) // 2
+),
+dev AS (
+    SELECT e.event_type, e.event_id, abs(e.value - m.med_value) AS d
+    FROM ev e JOIN med m ON e.event_type = m.event_type
+),
+dev_ranked AS (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type, d AS mad_value
+    FROM dev_ranked WHERE rk = (n + 1) // 2
+)
+SELECT m.event_type,
+       CAST(med.n AS BIGINT) AS n_events,
+       med.med_value,
+       m.mad_value AS mad,
+       CAST(sum(CASE WHEN dev.d > 3.5 * m.mad_value THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM mad m
+JOIN med ON med.event_type = m.event_type
+JOIN dev ON dev.event_type = m.event_type
+GROUP BY m.event_type, med.n, med.med_value, m.mad_value
+""",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: lower-median of value,
+    MAD (lower-median of |value − median|), and how many events sit
+    beyond the 3.5·MAD fence — the dispersion-robust alternative to
+    `daily_burst_zscores`' mean/stddev (one far outlier cannot drag
+    the fence toward itself).
+
+    Cross-engine hygiene: medians are RANK-SELECTED (row_number with
+    an event_id tiebreak — never interpolated), so med/mad are
+    verbatim 2dp parquet values resp. one IEEE subtraction of two such
+    values; the fence compare `d > 3.5·mad` is a single identically-
+    rounded multiply on both engines.  Scale shape: two windowed
+    passes partitioned by event_type plus a broadcast join of the
+    per-type medians (type cardinality is tiny); nothing global.
+    """
+    ev = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", "n", F.col("value").alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad_value"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_value", "mad_value")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3.5 * F.col("mad_value"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            "med_value",
+            F.col("mad_value").alias("mad"),
+            "n_outliers",
+        )
+    )

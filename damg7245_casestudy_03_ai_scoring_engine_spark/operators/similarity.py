@@ -1694,3 +1694,91 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register(
+    "rag_context_assembly",
+    survey="similarity,J2,W4 (extension: retrieval -> budgeted context packing)",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 3
+),
+c AS (
+    SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+    SELECT query_id, cand_id,
+           CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                 AND sqrt(list_dot_product(cv, cv)) > 0
+                THEN list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                ELSE 0.0 END AS cosine
+    FROM q CROSS JOIN c
+    WHERE query_id <> cand_id
+),
+topk AS (
+    SELECT query_id, cand_id, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id
+        ) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+sized AS (
+    SELECT t.query_id, t.cand_id, CAST(t.rk AS INT) AS rk,
+           CAST(d.n_chars AS BIGINT) AS cand_chars,
+           CAST(sum(d.n_chars) OVER (
+               PARTITION BY t.query_id ORDER BY t.rk
+           ) AS BIGINT) AS cum_chars
+    FROM topk t JOIN documents d ON t.cand_id = d.doc_id
+)
+SELECT query_id, rk, cand_id, cand_chars, cum_chars
+FROM sized WHERE cum_chars <= 2500
+""",
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval half of a RAG pipeline end-to-end: for each query
+    vector, rank the corpus by cosine, keep the top-5, join back to
+    document metadata, and PACK the context prefix-greedily under a
+    2500-char budget (docs enter in rank order until the running total
+    would overflow) — exactly what a serving layer does between the
+    ANN lookup and the prompt template.
+
+    The raw cosine is the ORDER BY key on both engines (both fold the
+    dot product sequentially over the same array, so the doubles are
+    bit-identical) but is DROPPED from the output; everything emitted
+    is integer.  Scale shape: top-k before any metadata join (the doc
+    join touches k·|Q| rows), and the packing is a k-row running sum
+    per query — at 100 TB the corpus is touched once by the scorer,
+    which in production is the IVF/LSH-blocked path
+    (`ann_ivf_topk`); brute-force scoring here keeps the oracle exact.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine_similarity("qv", "cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", F.col("rk").cast("int").alias("rk"))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"), F.col("n_chars").cast("bigint").alias("cand_chars")
+    )
+    wp = Window.partitionBy("query_id").orderBy("rk")
+    return (
+        topk.join(docs, "cand_id")
+        .withColumn("cum_chars", F.sum("cand_chars").over(wp).cast("bigint"))
+        .filter(F.col("cum_chars") <= 2500)
+        .select("query_id", "rk", "cand_id", "cand_chars", "cum_chars")
+    )

@@ -201,7 +201,7 @@ def probe(spark, names, per_query_timeout=600):
                 rec[tag] = None
                 rec[tag + "_err"] = str(exc)[:120]
             finally:
-                release_all(spark)
+                release_all()
         if rec.get("sf0.1") and rec.get("sf1"):
             rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 1)
         rows.append(rec)
