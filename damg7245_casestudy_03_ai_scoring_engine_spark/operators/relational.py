@@ -4475,6 +4475,7 @@ def popularity_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "item_cooccurrence_topk",
     survey="LLM/recsys extension: item-item co-occurrence with lift (market-basket CF)",
+    bench=True,
     oracle="""
 WITH basket AS (
     SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem

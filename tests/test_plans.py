@@ -771,3 +771,41 @@ def test_runtime_bloom_filter_join_pushdown(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert got == baseline
+
+
+def test_item_cooccurrence_pair_join_is_basket_equijoin(spark):
+    """Market-basket CF: the pair grain must come from an equi-join on
+    the basket key (work = Σ basket-size², shuffled once on
+    l_orderkey) and the item-count/total attachments must broadcast —
+    any CartesianProduct or shuffled join of the item-count frames
+    would re-shuffle the pair grain per lookup."""
+    s = explain_str(_plan(spark, "item_cooccurrence_topk"))
+    assert "CartesianProduct" not in s
+    joins = re.findall("|".join(_JOIN_OPS), s)
+    # the n_orders scalar attach is a 1-row broadcast nested loop
+    # (the same shape tfidf_top_terms pins); it appears once per
+    # branch of the directed union
+    assert joins.count("BroadcastNestedLoopJoin") <= 2
+    # basket self-join may sort-merge or broadcast (AQE decides by
+    # size); the item-count attachments must all broadcast
+    assert joins.count("SortMergeJoin") + joins.count("ShuffledHashJoin") <= 1
+
+
+def test_mad_outliers_windows_are_type_partitioned(spark):
+    """Both rank-select windows (median, MAD) must be partitioned on
+    event_type — an unpartitioned window would funnel all events
+    through one task; the median join-backs must broadcast."""
+    s = explain_str(_plan(spark, "mad_robust_outliers"))
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]+)", s):
+        assert "event_type" in m.group(1), f"unpartitioned window: {m.group(0)}"
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_rag_assembly_metadata_join_after_topk(spark):
+    """RAG packing: the documents metadata join must sit ABOVE the
+    top-k filter (touches k·|Q| rows) and broadcast; the packing
+    window must be partitioned per query."""
+    s = explain_str(_plan(spark, "rag_context_assembly"))
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    for m in re.finditer(r"windowspecdefinition\(([^,]+)", s):
+        assert "query_id" in m.group(1), f"unpartitioned window: {m.group(0)}"
