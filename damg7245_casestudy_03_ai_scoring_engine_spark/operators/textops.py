@@ -2200,3 +2200,110 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+@register(
+    "leakage_safe_split_audit",
+    survey="LLM-pipeline extension: duplicate-group-aware train/eval split audit",
+    oracle=r"""
+WITH g AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(text), '\s+'))), ' ')) AS grp
+    FROM documents
+),
+a AS (
+    SELECT doc_id, grp,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT
+                % 100 < 90) AS doc_train,
+           (('0x' || substr(md5(grp || '|split-seed-1'), 1, 8))::BIGINT
+                % 100 < 90) AS grp_train
+    FROM g
+),
+per_grp AS (
+    SELECT grp,
+           count(*) AS n_docs,
+           sum(CASE WHEN doc_train THEN 1 ELSE 0 END) AS n_doc_train,
+           max(CASE WHEN grp_train THEN 1 ELSE 0 END) AS grp_is_train
+    FROM a GROUP BY grp
+)
+SELECT 'doc_level' AS strategy,
+       CAST(sum(n_doc_train) AS BIGINT) AS n_train_docs,
+       CAST(sum(n_docs - n_doc_train) AS BIGINT) AS n_eval_docs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_doc_train > 0 AND n_doc_train < n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups
+FROM per_grp
+UNION ALL
+SELECT 'group_level' AS strategy,
+       CAST(sum(CASE WHEN grp_is_train = 1 THEN n_docs ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN grp_is_train = 0 THEN n_docs ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM per_grp
+""",
+)
+def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage audit: a doc-level 90/10 hash split
+    scatters members of the same exact-duplicate family across train
+    AND eval (the classic contamination bug — the model is evaluated
+    on documents it memorized), while a GROUP-level split (hash the
+    canonical bag-of-words family key instead of the doc id) keeps
+    every family on one side by construction.  Emits both strategies'
+    train/eval doc counts and leaky-family counts side by side — the
+    audit a training-data pipeline should run before every export
+    (on this fixture the doc-level strategy leaks real families;
+    group-level is structurally zero).
+
+    Scale shape: one hash-groupBy to the family grain (the same grain
+    `dedup_exact` builds), then a two-row aggregate; both split
+    assignments are salted-md5 projections, so the audit is
+    deterministic across cluster sizes and reruns — and composable:
+    swap the family key for a MinHash cluster id
+    (`dedup_clusters`) to audit NEAR-duplicate leakage the same way.
+    """
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    # the exact family key dedup_exact uses (dedup.py::_tokens spelled
+    # inline — the oracle mirrors string_split_regex(trim(text),'\s+'))
+    grp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+        )
+    )
+
+    def is_train(key_col):
+        h = F.conv(F.substring(F.md5(F.concat(key_col, F.lit("|split-seed-1"))), 1, 8), 16, 10)
+        return h.cast("bigint") % 100 < 90
+
+    a = d.select(
+        grp.alias("grp"),
+        is_train(F.col("doc_id").cast("string")).alias("doc_train"),
+    ).withColumn("grp_train", is_train(F.col("grp")))
+    per_grp = a.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("doc_train"), 1).otherwise(0)).alias("n_doc_train"),
+        F.max(F.when(F.col("grp_train"), 1).otherwise(0)).alias("grp_is_train"),
+    )
+    doc_level = per_grp.agg(
+        F.sum("n_doc_train").cast("bigint").alias("n_train_docs"),
+        F.sum(F.col("n_docs") - F.col("n_doc_train")).cast("bigint").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            F.when(
+                (F.col("n_doc_train") > 0) & (F.col("n_doc_train") < F.col("n_docs")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_leaky_groups"),
+    ).select(F.lit("doc_level").alias("strategy"), "*")
+    grp_level = per_grp.agg(
+        F.sum(F.when(F.col("grp_is_train") == 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("grp_is_train") == 0, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.lit(0).cast("bigint").alias("n_leaky_groups"),
+    ).select(F.lit("group_level").alias("strategy"), "*")
+    return doc_level.unionByName(grp_level)
