@@ -4531,10 +4531,20 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the basket self-join shuffles on l_orderkey once; the two
     item-count joins broadcast (item cardinality ≪ pair cardinality).
     """
-    basket = (
+    from ..functions.cache import tracked_persist
+
+    # ONE distinct pass to the basket grain, persisted PRE-PARTITIONED
+    # on the basket key: the pair self-join then needs no shuffle at
+    # all (both sides share the cached HashPartitioning), and the item
+    # counts / n_orders scalar reuse the same silver instead of
+    # re-scanning + re-deduping lineitem four times (4.5 s → ~1 s at
+    # sf0.1; the 100 TB shape is one shuffle to basket grain, total).
+    basket = tracked_persist(
         load(spark, sf_dir, "lineitem", fan_out=True)
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .repartition("l_orderkey"),
+        "item_cooccurrence.basket",
     )
     n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = basket.groupBy(F.col("l_suppkey").alias("item")).agg(
@@ -4542,11 +4552,15 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ia"))
     b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ib"))
-    pair = (
+    # persisted: the directed union consumes this aggregate TWICE and
+    # Spark re-executes unshared subtrees per union branch — without
+    # the persist the basket self-join + pair groupBy run double
+    pair = tracked_persist(
         a.join(b, "k")
         .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .agg(F.count(F.lit(1)).alias("c_ab")),
+        "item_cooccurrence.pairs",
     )
     directed = pair.select(
         F.col("ia").alias("item"), F.col("ib").alias("partner"), "c_ab"

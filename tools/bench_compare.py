@@ -50,7 +50,15 @@ def _plan_rows_at(commit: str | None) -> dict[str, str]:
     for line in text.splitlines():
         m = re.match(r"\| `([a-z0-9_]+)` \|(.*)", line)
         if m:
-            rows[m.group(1)] = m.group(2).strip()
+            cells = [c.strip() for c in m.group(2).strip().strip("|").split("|")]
+            # Drop the codegen-span cell (3rd column) from the pin
+            # comparison: it counts JIT spans, not plan structure, and
+            # its r6 methodology fix (AQE-final plans — it read 0 for
+            # every query before) would otherwise mark every row
+            # CHANGED across that boundary.
+            if len(cells) >= 5:
+                cells = cells[:2] + cells[3:]
+            rows[m.group(1)] = " | ".join(cells)
     return rows
 
 

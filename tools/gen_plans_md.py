@@ -64,6 +64,12 @@ def main() -> None:
         df.collect()  # finalize AQE so codegen ids materialize
         a = audit(s, explain_str(df))
         rows.append((name, a))
+        # release tracked persists so every row is the canonical COLD
+        # plan — a cache materialized by one query's collect would
+        # otherwise change the next query's exchange count
+        from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
+
+        release_all()
 
     out = [
         "# Headline-Query Physical Plans",
