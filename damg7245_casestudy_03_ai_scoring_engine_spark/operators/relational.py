@@ -4700,3 +4700,61 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "quantile_normalize_values",
+    survey="ML-prep extension: per-group quantile (rank) normalization",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+)
+SELECT event_type, event_id, value,
+       CAST((rk * 1000000) // (n + 1) AS BIGINT) AS pct_ppm
+FROM ranked
+""",
+)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of event values within each event
+    type — the distribution-free feature transform that makes
+    heavy-tailed metrics comparable across groups and models (each
+    value maps to its within-group quantile rk/(n+1), emitted as an
+    exact int64 ppm so no float rank ever exists).  Ties are
+    total-ordered by (value, event_id) so both engines assign the
+    identical rank — the same tie discipline as the MAD and median
+    operators.
+
+    Scale shape: ONE window partitioned by event_type (the count
+    rides the same partition — no second shuffle, no join-back); at
+    100 TB each group sorts independently, and a group too hot for
+    one task takes the two-level salted-rank treatment
+    (`negative_sample_pairs`' pattern) without changing the output."""
+    ev = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wv).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer `div`, never float-divide-then-cast: a correctly-rounded
+    # double quotient landing ON an integer would truncate one off
+    # from the exact floor
+    return ranked.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.expr("(rk * 1000000) div (n + 1)").cast("bigint").alias("pct_ppm"),
+    )

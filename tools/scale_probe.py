@@ -71,6 +71,14 @@ DEFAULT_QUERIES = [
     "lsh_cosine_pairs",          # hyperplane LSH
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
+    # iterative / stateful families — scale behavior least predictable
+    # from the plan alone (per-round joins, localCheckpoint cadence)
+    "pagerank_top_nodes",
+    "dedup_clusters",
+    "kmeans_lloyd_deterministic",
+    "max_concurrent_sessions",
+    "peak_event_rate_per_user",
+    "item_cooccurrence_topk",
 ]
 
 JOIN_OPS = (
@@ -321,6 +329,14 @@ FINDINGS = """
   and cluster-blocked `semantic_dedup`; `lsh_cosine_pairs` remains
   the right tool when the pair LISTING is the requirement and the
   threshold is high enough to bound it.
+- **Iterative operators scale flat.**  The families whose cost is
+  hardest to read from a plan — fixpoint loops with localCheckpoint
+  rounds (`pagerank_top_nodes` 1.5×, `dedup_clusters` 1.5×,
+  `kmeans_lloyd_deterministic` 1.2×), the sweep-line day-carry
+  (`max_concurrent_sessions` 1.1×), and the persisted-silver CF
+  (`item_cooccurrence_topk` 1.2×) — are all structure-dominated at
+  this scale: per-round work grows with data but round count does
+  not, exactly the 100 TB posture their docstrings claim.
 - sf1i's embedding decorrelation uses per-(replica, dim) sign flips;
   with 64 coordinate-concentrated dims that still leaves a heavy
   cross-replica cosine tail (the ± dot's variance concentrates on the
