@@ -4758,3 +4758,65 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr("(rk * 1000000) div (n + 1)").cast("bigint").alias("pct_ppm"),
     )
+
+
+@register(
+    "grouped_median_arrow",
+    survey="§2.11 extension: Spark 4 applyInArrow grouped map (Arrow-native UDF surface)",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, value AS med_value
+FROM ranked WHERE rk = (n + 1) // 2
+""",
+)
+def grouped_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group lower median through Spark 4's `applyInArrow` —
+    the Arrow-NATIVE grouped-map surface (no pandas materialization:
+    the group arrives as a pyarrow.Table, sort + rank-select happen in
+    Arrow compute, and the result Table goes straight back over the
+    same IPC stream).  Twin of the pandas-UDF surfaces already
+    registered (`weighted_median_grouped_agg`, grouped OLS): same
+    rank-select median contract as `mad_robust_outliers`, so the
+    DuckDB oracle is the usual row_number replay and the value hash is
+    exact.
+
+    Scale shape: one shuffle on the group key; each group is
+    processed by one task (fine for bounded per-group cardinality —
+    event types here; a hot group takes the salted two-level
+    rank-select instead).  Arrow-native grouped maps halve the
+    serialization cost of the pandas path for numeric batches — this
+    query exists to keep that surface exercised and oracle-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = (
+        load(spark, sf_dir, "events", fan_out=True)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+
+    def med(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
+        )
+        n = tbl.num_rows
+        pick = idx[(n + 1) // 2 - 1].as_py()
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n_events": pa.array([n], type=pa.int64()),
+                "med_value": [tbl.column("value")[pick].as_py()],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        med, schema="event_type string, n_events long, med_value double"
+    )
