@@ -1339,3 +1339,96 @@ def test_removal_attribution_matches_python_and_bounds(spark):
         expect = math.floor((1.0 - p_conv(ch) / base) * 1e6 + 0.5) / 1e6
         assert got[ch] == expect, ch
         assert 0.0 <= got[ch] <= 1.0
+
+
+def test_item_cooccurrence_lift_and_matching_laws(spark):
+    """CF invariants: every (item, partner) appears with its mirror
+    somewhere in the UNDIRECTED pair set (top-3 may keep only one
+    direction), c_ab is symmetric-positive, per-item rows ≤ 3 with
+    dense ranks 1..k, and lift_ppm is the exact integer floor of
+    1e6·n·c_ab/(c_a·c_b) recomputed from the raw baskets."""
+    rows = REGISTRY["item_cooccurrence_topk"].fn(spark, SF_SMOKE).collect()
+    basket = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    n_orders = len({r.l_orderkey for r in basket})
+    from collections import Counter, defaultdict
+
+    c_i = Counter(r.l_suppkey for r in basket)
+    members = defaultdict(set)
+    for r in basket:
+        members[r.l_orderkey].add(r.l_suppkey)
+    c_ab = Counter()
+    for s in members.values():
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                c_ab[(ss[i], ss[j])] += 1
+    per_item = defaultdict(list)
+    for r in rows:
+        key = (min(r.item, r.partner), max(r.item, r.partner))
+        assert c_ab[key] == r.c_ab, (key, r.c_ab, c_ab[key])
+        expect = (1_000_000 * n_orders * r.c_ab) // (c_i[r.item] * c_i[r.partner])
+        assert r.lift_ppm == expect
+        per_item[r.item].append(r.rk)
+    for item, rks in per_item.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), item
+        assert len(rks) <= 3
+
+
+def test_quantile_normalization_laws(spark):
+    """pct_ppm ∈ (0, 1e6), strictly monotone in (value, event_id)
+    within each group, and the group's max rank maps below 1e6 —
+    i.e. the transform is a valid CDF estimate with no 0/1 atoms."""
+    rows = REGISTRY["quantile_normalize_values"].fn(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 0 < r.pct_ppm < 1_000_000
+        by_type[r.event_type].append((r.value, r.event_id, r.pct_ppm))
+    for vals in by_type.values():
+        vals.sort()
+        ppms = [p for _, _, p in vals]
+        assert ppms == sorted(ppms)
+        assert len(set(ppms)) == len(ppms)  # distinct ranks → distinct ppm? only if n < 1e6
+    assert sum(len(v) for v in by_type.values()) == (
+        load(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull()).count()
+    )
+
+
+def test_leakage_audit_conservation_and_zero_group_leak(spark):
+    """Both strategies partition the same corpus (train+eval = n_docs
+    = corpus size; same n_groups) and the group-keyed strategy is
+    structurally leak-free while doc-level leaks iff some multi-member
+    family straddles the split."""
+    rows = {r.strategy: r for r in REGISTRY["leakage_safe_split_audit"].fn(spark, SF_SMOKE).collect()}
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    for s in ("doc_level", "group_level"):
+        assert rows[s].n_train_docs + rows[s].n_eval_docs == n_docs
+    assert rows["doc_level"].n_groups == rows["group_level"].n_groups
+    assert rows["group_level"].n_leaky_groups == 0
+    assert rows["doc_level"].n_leaky_groups >= 0
+
+
+def test_rag_packing_respects_budget_and_rank_prefix(spark):
+    """Packed context: per query, cum_chars is the running sum of
+    cand_chars in rank order, never exceeds the 2500 budget, and the
+    kept ranks form a PREFIX of 1..5 (prefix packing, not knapsack)."""
+    rows = REGISTRY["rag_context_assembly"].fn(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1)), q
+        run = 0
+        for r in rs:
+            run += r.cand_chars
+            assert r.cum_chars == run
+            assert r.cum_chars <= 2500
