@@ -401,6 +401,83 @@ def bloom_member(positions: list[int]) -> F.Column:
     return member
 
 
+def build_file_bloom_index(base: DataFrame, bits: int) -> DataFrame:
+    """Per-file Bloom rows from a (file, key) frame — one distributed
+    pass keyed on the file column, every step a key-local aggregate
+    with map-side combine.  Factored out so the index is APPENDABLE:
+    each output row depends ONLY on its own file's keys (and the
+    fixed filter width), so indexing newly-arrived files and unioning
+    onto the existing index table is EXACTLY equal to a full rebuild —
+    the maintenance path a 100 TB table needs on every append (pinned
+    by tests/test_sources.py::test_bloom_index_incremental_append).
+    The width is fixed per index generation: resizing means a rebuild,
+    exactly like Delta/Iceberg stats schema changes."""
+    n_words = bits // 64
+    exploded = base.distinct().select(
+        "file",
+        F.explode(F.array(*_bloom_positions(F.col("key"), bits))).alias("p"),
+    )
+    # bit_or (never +) per word: two seeds can land a key on the
+    # SAME bit, and addition would carry into a different bit,
+    # turning the membership probe into a false NEGATIVE.
+    per_word = exploded.groupBy(
+        "file", F.shiftright(F.col("p"), 6).cast("int").alias("widx")
+    ).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("p").bitwiseAND(F.lit(63)).cast("int"),
+            )
+        ).alias("word"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    wm = F.map_from_entries(F.collect_list(F.struct("widx", "word")))
+    return (
+        per_word.groupBy("file")
+        .agg(
+            wm.alias("wm"),
+            # exploded has exactly k rows per distinct key, so the
+            # per-file distinct-key count falls out of the same
+            # aggregate — no second pass over the data
+            (F.sum("n_pos") / F.lit(_BLOOM_K)).cast("long").alias("n_keys"),
+        )
+        .select(
+            "file",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("wm"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("words"),
+            "n_keys",
+        )
+        .withColumn(
+            "fill_frac",
+            F.round(
+                F.aggregate(
+                    "words",
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.bit_count(w),
+                ).cast("double")
+                / F.lit(bits),
+                4,
+            ),
+        )
+    )
+
+
+def append_file_bloom_index(
+    old_index: DataFrame, new_base: DataFrame, bits: int
+) -> DataFrame:
+    """Incremental index maintenance: index ONLY the newly-arrived
+    files and union onto the existing index table.  Per-file rows are
+    independent given a fixed width, so this equals a full rebuild
+    bit for bit while touching none of the old data."""
+    return old_index.unionByName(build_file_bloom_index(new_base, bits))
+
+
 def _file_bloom_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """Build (once) a per-FILE Bloom index over event_id for the
     Z-ordered events layout: one row per data file — a `words` array of
@@ -425,65 +502,12 @@ def _file_bloom_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]
         _zorder_events(spark, sf_dir)  # ensure layout exists
         ev = spark.read.parquet(getattr(spark, f"_layout_events_zorder_{tag}"))
         bits = _bloom_bits_for(ev.count(), len(ev.inputFiles()))
-        n_words = bits // 64
 
         base = ev.select(
             F.input_file_name().alias("file"),
             F.col("event_id").cast("long").alias("key"),
-        ).distinct()
-        exploded = base.select(
-            "file",
-            F.explode(F.array(*_bloom_positions(F.col("key"), bits))).alias("p"),
         )
-        # bit_or (never +) per word: two seeds can land a key on the
-        # SAME bit, and addition would carry into a different bit,
-        # turning the membership probe into a false NEGATIVE.
-        per_word = exploded.groupBy(
-            "file", F.shiftright(F.col("p"), 6).cast("int").alias("widx")
-        ).agg(
-            F.bit_or(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    F.col("p").bitwiseAND(F.lit(63)).cast("int"),
-                )
-            ).alias("word"),
-            F.count(F.lit(1)).alias("n_pos"),
-        )
-        wm = F.map_from_entries(F.collect_list(F.struct("widx", "word")))
-        idx = (
-            per_word.groupBy("file")
-            .agg(
-                wm.alias("wm"),
-                # exploded has exactly k rows per distinct key, so the
-                # per-file distinct-key count falls out of the same
-                # aggregate — no second pass over the data
-                (F.sum("n_pos") / F.lit(_BLOOM_K)).cast("long").alias("n_keys"),
-            )
-            .select(
-                "file",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_words - 1)),
-                    lambda i: F.coalesce(
-                        F.element_at(F.col("wm"), i.cast("int")),
-                        F.lit(0).cast("long"),
-                    ),
-                ).alias("words"),
-                "n_keys",
-            )
-            .withColumn(
-                "fill_frac",
-                F.round(
-                    F.aggregate(
-                        "words",
-                        F.lit(0).cast("long"),
-                        lambda acc, w: acc + F.bit_count(w),
-                    ).cast("double")
-                    / F.lit(bits),
-                    4,
-                ),
-            )
-        )
+        idx = build_file_bloom_index(base, bits)
         setattr(
             spark, key, (tracked_persist(idx, f"layout.bloomidx.{tag}"), bits)
         )

@@ -436,3 +436,46 @@ def test_bloom_bits_sizing():
         if m < 1 << 22:  # below the clamp the design point must hold
             fill = 1 - math.exp(-_BLOOM_K * per_file / m)
             assert fill < _BLOOM_FILL_MAX, (n_rows, n_files, m, fill)
+
+
+def test_bloom_index_incremental_append_equals_rebuild(spark):
+    """Index maintenance on APPEND: per-file Bloom rows depend only on
+    their own file's keys (and the fixed width), so indexing only the
+    newly-arrived files and unioning onto the existing index must be
+    row-for-row EQUAL to a full rebuild — the property that lets a
+    100 TB table keep its secondary index current without ever
+    re-reading old data."""
+    from conftest import SF_CORRECTNESS
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _zorder_events,
+        append_file_bloom_index,
+        build_file_bloom_index,
+    )
+
+    _zorder_events(spark, SF_CORRECTNESS)
+    tag_attr = [a for a in vars(spark).keys() if a.startswith("_layout_events_zorder_")]
+    ev = spark.read.parquet(getattr(spark, tag_attr[0]))
+    files = sorted(ev.inputFiles())
+    assert len(files) >= 4, "need a multi-file layout for the split"
+    old_files, new_files = files[: len(files) // 2], files[len(files) // 2 :]
+    bits = 1024
+
+    def base(paths):
+        return spark.read.parquet(*paths).select(
+            F.input_file_name().alias("file"),
+            F.col("event_id").cast("long").alias("key"),
+        )
+
+    def canon(df):
+        return sorted(
+            (r.file, tuple(r.words), r.n_keys, r.fill_frac)
+            for r in df.collect()
+        )
+
+    full = build_file_bloom_index(base(files), bits)
+    incremental = append_file_bloom_index(
+        build_file_bloom_index(base(old_files), bits), base(new_files), bits
+    )
+    assert canon(incremental) == canon(full)
