@@ -66,72 +66,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # mutual_nn_pairs, ab_test_chi2.
 # Round-6 rotation: r5's sole red row was an oracle-typing artifact
 # (domain_token_budget's un-cast HUGEINT sum — fixed + linted
-# registry-wide in tests/test_oracle_parity.py); it stays windowed to
-# flip red→green.  Every other r4/r5 multi-round green rotates back
-# to pytest-oracle coverage, making room for 41 oracle-backed queries
-# the driver has NEVER run: the r5 late additions (qini / markov
-# removal / log-rank / recsys eval / price-volume-mix / waterfall /
-# SQL-UDF / Holt / KS drift / EB shrinkage / trending), the lake
-# lifecycle tier (CDC compaction, mergeSchema evolution), layout +
-# skew scale paths (Bloom-index lookup, partition-pruned scan, salted
-# skew join, sized sharding), the iterative-oracle trio (k-means,
-# PageRank, dedup clusters), the never-driver-run bench headliners
-# (cross-doc spans, TF-IDF, heavy hitters, brute-force ANN, rolling
-# actives, capped balance), retrieval (BM25, RRF hybrid), and the
-# Spark-4 surfaces (Python data source, UDTF twin).  The spine that
-# stays: flagship, PCA-eta (recursive-CTE oracle), dimension/evidence/
-# rubric scoring, section split, session windows, DPP join.
+# registry-wide); 41 never-driver-run queries windowed, all green.
+# Round-7 rotation: every r6 green rotates back to pytest-oracle
+# coverage; the window is 47 of the 87 oracle-backed queries the
+# driver has never run (leaving a backlog of 40 for r8) plus a
+# 3-query spine (flagship scoring, ingest, event-time session
+# windows).  The 47 include `append_dedup_signals` — the last §2 ID
+# (S16/S19) whose covering query had only pytest-oracle evidence —
+# the full sampling/export tier (train/test split, stratified +
+# Neyman sampling, sequence packing, leakage audit), the embedding
+# infra tier (int8 quantization, dim profile, IVF multiprobe +
+# partition-pruned, RAG assembly, negative sampling), the analytics
+# tier (RFM, ABC, Gini, Benford, Wilson, price index, waterfall
+# shares), the text tier (lang-ID, fingerprints, token stats, CSV
+# keywords), and the r6 additions (item-item CF, MAD outliers,
+# quantile normalization, Arrow grouped median).
 _PRIORITY = (
     "org_air_flagship",
-    "pca_one_factor_eta",
-    "dimension_scores_table",
-    "evidence_dimension_features",
-    "rubric_dimension_scores",
-    "sem_training_rows",
-    "board_proxy_extract",
-    "tolerant_datetime_parse",
-    "unpivot_profit_metrics",
-    "source_payloads",
     "section_split_10k",
-    "udtf_section_split",
-    "cdc_apply_latest",
-    "schema_evolution_scan",
-    "sized_output_sharding",
-    "file_bloom_index_lookup",
-    "partition_pruned_scan",
-    "salted_skew_join",
-    "dynamic_partition_pruned_join",
-    "python_datasource_scan",
     "session_window_rollup",
-    "click_error_outer_rate",
-    "peak_event_rate_per_user",
-    "stream_dedup_twin",
-    "watermark_drop_audit",
-    "trending_users_decayed",
-    "rolling_active_users",
-    "capped_running_balance",
-    "ks_two_sample_drift",
-    "eb_shrunk_return_rates",
-    "qini_curve_buckets",
-    "markov_removal_attribution",
-    "logrank_conversion_test",
-    "popularity_recsys_eval",
-    "price_volume_mix_monthly",
-    "mom_waterfall_by_segment",
-    "sql_udf_banding",
-    "holt_trend_forecast",
-    "kmeans_lloyd_deterministic",
-    "pagerank_top_nodes",
-    "domain_token_budget",
-    "cross_doc_dup_spans",
-    "tfidf_top_terms",
-    "heavy_hitter_tokens",
-    "ann_topk_bruteforce",
-    "hybrid_retrieval_rrf",
-    "bm25_retrieval",
-    "exact_dedup_keep_best",
-    "dedup_clusters",
-    "multimodal_resize_rollup",
+    "append_dedup_signals",
+    "variant_metric_rollup",
+    "sketch_percentiles",
+    "k_anonymity_audit",
+    "pii_masking",
+    "benford_digit_audit",
+    "weighted_median_grouped_agg",
+    "data_quality_expectations",
+    "recursive_key_chain",
+    "lateral_top_orders",
+    "pareto_frontier_prepruned",
+    "largest_remainder_allocation",
+    "gini_concentration",
+    "leaderboard_rank_delta",
+    "rfm_segmentation",
+    "mom_revenue_growth",
+    "hierarchy_share_report",
+    "abc_classification",
+    "discount_quantity_corr",
+    "supplier_return_wilson",
+    "fulfillment_lag_quantiles",
+    "target_encoding_smoothed",
+    "neyman_stratified_sample",
+    "price_index_monthly",
+    "hierarchical_budget_allocation",
+    "item_cooccurrence_topk",
+    "mad_robust_outliers",
+    "quantile_normalize_values",
+    "grouped_median_arrow",
+    "top_keywords_csv",
+    "dedup_simhash",
+    "dedup_containment",
+    "ann_ivf_multiprobe",
+    "embedding_quantize_int8",
+    "semantic_doc_retrieval",
+    "embedding_dim_profile",
+    "negative_sample_pairs",
+    "ann_ivf_partition_pruned",
+    "rag_context_assembly",
+    "token_stats_by_source",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "train_test_split",
+    "corpus_length_histogram",
+    "stratified_sample",
+    "sequence_packing",
+    "leakage_safe_split_audit",
 )
 
 
