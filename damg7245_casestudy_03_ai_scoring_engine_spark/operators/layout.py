@@ -474,8 +474,79 @@ def append_file_bloom_index(
     """Incremental index maintenance: index ONLY the newly-arrived
     files and union onto the existing index table.  Per-file rows are
     independent given a fixed width, so this equals a full rebuild
-    bit for bit while touching none of the old data."""
+    bit for bit while touching none of the old data.
+
+    The width is a per-GENERATION invariant: appending rows built at
+    a different width would silently produce a mixed-width index
+    whose probes (which address word p//64, bit p%64 for positions
+    hashed mod the CALLER's bits) read the wrong bits in the old rows
+    — membership false negatives, i.e. wrong query results, not just
+    wasted IO.  So the append audits the existing generation's word
+    widths first (one aggregate over the file-grain index — ≈1 row
+    per data file, trivially cheap even at 100 TB) and fails loudly
+    on mismatch; resizing is an explicit rebuild, decided by
+    `bloom_rebuild_decision`."""
+    n_words = bits // 64
+    widths = old_index.agg(
+        F.min(F.size("words")).alias("lo"),
+        F.max(F.size("words")).alias("hi"),
+    ).first()
+    if widths["lo"] is not None and not (widths["lo"] == widths["hi"] == n_words):
+        raise ValueError(
+            f"bloom index width mismatch: existing generation has "
+            f"{widths['lo']}..{widths['hi']} words/row, append requested "
+            f"{n_words} ({bits} bits) — rebuild the index at the new "
+            f"width instead of appending"
+        )
     return old_index.unionByName(build_file_bloom_index(new_base, bits))
+
+
+def bloom_rebuild_decision(
+    index: DataFrame, bits: int, fill_threshold: float = _BLOOM_FILL_MAX
+) -> dict:
+    """Saturation contract for an append-maintained index generation.
+
+    `append_file_bloom_index` keeps the original width forever, so a
+    long append stream of ever-denser files drives per-file
+    `fill_frac` toward 1 and the expected false-positive rate
+    (≈ fill^k) toward 1: the index stays CORRECT (membership is a
+    superset — the residual equality filter still runs on whatever is
+    read) but silently stops skipping files.  This function is the
+    explicit rebuild trigger: one aggregate over the file-grain index
+    computing the median fill and the per-file key load, returning
+
+      {"median_fill": float, "rebuild": bool, "next_bits": int}
+
+    rebuild fires when the MEDIAN fill exceeds `fill_threshold`
+    (median, not max — one dense straggler file shouldn't force a
+    full re-index); `next_bits` re-sizes from the observed per-file
+    key counts at the standard ~10 bits/key so the rebuilt generation
+    lands back under the threshold.  At 100 TB the decision reads
+    only the index table (≈1 row per file), never the data."""
+    stats = index.agg(
+        F.expr("median(fill_frac)").alias("median_fill"),
+        F.expr(
+            "cast(percentile(n_keys, 0.5) as bigint)"
+        ).alias("median_keys"),
+        F.max("n_keys").alias("max_keys"),
+        F.count(F.lit(1)).alias("n_files"),
+    ).first()
+    median_fill = float(stats["median_fill"] or 0.0)
+    rebuild = median_fill > fill_threshold
+    next_bits = bits
+    if rebuild:
+        # size for the CURRENT generation's observed per-file load
+        next_bits = _bloom_bits_for(
+            int(stats["median_keys"] or 0) * int(stats["n_files"] or 1),
+            int(stats["n_files"] or 1),
+        )
+        while next_bits <= bits and next_bits < _BLOOM_MAX_BITS:
+            next_bits <<= 1
+    return {
+        "median_fill": median_fill,
+        "rebuild": rebuild,
+        "next_bits": next_bits,
+    }
 
 
 def _file_bloom_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:

@@ -4499,7 +4499,8 @@ directed AS (
 ),
 scored AS (
     SELECT d.item, d.partner, CAST(d.c_ab AS BIGINT) AS c_ab,
-           CAST((1000000 * n.n_orders * d.c_ab) // (i.c_i * p.c_i) AS BIGINT)
+           CAST((1000000::HUGEINT * n.n_orders * d.c_ab)
+                // (i.c_i::HUGEINT * p.c_i) AS BIGINT)
                AS lift_ppm
     FROM directed d
     CROSS JOIN n
@@ -4579,9 +4580,17 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item",
             "partner",
             F.col("c_ab").cast("bigint").alias("c_ab"),
-            F.expr("CAST((1000000 * n_orders * c_ab) div (c_i * c_p) AS BIGINT)").alias(
-                "lift_ppm"
-            ),
+            # DECIMAL(38,0) carrier for the ppm numerator/denominator:
+            # in int64, 1e6·n_orders·c_ab overflows past n≈3e6 baskets
+            # (and c_i·c_p past counts ≈3e9), where non-ANSI Spark
+            # wraps silently while DuckDB promotes to int128 — a
+            # latent cross-engine divergence.  The QUOTIENT itself is
+            # bounded by 1e6·n_orders, so the BIGINT output column is
+            # safe for any n below ~9e12 baskets.
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_orders * c_ab)"
+                " div (CAST(c_i AS DECIMAL(38,0)) * c_p) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
     w = Window.partitionBy("item").orderBy(

@@ -26,8 +26,6 @@ also a (good) signal — shrink the pin.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
@@ -133,9 +131,42 @@ def test_bnlj_only_on_allowlist(all_plans):
     assert not gone, f"BNLJ_OK entries no longer needed (shrink the pin): {sorted(gone)}"
 
 
+def _window_spec_args(s: str):
+    """Top-level argument lists of every windowspecdefinition in a
+    plan string, paren-BALANCED: order expressions may themselves
+    contain parens (`cast(x as int) ASC`), which a `[^)]*` regex
+    truncates at — silently un-flagging an unpartitioned window."""
+    token = "windowspecdefinition("
+    i = s.find(token)
+    while i != -1:
+        j = i + len(token)
+        depth, args, cur = 1, [], []
+        while j < len(s) and depth:
+            c = s[j]
+            if c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")":
+                depth -= 1
+                if depth:
+                    cur.append(c)
+            elif c == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            j += 1
+        args.append("".join(cur).strip())
+        yield args
+        i = s.find(token, j)
+
+
 def _has_unpartitioned_rank(s: str) -> bool:
-    for m in re.finditer(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", s):
-        first = m.group(1).split(",")[0].strip()
+    # partition keys precede order expressions in the spec, so a spec
+    # whose FIRST top-level argument is an order expression (has an
+    # ASC/DESC direction) has no partitioning at all
+    for args in _window_spec_args(s):
+        first = args[0] if args else ""
         if " ASC" in first or " DESC" in first:
             return True
     return False

@@ -479,3 +479,81 @@ def test_bloom_index_incremental_append_equals_rebuild(spark):
         build_file_bloom_index(base(old_files), bits), base(new_files), bits
     )
     assert canon(incremental) == canon(full)
+
+    # width is a per-generation invariant: appending at a different
+    # width would mix word-array layouts and turn probes into false
+    # NEGATIVES — it must fail loudly, not build a broken index
+    import pytest
+
+    with pytest.raises(ValueError, match="width mismatch"):
+        append_file_bloom_index(
+            build_file_bloom_index(base(old_files), bits),
+            base(new_files),
+            bits * 2,
+        )
+
+
+def test_bloom_saturation_supersets_and_rebuild_trigger(spark):
+    """The append-maintenance saturation contract: (a) a SATURATED
+    index still answers membership with a correct superset — every
+    file that truly contains the probe key is selected (Bloom can
+    only add false positives, never drop a file), so results stay
+    right while IO degrades; (b) `bloom_rebuild_decision` fires on a
+    synthetic append stream once the median fill crosses the
+    threshold, proposing a wider generation sized from the observed
+    per-file key load."""
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _BLOOM_K,
+        _bloom_positions,
+        append_file_bloom_index,
+        bloom_member,
+        bloom_rebuild_decision,
+        build_file_bloom_index,
+    )
+
+    bits = 1024  # deliberately undersized so the stream saturates
+
+    def batch(file_id: int, n_keys: int):
+        # synthetic append batch: one new file, keys disjoint per file
+        return (
+            spark.range(n_keys)
+            .select(
+                F.lit(f"file_{file_id:03d}").alias("file"),
+                (F.col("id") + file_id * 1_000_000).cast("long").alias("key"),
+            )
+        )
+
+    # generation starts healthy: 2 sparse files (~30 keys ≈ 12% fill)
+    idx = build_file_bloom_index(
+        batch(0, 30).unionByName(batch(1, 30)), bits
+    )
+    d0 = bloom_rebuild_decision(idx, bits)
+    assert not d0["rebuild"] and d0["next_bits"] == bits
+
+    # append stream of dense files (500 keys each → expected fill
+    # 1−exp(−4·500/1024) ≈ 0.86) until the MEDIAN crosses 0.5
+    for i in range(2, 8):
+        idx = append_file_bloom_index(idx, batch(i, 500), bits)
+    d1 = bloom_rebuild_decision(idx, bits)
+    assert d1["rebuild"], f"median fill {d1['median_fill']} did not trigger"
+    assert d1["median_fill"] > 0.5
+    assert d1["next_bits"] > bits  # proposed generation is wider
+
+    # correctness under saturation: probe a key KNOWN to live in a
+    # dense (saturated) file — the selected set must contain that file
+    probe_key = 5 * 1_000_000 + 123  # lives in file_005
+    probe = (
+        spark.range(1)
+        .select(*[
+            p.alias(f"p{j}")
+            for j, p in enumerate(
+                _bloom_positions(F.lit(probe_key).cast("long"), bits)
+            )
+        ])
+        .first()
+    )
+    pos = [probe[f"p{j}"] for j in range(_BLOOM_K)]
+    hit = {r["file"] for r in idx.filter(bloom_member(pos)).collect()}
+    assert "file_005" in hit, "saturated index dropped a true file"

@@ -269,16 +269,21 @@ def probe(spark, names, per_query_timeout=600):
             points.append(("sf1i", SF1I))
         for tag, sf_dir in points:
             try:
+                # one UNTIMED warm-up first: materializes cached
+                # silvers and JIT state so neither timed rep carries
+                # the cold setup cost (the steady state bench.py
+                # reports)
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 df = spec.fn(spark, sf_dir)
                 t0 = time.monotonic()
                 rec[tag + "_rows"] = df.count()
-                warm = time.monotonic() - t0
-                # one warm rep (cached silvers materialized) — the
-                # steady state the bench reports
+                rep1 = time.monotonic() - t0
                 df2 = spec.fn(spark, sf_dir)
                 t0 = time.monotonic()
                 df2.write.format("noop").mode("overwrite").save()
-                rec[tag] = round(min(warm, time.monotonic() - t0), 3)
+                rec[tag] = round(min(rep1, time.monotonic() - t0), 3)
                 rec[tag + "_joins"] = join_mix(df2)
             except Exception as exc:  # noqa: BLE001
                 rec[tag] = None
@@ -299,8 +304,48 @@ def probe(spark, names, per_query_timeout=600):
     return rows
 
 
+def derived_findings(rows) -> list[str]:
+    """Auto-derived summary computed from THIS run's measurements —
+    regenerating the probe regenerates these lines, so they can never
+    contradict the table (the narrative below is a dated manual
+    annotation and says so)."""
+    ratios = sorted(
+        ((r["query"], r["ratio_sf1"]) for r in rows if r.get("ratio_sf1")),
+        key=lambda t: t[1],
+    )
+    flat = [f"`{q}` {x}×" for q, x in ratios if x <= 2.0]
+    linear = [f"`{q}` {x}×" for q, x in ratios if 2.0 < x <= 12.0]
+    hot = [f"`{q}` {x}×" for q, x in ratios if x > 12.0]
+    drift = [
+        f"`{r['query']}` {r['sf0.1_joins']} → {r['sf1_joins']}"
+        for r in rows
+        if r.get("sf0.1_joins")
+        and r.get("sf1_joins")
+        and r["sf0.1_joins"] != r["sf1_joins"]
+    ]
+    out = ["## Measured summary (auto-derived from this run)", ""]
+    if flat:
+        out.append(f"- ≤2× at 10× data (structure-dominated): {', '.join(flat)}.")
+    if linear:
+        out.append(f"- 2–12× (at/under data-linear): {', '.join(linear)}.")
+    if hot:
+        out.append(
+            f"- >12× (check the rows column — output-bound vs plan decay): "
+            f"{', '.join(hot)}."
+        )
+    out.append(
+        f"- Join-strategy drift sf0.1→sf1: "
+        f"{'; '.join(drift) if drift else 'none'}."
+    )
+    return out
+
+
 FINDINGS = """
-## Findings (r6 probe)
+## Findings (manual annotation — r6 probe, 2026-08-14)
+
+These paragraphs were written against the r6 measurement and are NOT
+regenerated with the table; after re-running the probe, check them
+against the auto-derived summary above and re-date any edit.
 
 - **No plan decays.**  Every relational/event/text query lands at
   0.8–3.6× wall for 10× data — sub-linear because sf0.1 stages are too
@@ -353,8 +398,9 @@ def write_md(rows) -> None:
         "Generated by `python tools/scale_probe.py`.  sf1 = 10 disjoint-key",
         "replicas of every sf0.1 fact table (6M lineitem / 1M events / 50k",
         "near-duplicate documents / 20k embeddings), multi-file parquet so",
-        "scans split.  Wall times are the best of two warm runs (cached",
-        "silver steady state, matching bench.py semantics).  On fixed",
+        "scans split.  Wall times are the best of two timed runs after",
+        "one untimed warm-up (cached-silver steady state, matching",
+        "bench.py semantics).  On fixed",
         "cores, ideal data-linear scaling is ratio ≈ 10×; below 10× means",
         "the sf0.1 run under-used the machine (fixed overheads, short",
         "stages); materially above ~15× flags superlinear work or a plan",
@@ -389,7 +435,7 @@ def write_md(rows) -> None:
     if errs:
         out += ["", "## Errors", ""]
         out += [f"- `{q}` at {k[:-4]}: {v}" for q, k, v in errs]
-    out += ["", FINDINGS.strip(), ""]
+    out += ["", *derived_findings(rows), "", FINDINGS.strip(), ""]
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"wrote SCALE.md ({len(rows)} queries)", flush=True)
