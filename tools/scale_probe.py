@@ -42,6 +42,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale", "sf1")
 SF1I = os.path.join(REPO, ".scale", "sf1i")
+SF10 = os.path.join(REPO, ".scale", "sf10")
 REPLICAS = 10
 # Key strides larger than any sf0.1 key so replica key spaces are
 # provably disjoint (max orderkey at sf0.1 is 600k).
@@ -68,7 +69,8 @@ DEFAULT_QUERIES = [
     "heavy_hitter_tokens",       # sketch-then-verify
     "text_quality_scores",
     "ann_ivf_topk",              # cell-blocked ANN
-    "lsh_cosine_pairs",          # hyperplane LSH
+    "lsh_cosine_pairs",          # hyperplane LSH (exhaustive listing)
+    "lsh_pairs_topk",            # k-bounded LSH shortlist (bench headliner)
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -90,18 +92,22 @@ JOIN_OPS = (
 )
 
 
-def build_sf1(spark) -> None:
-    """Derive .scale/sf1 from sf0.1 (10 disjoint-key replicas)."""
+def _replicate(spark, out_dir: str, replicas: int, parts: int = 32) -> None:
+    """Derive a scaled twin of sf0.1: `replicas` disjoint-key copies
+    of every fact table (referential integrity preserved via the key
+    stride), region/nation fixed, multi-file parquet so scans split.
+    Factored out of build_sf1 so the second-decade sf10 (= 100×) twin
+    reuses the identical derivation."""
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1, exist_ok=True)
-    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    os.makedirs(out_dir, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
 
-    def write(df, name, parts=32):
+    def write(df, name, parts=parts):
         (df.repartition(parts)
            .write.mode("overwrite")
-           .parquet(os.path.join(SF1, name + ".parquet")))
-        print(f"  built {name}: {df.count()} rows", flush=True)
+           .parquet(os.path.join(out_dir, name + ".parquet")))
+        print(f"  built {os.path.basename(out_dir)}/{name}: {df.count()} rows", flush=True)
 
     def rd(name):
         return spark.read.parquet(f"{SF01}/{name}.parquet")
@@ -176,6 +182,24 @@ def build_sf1(spark) -> None:
         ),
         "embeddings",
     )
+
+
+def build_sf1(spark) -> None:
+    """Derive .scale/sf1 (10×) plus its sf1i rate-preserving twin."""
+    from pyspark.sql import functions as F
+
+    _replicate(spark, SF1, REPLICAS)
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+
+    def rd(name):
+        return spark.read.parquet(f"{SF01}/{name}.parquet")
+
+    def off(col):
+        return (F.col(col) + F.col("rep").cast("long") * STRIDE).alias(col)
+
+    d = rd("documents").select("*", rep)
+    e = rd("embeddings").select("*", rep)
 
     # ---- sf1i: duplication-RATE-preserving variant -------------------
     # sf1's near-duplicate families are the worst case for dedup/LSH —
@@ -253,21 +277,38 @@ CORPUS_QUERIES = {
     "text_quality_scores",
     "ann_ivf_topk",
     "lsh_cosine_pairs",
+    "lsh_pairs_topk",
 }
 
+# Iterative tier for the second-decade (sf10 = 100×) probe: families
+# whose 100 TB claim is "per-round work grows with data but round
+# count does not" — exactly what another decade stresses.
+ITERATIVE_QUERIES = [
+    "pagerank_top_nodes",
+    "dedup_clusters",
+    "kmeans_lloyd_deterministic",
+    "bfs_hop_distance",
+    "cheapest_path_bellman_ford",
+    "item_cooccurrence_topk",
+]
 
-def probe(spark, names, per_query_timeout=600):
+
+def probe(spark, names, points=None, with_jobs=False):
     from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
     from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
 
+    sc = spark.sparkContext
     rows = []
     for name in names:
         spec = REGISTRY[name]
         rec = {"query": name}
-        points = [("sf0.1", SF01), ("sf1", SF1)]
-        if name in CORPUS_QUERIES and os.path.isdir(SF1I):
-            points.append(("sf1i", SF1I))
-        for tag, sf_dir in points:
+        if points is None:
+            qpoints = [("sf0.1", SF01), ("sf1", SF1)]
+            if name in CORPUS_QUERIES and os.path.isdir(SF1I):
+                qpoints.append(("sf1i", SF1I))
+        else:
+            qpoints = list(points)
+        for tag, sf_dir in qpoints:
             try:
                 # one UNTIMED warm-up first: materializes cached
                 # silvers and JIT state so neither timed rep carries
@@ -280,28 +321,84 @@ def probe(spark, names, per_query_timeout=600):
                 t0 = time.monotonic()
                 rec[tag + "_rows"] = df.count()
                 rep1 = time.monotonic() - t0
+                group = f"probe|{name}|{tag}"
+                if with_jobs:
+                    # steady-state Spark JOB count: iterative operators
+                    # run their convergence loop during DataFrame
+                    # construction, so grouping the whole rep captures
+                    # one job per round (+ the final action's jobs) —
+                    # the round-count-invariance signal the plan can't
+                    # show
+                    sc.setJobGroup(group, name)
                 df2 = spec.fn(spark, sf_dir)
                 t0 = time.monotonic()
                 df2.write.format("noop").mode("overwrite").save()
                 rec[tag] = round(min(rep1, time.monotonic() - t0), 3)
+                if with_jobs:
+                    rec[tag + "_jobs"] = len(
+                        sc.statusTracker().getJobIdsForGroup(group)
+                    )
+                    sc.setJobGroup("probe|idle", "idle")
                 rec[tag + "_joins"] = join_mix(df2)
             except Exception as exc:  # noqa: BLE001
                 rec[tag] = None
                 rec[tag + "_err"] = str(exc)[:120]
             finally:
                 release_all()
-        for big in ("sf1", "sf1i"):
+        for big in ("sf1", "sf1i", "sf10"):
             if rec.get("sf0.1") and rec.get(big):
                 rec[f"ratio_{big}"] = round(rec[big] / rec["sf0.1"], 1)
         rows.append(rec)
-        print(
-            f"  {name}: sf0.1={rec.get('sf0.1')}s sf1={rec.get('sf1')}s "
-            f"(x{rec.get('ratio_sf1')}, rows {rec.get('sf0.1_rows')}->"
-            f"{rec.get('sf1_rows')}) sf1i={rec.get('sf1i')}s "
-            f"(x{rec.get('ratio_sf1i')})",
-            flush=True,
-        )
+        parts = [f"  {name}:"]
+        for tag, _ in qpoints:
+            parts.append(
+                f"{tag}={rec.get(tag)}s (x{rec.get('ratio_' + tag, '—')}, "
+                f"rows {rec.get(tag + '_rows')}"
+                + (f", jobs {rec.get(tag + '_jobs')}" if with_jobs else "")
+                + ")"
+            )
+        print(" ".join(parts), flush=True)
     return rows
+
+
+_ANN_RECALL_QUERIES = ("ann_ivf_topk", "ann_ivf_multiprobe", "ann_pq_adc_topk")
+_ANN_RECALL_FLOOR = 0.6
+
+
+def ann_recall(spark):
+    """Recall@k of every approximate ANN query vs the brute-force
+    truth at sf1 (20k vectors — big enough for a real recall signal,
+    cheap enough to brute-force).  Wall-ratio tables can't see a
+    coarse quantizer silently decaying: a probe that reads FEWER
+    cells gets FASTER as recall collapses.  Floor pinned at
+    _ANN_RECALL_FLOOR; the probe exits nonzero below it."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+    truth: dict[int, set[int]] = {}
+    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF1).collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    release_all()
+    out = []
+    for name in _ANN_RECALL_QUERIES:
+        got: dict[int, set[int]] = {}
+        for r in REGISTRY[name].fn(spark, SF1).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        release_all()
+        per_q = [
+            len(t & got.get(q, set())) / len(t) for q, t in truth.items()
+        ]
+        rec = round(sum(per_q) / len(per_q), 3)
+        out.append(
+            {
+                "query": name,
+                "recall": rec,
+                "worst_query": round(min(per_q), 3),
+                "floor_ok": rec >= _ANN_RECALL_FLOOR,
+            }
+        )
+        print(f"  recall@k sf1 {name}: mean={rec} worst={min(per_q):.3f}", flush=True)
+    return out
 
 
 def derived_findings(rows) -> list[str]:
@@ -391,7 +488,57 @@ against the auto-derived summary above and re-date any edit.
 """
 
 
-def write_md(rows) -> None:
+def _render_sf10(sf10_rows) -> list[str]:
+    out = [
+        "",
+        "## Iterative tier at sf10 (100× data, same 32 cores)",
+        "",
+        "Second-decade stress for the families whose 100 TB claim is",
+        "*per-round work grows with data but round count does not*: wall",
+        "plus the steady-state Spark JOB count (one job per convergence",
+        "round + the final action's jobs — the round-count-invariance",
+        "signal a plan string can't show).  jobs@sf0.1 ≈ jobs@sf10 means",
+        "the loop converged in the same number of rounds at 100× data;",
+        "wall ratios below ~100× mean the per-round work still hasn't",
+        "saturated the machine.",
+        "",
+        "| Query | sf0.1 (s) | sf10 (s) | ratio | jobs sf0.1 | jobs sf10 | rows sf0.1→sf10 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in sf10_rows:
+        out.append(
+            f"| `{r['query']}` | {r.get('sf0.1', '—')} | {r.get('sf10', '—')} "
+            f"| {r.get('ratio_sf10', '—')}× | {r.get('sf0.1_jobs', '—')} "
+            f"| {r.get('sf10_jobs', '—')} "
+            f"| {r.get('sf0.1_rows', '—')}→{r.get('sf10_rows', '—')} |"
+        )
+    return out
+
+
+def _render_recall(recall_rows) -> list[str]:
+    out = [
+        "",
+        "## ANN recall@k at sf1 (vs brute force, 20k vectors)",
+        "",
+        "Mean recall@k (k = 5, the registered TOP_K) over the query set",
+        "against `ann_topk_bruteforce` ground truth; floor pinned at",
+        f"{_ANN_RECALL_FLOOR} (the probe exits",
+        "nonzero below it).  Wall-ratio tables cannot see a coarse",
+        "quantizer decaying — a probe that reads fewer cells gets FASTER",
+        "as recall collapses — so recall is measured, not argued.",
+        "",
+        "| Query | mean recall | worst query | ≥ floor |",
+        "|---|---|---|---|",
+    ]
+    for r in recall_rows:
+        out.append(
+            f"| `{r['query']}` | {r['recall']} | {r['worst_query']} "
+            f"| {'✓' if r['floor_ok'] else '✗ BELOW FLOOR'} |"
+        )
+    return out
+
+
+def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
     out = [
         "# SCALE.md — 10× scale-up probe (sf0.1 → sf1, same 32 cores)",
         "",
@@ -435,6 +582,26 @@ def write_md(rows) -> None:
     if errs:
         out += ["", "## Errors", ""]
         out += [f"- `{q}` at {k[:-4]}: {v}" for q, k, v in errs]
+    # sf10/recall sections survive partial re-runs: results are cached
+    # under .scale/ and re-rendered when the current invocation didn't
+    # measure them, so regenerating the main table never silently
+    # drops the other sections.
+    for key, data in (("sf10_results", sf10_rows), ("recall_results", recall_rows)):
+        cache = os.path.join(REPO, ".scale", key + ".json")
+        if data is not None:
+            with open(cache, "w") as fh:
+                json.dump(data, fh)
+        elif os.path.exists(cache):
+            with open(cache) as fh:
+                data = json.load(fh)
+            if key == "sf10_results":
+                sf10_rows = data
+            else:
+                recall_rows = data
+    if sf10_rows:
+        out += _render_sf10(sf10_rows)
+    if recall_rows:
+        out += _render_recall(recall_rows)
     out += ["", *derived_findings(rows), "", FINDINGS.strip(), ""]
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(out))
@@ -445,6 +612,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true", help="(re)generate .scale/sf1")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="also probe the iterative tier at sf10 (100×) with job counts",
+    )
+    ap.add_argument(
+        "--recall",
+        action="store_true",
+        help="also measure ANN recall@k vs brute force at sf1",
+    )
     args = ap.parse_args()
 
     from damg7245_casestudy_03_ai_scoring_engine_spark.session import get_spark
@@ -455,14 +632,32 @@ def main() -> int:
     if args.build or not os.path.isdir(SF1) or not os.path.isdir(SF1I):
         print("building sf1 ...", flush=True)
         build_sf1(spark)
-        if args.build and args.queries is None:
-            return 0
+    if args.sf10 and not os.path.isdir(SF10):
+        print("building sf10 (100 replicas) ...", flush=True)
+        _replicate(spark, SF10, 100, parts=64)
+    if args.build and args.queries is None and not (args.sf10 or args.recall):
+        return 0
 
     names = args.queries or DEFAULT_QUERIES
     rows = probe(spark, names)
-    write_md(rows)
-    print(json.dumps({"probe": rows}, default=str))
-    return 0
+    sf10_rows = None
+    if args.sf10:
+        print("probing iterative tier at sf10 ...", flush=True)
+        sf10_rows = probe(
+            spark,
+            ITERATIVE_QUERIES,
+            points=[("sf0.1", SF01), ("sf10", SF10)],
+            with_jobs=True,
+        )
+    recall_rows = None
+    if args.recall:
+        print("measuring ANN recall at sf1 ...", flush=True)
+        recall_rows = ann_recall(spark)
+    write_md(rows, sf10_rows, recall_rows)
+    print(json.dumps(
+        {"probe": rows, "sf10": sf10_rows, "recall": recall_rows}, default=str
+    ))
+    return 1 if recall_rows and not all(r["floor_ok"] for r in recall_rows) else 0
 
 
 if __name__ == "__main__":
