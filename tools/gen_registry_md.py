@@ -7,6 +7,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY  # noqa: E402
 
+# Cumulative-driver-audit classifications: queries whose historical
+# CORRECTNESS_r{N}.json rows can't read green in a naive sweep, with
+# the reason — so an auditor never mistakes them for failures.
+AUDIT_NOTES = {
+    "approx_distinct": (
+        "rows-only BY NATURE (HLL estimate has no deterministic SQL twin); "
+        "its r1 driver row is a `no_oracle` rows-only check and can never "
+        "carry a value-hash — pytest pins the estimate against exact "
+        "distinct within HLL error bounds"
+    ),
+    "pandas_api_bridge": (
+        "driver-run in r2 BEFORE its DuckDB oracle landed, so its only "
+        "driver row is a historical `no_oracle` check; fully oracle-backed "
+        "and pytest-green since — rotate into a future driver window to "
+        "retire this note"
+    ),
+}
+
 lines = [
     "# Query Registry Index",
     "",
@@ -15,6 +33,10 @@ lines = [
     f"\n{len(REGISTRY)} queries; 'oracle' = DuckDB twin checked by the driver gate, "
     "'rows-only' = non-SQL-expressible (iterative / sketch / UDTF / MLlib), "
     "cross-checked in pytest instead.",
+    "",
+    "Cumulative-driver-audit notes (why a naive sweep over all "
+    "`CORRECTNESS_r*.json` shows these as never hash-green):",
+    *[f"- `{k}`: {v}" for k, v in sorted(AUDIT_NOTES.items())],
     "",
     "| Query | Check | SURVEY §2 / role | Summary |",
     "|---|---|---|---|",
