@@ -659,3 +659,75 @@ def file_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") == _LOOKUP_EVENT_ID)
         .select(*out_cols)
     )
+
+
+# --- compaction planning (lakehouse OPTIMIZE, metadata-only) ---------------
+
+_COMPACT_TARGET_ROWS = 100_000
+
+
+@register(
+    "compaction_plan_bins",
+    survey="S15,S21 (extension: metadata-only compaction planner)",
+    oracle=f"""
+WITH stats AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+),
+packed AS (
+    SELECT ship_month, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((sum(n_rows) OVER (ORDER BY ship_month
+                                   ROWS UNBOUNDED PRECEDING) - n_rows)
+                // {_COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+    FROM stats
+)
+SELECT ship_month, n_rows, bin_id,
+       CAST(sum(n_rows) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_rows,
+       CAST(count(*) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_files
+FROM packed
+""",
+)
+def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse OPTIMIZE planning: pack small adjacent month
+    partitions into compaction bins by a cumulative row budget —
+    `bin_id = floor(running_rows_before / target)` over the
+    partition-key order, so each bin holds ~target rows of
+    partition-adjacent data (rewrites stay partition-local and
+    clustering survives the compaction, the same policy Delta's
+    OPTIMIZE and Iceberg's binpack rewrite use).
+
+    The PLAN is the output — (partition, bin, bin totals) — not the
+    rewrite: at 100 TB this query reads table METADATA grain (one row
+    per partition/file, ~10⁶ rows for a million-file table — the
+    same tiny-by-construction grain as the Bloom index), never the
+    data.  Here the per-month stats are derived from the table itself
+    so the DuckDB oracle can verify the packing arithmetic
+    end-to-end.  The cumulative window is unpartitioned BY DESIGN over
+    that bounded metadata grain (allowlisted in the plan lint with
+    the sweep-line day-carry); the per-bin totals ride a partitioned
+    window.  Reference analog: artifact sink sizing
+    (run_scoring_engine.py sized batches) — the maintenance half of
+    S21's sized-output story."""
+    from pyspark.sql import Window
+
+    stats = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    w = Window.orderBy("ship_month").rowsBetween(Window.unboundedPreceding, 0)
+    packed = stats.withColumn(
+        "sum_before",
+        (F.sum("n_rows").over(w) - F.col("n_rows")).cast("bigint"),
+    ).withColumn(
+        "bin_id",
+        F.expr(f"sum_before div {_COMPACT_TARGET_ROWS}").cast("bigint"),
+    )
+    wb = Window.partitionBy("bin_id")
+    return packed.select(
+        "ship_month",
+        "n_rows",
+        "bin_id",
+        F.sum("n_rows").over(wb).cast("bigint").alias("bin_rows"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("bin_files"),
+    )

@@ -148,3 +148,37 @@ def test_streaming_incremental_equals_batch(spark, tmp_path):
     run_incremental_scoring(spark, SF_SMOKE, gold, ckpt)
     again = _by_company(score_from_partials(spark, SF_SMOKE, gold).collect())
     assert again == got
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """The r7 rollup-maintenance operator: merging the persisted base
+    aggregate with the delta batch's partial aggregate must equal a
+    full recompute over all events EXACTLY (integer columns — no
+    tolerance), for any cutoff placement including group sets unique
+    to one side."""
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    merged = {
+        (r.user_id, r.event_type): (r.n_events, r.value_cents, r.hwm_event_id)
+        for r in REGISTRY["incremental_agg_merge"].fn(spark, SF_SMOKE).collect()
+    }
+    full = {
+        (r.user_id, r.event_type): (r.n_events, r.value_cents, r.hwm_event_id)
+        for r in (
+            load(spark, SF_SMOKE, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+                F.max("event_id").alias("hwm_event_id"),
+            )
+            .collect()
+        )
+    }
+    assert merged == full

@@ -82,6 +82,10 @@ UNPARTITIONED_RANK_OK = {
     "auc_value_score",
     "bigram_collocations",
     "bm25_retrieval",
+    # metadata-grain cumulative packing: one row per partition/file
+    # (~10^6 rows even for a million-file table) — bounded tiny by
+    # construction, like the sweep-line day-carry
+    "compaction_plan_bins",
     "curation_decision_gate",
     "dhondt_apportionment",
     "heavy_hitter_tokens",

@@ -225,12 +225,18 @@ def test_rolling_window_single_hash_exchange(spark):
 def test_lsh_planes_build_is_join_free(spark):
     """The hyperplane constant table derives (p, i) from one range —
     no nested-loop/cartesian node anywhere; the candidate join is an
-    equi-join on (band, code)."""
-    df = _plan(spark, "lsh_cosine_pairs")
-    s = explain_str(df)
-    assert "CartesianProduct" not in s
-    assert "BroadcastNestedLoopJoin" not in s
-    assert "band" in s
+    equi-join on (band, code).  Pinned for both the exhaustive
+    listing and the k-bounded bench headliner, whose ranking window
+    must also be PARTITIONED (per item — no global sort)."""
+    for name in ("lsh_cosine_pairs", "lsh_pairs_topk"):
+        df = _plan(spark, name)
+        s = explain_str(df)
+        assert "CartesianProduct" not in s, name
+        assert "BroadcastNestedLoopJoin" not in s, name
+        assert "band" in s, name
+    assert "windowspecdefinition(item" in explain_str(
+        _plan(spark, "lsh_pairs_topk")
+    )
 
 
 def test_stratified_sample_broadcasts_rates(spark):

@@ -40,6 +40,29 @@ def test_lsh_pairs_subset_of_exact_near_dups(spark):
     assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
 
 
+def test_lsh_pairs_topk_k_bounded_and_exact_verified(spark):
+    """The k-bounded shortlist twin: output must be ≤ k rows per item
+    with dense ranks (the linear-in-n bound is the whole point), and
+    every listed pair must be a TRUE exact near-dup pair (precision
+    1.0 — LSH only generates candidates, the exact cosine verifies)."""
+    rows = REGISTRY["lsh_pairs_topk"].fn(spark, SF_SMOKE).collect()
+    assert rows, "shortlist empty at fixture scale"
+    per_item: dict[int, list] = {}
+    for r in rows:
+        per_item.setdefault(r.item, []).append(r)
+    for item, v in per_item.items():
+        assert len(v) <= 5, (item, len(v))
+        assert sorted(x.rk for x in v) == list(range(1, len(v) + 1))
+        cosines = [x.cosine for x in sorted(v, key=lambda x: x.rk)]
+        assert cosines == sorted(cosines, reverse=True)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["embedding_near_dup"].fn(spark, SF_SMOKE).collect()
+    }
+    got = {(min(r.item, r.partner), max(r.item, r.partner)) for r in rows}
+    assert got <= exact
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Probing 2 centroids can only add candidates: multi-probe
     recall vs the brute-force top-k must be >= single-probe recall."""

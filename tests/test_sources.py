@@ -557,3 +557,45 @@ def test_bloom_saturation_supersets_and_rebuild_trigger(spark):
     pos = [probe[f"p{j}"] for j in range(_BLOOM_K)]
     hit = {r["file"] for r in idx.filter(bloom_member(pos)).collect()}
     assert "file_005" in hit, "saturated index dropped a true file"
+
+
+def test_compaction_plan_bins_invariants(spark):
+    """The metadata-only compaction planner: bins must (a) conserve
+    the total row count, (b) be CONTIGUOUS in partition-key order
+    (rewrites stay partition-local so clustering survives), and
+    (c) every bin except possibly the last closes at ≥ the target —
+    the packing can't leave two adjacent underfull bins."""
+    from conftest import SF_CORRECTNESS
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _COMPACT_TARGET_ROWS,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    rows = sorted(
+        REGISTRY["compaction_plan_bins"].fn(spark, SF_CORRECTNESS).collect(),
+        key=lambda r: r.ship_month,
+    )
+    assert rows
+    total = load(spark, SF_CORRECTNESS, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    # contiguity: bin ids are non-decreasing along partition order
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+    # each bin's reported totals are internally consistent
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for b, members in by_bin.items():
+        want = sum(m.n_rows for m in members)
+        assert all(m.bin_rows == want for m in members), b
+        assert all(m.bin_files == len(members) for m in members), b
+    # closure: bin assignment is exactly the cumulative-packing
+    # formula — a bin only closes once the running total crossed the
+    # target, so no two adjacent bins can both be underfull
+    cum = 0
+    for r in rows:
+        assert r.bin_id == cum // _COMPACT_TARGET_ROWS
+        cum += r.n_rows
+    assert max(by_bin) == (cum - rows[-1].n_rows) // _COMPACT_TARGET_ROWS

@@ -48,6 +48,16 @@ for name in sorted(REGISTRY):
     survey = (s.survey or "").replace("|", "/")
     lines.append(f"| `{name}` | {check} | {survey} | {doc} |")
 
+lines += [
+    "",
+    "Lakehouse-maintenance surface (beyond the query registry): "
+    "`append_file_bloom_index` (incremental secondary-index append, pinned "
+    "== full rebuild, loud width-mismatch guard) and `bloom_rebuild_decision` "
+    "(median-fill saturation trigger proposing a re-sized generation) in "
+    "operators/layout.py, exercised by tests/test_sources.py; the registered "
+    "`compaction_plan_bins` covers the OPTIMIZE-planning half.",
+]
+
 out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "REGISTRY.md")
 with open(out, "w") as f:
     f.write("\n".join(lines) + "\n")

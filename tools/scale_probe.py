@@ -92,12 +92,25 @@ JOIN_OPS = (
 )
 
 
-def _replicate(spark, out_dir: str, replicas: int, parts: int = 32) -> None:
+def _replicate(
+    spark, out_dir: str, replicas: int, parts: int = 32,
+    tagged_docs: bool = False,
+) -> None:
     """Derive a scaled twin of sf0.1: `replicas` disjoint-key copies
     of every fact table (referential integrity preserved via the key
     stride), region/nation fixed, multi-file parquet so scans split.
     Factored out of build_sf1 so the second-decade sf10 (= 100×) twin
-    reuses the identical derivation."""
+    reuses the identical derivation.
+
+    tagged_docs=True writes the RATE-PRESERVING document corpus
+    (every token tagged with its replica id, the sf1i scheme) instead
+    of near-duplicate families.  sf10 uses it: at 100 replicas the
+    near-dup corpus makes any jaccard-pair stage Θ(replicas²·families)
+    ≈ 25M array-pair rows — an OUTPUT-volume worst case that OOMs an
+    8 g driver and measures nothing about iteration structure (the
+    sf1-vs-sf1i pair already covers the output-volume axis at 10×).
+    The iterative tier's sf10 question is round-count invariance, and
+    the constant-duplication-rate corpus is the honest input for it."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -152,20 +165,41 @@ def _replicate(spark, out_dir: str, replicas: int, parts: int = 32) -> None:
         "events",
     )
 
-    # Documents: disjoint doc_ids; text gets a replica suffix token so
-    # each original doc becomes a 10-member near-duplicate family.
     d = rd("documents").select("*", rep)
-    suffix = F.concat(F.lit(" replicatoken"), F.col("rep").cast("string"))
-    write(
-        d.select(
-            off("doc_id"),
-            F.concat(F.col("text"), suffix).alias("text"),
-            "lang",
-            "source",
-            (F.col("n_chars") + F.length(suffix)).alias("n_chars"),
-        ),
-        "documents",
-    )
+    if tagged_docs:
+        # rate-preserving corpus: every token tagged with its replica
+        # id, so cross-replica similarity breaks and the duplication
+        # RATE matches sf0.1 (the sf1i scheme)
+        rtag = F.concat(F.lit("r"), F.col("rep").cast("string"))
+        ttext = F.array_join(
+            F.transform(F.split(F.col("text"), " "), lambda w: F.concat(rtag, w)),
+            " ",
+        )
+        write(
+            d.select(
+                off("doc_id"),
+                ttext.alias("text"),
+                "lang",
+                "source",
+                F.length(ttext).cast(d.schema["n_chars"].dataType).alias("n_chars"),
+            ),
+            "documents",
+        )
+    else:
+        # near-duplicate families: disjoint doc_ids; text gets a
+        # replica suffix token so each original doc becomes a
+        # `replicas`-member near-duplicate family (dedup worst case).
+        suffix = F.concat(F.lit(" replicatoken"), F.col("rep").cast("string"))
+        write(
+            d.select(
+                off("doc_id"),
+                F.concat(F.col("text"), suffix).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.length(suffix)).alias("n_chars"),
+            ),
+            "documents",
+        )
 
     # Embeddings: disjoint vec_ids; vectors perturbed by a tiny
     # deterministic per-replica delta so ANN candidates aren't exact
@@ -583,21 +617,13 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
         out += ["", "## Errors", ""]
         out += [f"- `{q}` at {k[:-4]}: {v}" for q, k, v in errs]
     # sf10/recall sections survive partial re-runs: results are cached
-    # under .scale/ and re-rendered when the current invocation didn't
-    # measure them, so regenerating the main table never silently
-    # drops the other sections.
-    for key, data in (("sf10_results", sf10_rows), ("recall_results", recall_rows)):
-        cache = os.path.join(REPO, ".scale", key + ".json")
-        if data is not None:
-            with open(cache, "w") as fh:
-                json.dump(data, fh)
-        elif os.path.exists(cache):
-            with open(cache) as fh:
-                data = json.load(fh)
-            if key == "sf10_results":
-                sf10_rows = data
-            else:
-                recall_rows = data
+    # under .scale/ (saved phase-by-phase in main()) and re-rendered
+    # when the current invocation didn't measure them, so regenerating
+    # the main table never silently drops the other sections.
+    if sf10_rows is None:
+        sf10_rows = _cache_load("sf10_results")
+    if recall_rows is None:
+        recall_rows = _cache_load("recall_results")
     if sf10_rows:
         out += _render_sf10(sf10_rows)
     if recall_rows:
@@ -606,6 +632,23 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"wrote SCALE.md ({len(rows)} queries)", flush=True)
+
+
+def _cache_path(key: str) -> str:
+    return os.path.join(REPO, ".scale", key + ".json")
+
+
+def _cache_save(key: str, data) -> None:
+    os.makedirs(os.path.join(REPO, ".scale"), exist_ok=True)
+    with open(_cache_path(key), "w") as fh:
+        json.dump(data, fh)
+
+
+def _cache_load(key: str):
+    if os.path.exists(_cache_path(key)):
+        with open(_cache_path(key)) as fh:
+            return json.load(fh)
+    return None
 
 
 def main() -> int:
@@ -624,6 +667,11 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # The probe runs text/graph workloads at up to 100× sf0.1 in ONE
+    # local JVM — the default 8 g driver heap OOMs there (learned the
+    # hard way on the first sf10 run); the box has 128 GiB.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+
     from damg7245_casestudy_03_ai_scoring_engine_spark.session import get_spark
 
     spark = get_spark("scale-probe", cpus=32, shuffle_partitions=64)
@@ -633,13 +681,23 @@ def main() -> int:
         print("building sf1 ...", flush=True)
         build_sf1(spark)
     if args.sf10 and not os.path.isdir(SF10):
-        print("building sf10 (100 replicas) ...", flush=True)
-        _replicate(spark, SF10, 100, parts=64)
+        print("building sf10 (100 replicas, rate-preserving docs) ...", flush=True)
+        _replicate(spark, SF10, 100, parts=64, tagged_docs=True)
     if args.build and args.queries is None and not (args.sf10 or args.recall):
         return 0
 
     names = args.queries or DEFAULT_QUERIES
     rows = probe(spark, names)
+    # merge into the cached main table (by query name) so subset
+    # re-runs refresh rows instead of clobbering the whole table, and
+    # save BEFORE the later phases so a crash there loses nothing
+    merged = {r["query"]: r for r in (_cache_load("main_results") or [])}
+    merged.update({r["query"]: r for r in rows})
+    order = [q for q in DEFAULT_QUERIES if q in merged]
+    order += [q for q in merged if q not in set(order)]
+    rows = [merged[q] for q in order]
+    _cache_save("main_results", rows)
+
     sf10_rows = None
     if args.sf10:
         print("probing iterative tier at sf10 ...", flush=True)
@@ -649,10 +707,12 @@ def main() -> int:
             points=[("sf0.1", SF01), ("sf10", SF10)],
             with_jobs=True,
         )
+        _cache_save("sf10_results", sf10_rows)
     recall_rows = None
     if args.recall:
         print("measuring ANN recall at sf1 ...", flush=True)
         recall_rows = ann_recall(spark)
+        _cache_save("recall_results", recall_rows)
     write_md(rows, sf10_rows, recall_rows)
     print(json.dumps(
         {"probe": rows, "sf10": sf10_rows, "recall": recall_rows}, default=str
