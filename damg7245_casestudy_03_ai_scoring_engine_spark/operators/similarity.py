@@ -93,10 +93,22 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared by ann_ivf_topk (logical bucketing) and
-# ann_ivf_partition_pruned (the same search over a label-partitioned
+# ann_ivf_partition_pruned (the same search over a cell-partitioned
 # PHYSICAL layout) — identical semantics, different storage path.
-_IVF_TOPK_ORACLE = f"""
-WITH cent_flat AS (
+#
+# r7 FIX, caught by the sf1 recall probe (SCALE.md): candidates used
+# to be binned by their STORED label while queries probed by nearest
+# centroid — structurally inconsistent IVF (a query near a cell
+# boundary probes a cell its true neighbors were never filed in;
+# recall@5 vs brute force collapsed to 0.30 at sf1 while wall ratios
+# looked great).  Every vector — data and query alike — is now
+# assigned by the SAME coarse quantizer (argmax centroid cosine, 6dp,
+# label-asc tie-break), exactly what FAISS's IVF add() does.  The
+# per-label means remain the "pre-trained" quantizer; only filing
+# changed.  The v_cell CTE below replays the assignment for all
+# vectors.
+_IVF_CELLS_SQL = f"""
+cent_flat AS (
     SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
     FROM (
         SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
@@ -104,35 +116,54 @@ WITH cent_flat AS (
     )
     GROUP BY label, i
 ),
-q_flat AS (
-    SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+v_flat AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
            generate_subscripts(embedding, 1) AS i
-    FROM embeddings WHERE vec_id < {_N_QUERIES}
+    FROM embeddings
 ),
-q_cent AS (
-    SELECT q.query_id, c.label,
-           round(CASE WHEN sqrt(sum(q.x * q.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
-                      THEN sum(q.x * c.cx) / (sqrt(sum(q.x * q.x)) * sqrt(sum(c.cx * c.cx)))
+v_cent AS (
+    SELECT v.vec_id, c.label,
+           round(CASE WHEN sqrt(sum(v.x * v.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
+                      THEN sum(v.x * c.cx) / (sqrt(sum(v.x * v.x)) * sqrt(sum(c.cx * c.cx)))
                       ELSE 0.0 END, 6) AS cosine
-    FROM q_flat q JOIN cent_flat c ON q.i = c.i
-    GROUP BY q.query_id, c.label
+    FROM v_flat v JOIN cent_flat c ON v.i = c.i
+    GROUP BY v.vec_id, c.label
 ),
-assign AS (
-    SELECT query_id, label AS probe_label
+v_cell AS (
+    SELECT vec_id, label AS cell
     FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, label
+            PARTITION BY vec_id ORDER BY cosine DESC, label
         ) AS rk
-        FROM q_cent
+        FROM v_cent
     )
     WHERE rk = 1
+)
+"""
+
+
+def _ivf_oracle(probes: int) -> str:
+    """Shared DuckDB oracle for the IVF family: quantizer-consistent
+    cell filing for every vector, queries probing their top-`probes`
+    cells, exact re-rank within the probed cells."""
+    return f"""
+WITH {_IVF_CELLS_SQL.strip()},
+assign AS (
+    SELECT vec_id AS query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, label
+        ) AS rk
+        FROM v_cent
+    )
+    WHERE rk <= {probes} AND vec_id < {_N_QUERIES}
 ),
 q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
     FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
 scored AS (
-    SELECT q.query_id, e.vec_id AS cand_id,
+    SELECT DISTINCT q.query_id, e.vec_id AS cand_id,
            round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
                        AND sqrt(list_dot_product(e.cv, e.cv)) > 0
                       THEN list_dot_product(q.qv, e.cv)
@@ -140,8 +171,9 @@ scored AS (
                       ELSE 0.0 END, 6) AS cosine
     FROM assign a
     JOIN q ON a.query_id = q.query_id
-    JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings) e
-      ON e.label = a.probe_label AND e.vec_id <> q.query_id
+    JOIN (SELECT em.vec_id, vc.cell, em.embedding::DOUBLE[] AS cv
+          FROM embeddings em JOIN v_cell vc ON vc.vec_id = em.vec_id) e
+      ON e.cell = a.probe_label AND e.vec_id <> q.query_id
 )
 SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
 FROM (
@@ -154,57 +186,113 @@ WHERE rk <= {_TOP_K}
 """
 
 
-@register(
-    "ann_ivf_topk",
-    survey="similarity (extension)",
-    oracle=_IVF_TOPK_ORACLE,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: per-label centroids as the coarse quantizer,
-    single-probe search within the assigned partition.  The centroid
-    build is a posexplode + groupBy (runs once, broadcastable); the
-    probe join touches only the matching label's rows — the bucketed
-    scale path vs the brute-force baseline."""
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+_IVF_TOPK_ORACLE = _ivf_oracle(probes=1)
 
-    cent_flat = (
+
+def _ivf_cent_flat(emb: DataFrame) -> DataFrame:
+    """(label, i, cx): the coarse quantizer — per-label dimension
+    means.  One posexplode aggregate, ~nlist·dim rows, broadcastable."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
         .agg(F.avg(F.col("x").cast("double")).alias("cx"))
     )
-    q_flat = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-    )
-    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+
+
+def _ivf_cell_scores(vectors: DataFrame, cent_flat: DataFrame) -> DataFrame:
+    """(vec_id, label, cosine): every vector scored against every
+    centroid — the quantizer evaluation shared by data filing and
+    query probing (both sides MUST use the same arithmetic or the
+    index is inconsistent).  posexplode → broadcast centroid join →
+    per-(vector, centroid) aggregate; 6-dp rounding + label tie-break
+    keep the argmax engine-deterministic."""
+    v_flat = vectors.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
     cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-    q_cent = (
-        q_flat.join(F.broadcast(cent_flat), "i")
-        .groupBy("query_id", "label")
+    return (
+        v_flat.join(F.broadcast(cent_flat), "i")
+        .groupBy("vec_id", "label")
         .agg(
             F.round(
                 F.when(
-                    (qn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
+                    (vn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("cosine")
         )
     )
-    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
-    assign = (
-        q_cent.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("query_id", F.col("label").alias("probe_label"))
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell) for EVERY vector, filed by nearest centroid —
+    the inverted-file assignment (FAISS IVF add()).  Memoized +
+    persisted per (session, sf): the assignment is an ingest-time
+    cost amortized over every probe, exactly like the layout builds.
+    At 100 TB this is one linear pass (explode → broadcast-join the
+    tiny quantizer → map-side-combinable aggregate → per-vector
+    argmax window, partitioned by vec_id)."""
+    from ..functions.cache import tracked_persist
+
+    tag = _sf_tag_sim(sf_dir)
+    key = f"_ivf_cells_{tag}"
+    if not hasattr(spark, key):
+        emb = load(spark, sf_dir, "embeddings", fan_out=True)
+        scores = _ivf_cell_scores(emb.select("vec_id", "embedding"), _ivf_cent_flat(emb))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
+        cells = (
+            scores.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
+        setattr(spark, key, tracked_persist(cells, f"ivf.cells.{tag}"))
+    return getattr(spark, key)
+
+
+def _sf_tag_sim(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
+def _ivf_probe_assign(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
+    """(query_id, probe_label): each query's top-`probes` cells by the
+    same quantizer arithmetic used for filing."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q_scores = _ivf_cell_scores(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding"),
+        _ivf_cent_flat(emb),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
+    return (
+        q_scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= probes)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("probe_label"),
+        )
     )
 
+
+def _ivf_search(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
+    """Shared IVF search: probe assignment ⋈ cell-filed candidates ⋈
+    exact re-rank.  Candidates come from the persisted (vec_id, cell)
+    filing — by the QUANTIZER, not the stored label (the r7 recall
+    fix; see _ivf_oracle)."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    assign = _ivf_probe_assign(spark, sf_dir, probes)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cand = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("probe_label"),
-        F.col("embedding").alias("cv"),
+    cand = (
+        emb.join(_ivf_cells(spark, sf_dir), "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("cell").alias("probe_label"),
+            F.col("embedding").alias("cv"),
+        )
     )
     scored = (
         assign.join(q, "query_id")
@@ -215,6 +303,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -222,6 +311,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+@register(
+    "ann_ivf_topk",
+    survey="similarity (extension)",
+    oracle=_IVF_TOPK_ORACLE,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label-mean centroids as the pre-trained
+    coarse quantizer; every vector FILED by its nearest centroid (the
+    persisted inverted-file assignment); single-probe search within
+    the query's cell, exact re-rank inside.
+
+    r7: filing switched from the stored label to the quantizer after
+    the sf1 recall probe measured 0.30 recall@5 for label-filed
+    candidates (a boundary query probes a cell its true neighbors
+    were never filed in — the structural inconsistency wall-clock
+    ratios can't see).  Quantizer-consistent filing restores the IVF
+    contract: a query and its near-identical neighbors land in the
+    same cell by construction."""
+    return _ivf_search(spark, sf_dir, probes=1)
 
 
 @register(
@@ -705,128 +815,17 @@ def lsh_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_multiprobe",
     survey="similarity (extension: multi-probe IVF)",
-    oracle=f"""
-WITH cent_flat AS (
-    SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
-    FROM (
-        SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    )
-    GROUP BY label, i
-),
-q_flat AS (
-    SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-           generate_subscripts(embedding, 1) AS i
-    FROM embeddings WHERE vec_id < {_N_QUERIES}
-),
-q_cent AS (
-    SELECT q.query_id, c.label,
-           round(CASE WHEN sqrt(sum(q.x * q.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
-                      THEN sum(q.x * c.cx) / (sqrt(sum(q.x * q.x)) * sqrt(sum(c.cx * c.cx)))
-                      ELSE 0.0 END, 6) AS cosine
-    FROM q_flat q JOIN cent_flat c ON q.i = c.i
-    GROUP BY q.query_id, c.label
-),
-assign AS (
-    SELECT query_id, label AS probe_label
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, label
-        ) AS rk
-        FROM q_cent
-    )
-    WHERE rk <= 2
-),
-q AS (
-    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < {_N_QUERIES}
-),
-scored AS (
-    SELECT q.query_id, e.vec_id AS cand_id,
-           round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
-                       AND sqrt(list_dot_product(e.cv, e.cv)) > 0
-                      THEN list_dot_product(q.qv, e.cv)
-                           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.cv, e.cv)))
-                      ELSE 0.0 END, 6) AS cosine
-    FROM assign a
-    JOIN q ON a.query_id = q.query_id
-    JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings) e
-      ON e.label = a.probe_label AND e.vec_id <> q.query_id
-)
-SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
-FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, cand_id
-    ) AS rk
-    FROM scored
-)
-WHERE rk <= {_TOP_K}
-""",
+    oracle=_ivf_oracle(probes=2),
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN: like `ann_ivf_topk` but each query probes
-    its top-TWO centroids, recovering recall lost at partition
-    boundaries for ~2× the probe cost — still 2/nlist of a full scan.
-    The probe set stays a broadcastable (query_id, probe_label) list;
-    candidates from both probes flow through one shared top-k
-    window."""
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-
-    cent_flat = (
-        emb.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
-    )
-    q_flat = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-    )
-    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-    q_cent = (
-        q_flat.join(F.broadcast(cent_flat), "i")
-        .groupBy("query_id", "label")
-        .agg(
-            F.round(
-                F.when(
-                    (qn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
-    )
-    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
-    assign = (
-        q_cent.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= 2)
-        .select("query_id", F.col("label").alias("probe_label"))
-    )
-
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("probe_label"),
-        F.col("embedding").alias("cv"),
-    )
-    scored = (
-        assign.join(q, "query_id")
-        .join(cand, "probe_label")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOP_K)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    its top-TWO centroids, recovering recall lost at cell boundaries
+    for ~2× the probe cost — still 2/nlist of a full scan.  The probe
+    set stays a broadcastable (query_id, probe_label) list;
+    candidates from both probes flow through one shared top-k window.
+    Shares the quantizer-consistent filing with `ann_ivf_topk` (the
+    r7 recall fix)."""
+    return _ivf_search(spark, sf_dir, probes=2)
 
 
 @register(
@@ -1481,24 +1480,26 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cell_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write (once) the embeddings table hive-partitioned by the IVF
-    coarse cell (`label`) and read it back with directory discovery —
-    the PERSISTED inverted-file layout: each cell is a directory, so a
-    probe that knows its cells reads only those directories.  Memoized
-    per (session, sf_dir) like the other layout builds."""
-    import re as _re
-
+    coarse CELL — the quantizer-consistent filing (r7 fix: formerly
+    partitioned by the stored label, which de-synced the layout from
+    the probe arithmetic) — and read it back with directory
+    discovery: the PERSISTED inverted-file layout, each cell a
+    directory, so a probe that knows its cells reads only those
+    directories.  Memoized per (session, sf_dir) like the other
+    layout builds."""
     from ..sources.scratch import scratch_dir
 
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    key = f"_layout_embeddings_ivf_{tag}"
+    tag = _sf_tag_sim(sf_dir)
+    key = f"_layout_embeddings_ivfcell_{tag}"
     if not hasattr(spark, key):
         path = scratch_dir(f"ivf_embeddings_{tag}_")
         (
             load(spark, sf_dir, "embeddings")
+            .join(_ivf_cells(spark, sf_dir), "vec_id")
             .write.mode("overwrite")
-            .partitionBy("label")
+            .partitionBy("cell")
             .parquet(path)
         )
         setattr(spark, key, path)
@@ -1527,50 +1528,21 @@ def ann_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vector index actually persists on a data lake (FAISS IVF's
     inverted lists, spelled as hive partitions).  The centroid build
     and assignment reuse the original table (one posexplode
-    aggregate, amortized across queries in a real serving setup)."""
+    aggregate, amortized across queries in a real serving setup).
+    r7: the layout is partitioned by the QUANTIZER cell, not the
+    stored label — see _ivf_oracle for the recall-probe finding."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
 
-    cent_flat = (
-        emb.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
-    )
-    q_flat = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("i", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-    )
-    qn = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-    q_cent = (
-        q_flat.join(F.broadcast(cent_flat), "i")
-        .groupBy("query_id", "label")
-        .agg(
-            F.round(
-                F.when(
-                    (qn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (qn * cn),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
-    )
-    w_assign = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("label"))
-    assign = (
-        q_cent.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("query_id", F.col("label").alias("probe_label"))
-    )
-
+    assign = _ivf_probe_assign(spark, sf_dir, probes=1)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     probes = assign.join(q, "query_id")
 
-    ivf = _label_partitioned_embeddings(spark, sf_dir)
+    ivf = _cell_partitioned_embeddings(spark, sf_dir)
     cand = ivf.select(
         F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("probe_label"),
+        F.col("cell").alias("probe_label"),
         F.col("embedding").alias("cv"),
     )
     scored = (

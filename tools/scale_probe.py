@@ -472,53 +472,55 @@ def derived_findings(rows) -> list[str]:
 
 
 FINDINGS = """
-## Findings (manual annotation — r6 probe, 2026-08-14)
+## Findings (manual annotation — r7 probe, 2026-08-15)
 
-These paragraphs were written against the r6 measurement and are NOT
+These paragraphs were written against the r7 measurement and are NOT
 regenerated with the table; after re-running the probe, check them
 against the auto-derived summary above and re-date any edit.
 
-- **No plan decays.**  Every relational/event/text query lands at
-  0.8–3.6× wall for 10× data — sub-linear because sf0.1 stages are too
-  short to saturate 32 cores; nothing exceeds data-linear.  The only
-  strategy drift is AQE correctly demoting broadcasts whose build side
-  grew past the threshold (`dedup_minhash_lsh`,
-  `cross_doc_dup_spans`, flagship's two biggest dims → SortMerge), and
-  partition pruning keeps `dynamic_partition_pruned_join` FLAT (0.9×)
-  at 10× data — the strongest 100 TB signal in the table.
-- **Dedup families are output-bound, not plan-bound.**  At sf1
-  (near-dup replicas) minhash wall grows 8.4× while its TRUE pair set
-  grows 968×; with duplication rate held constant (sf1i) it's 3.5× —
-  the banding does its job under both regimes.  Containment-prefix:
-  3.0× / 1.8×.
-- **`lsh_cosine_pairs` is the one ~32× row, and the cause is the
-  problem statement, not the plan**: an all-pairs listing at a FIXED
-  low threshold (cosine ≥ 0.4) has Θ(n²·P(cos ≥ t)) output for any
-  diffuse similarity distribution — the probe's own row counts show
-  the qualifying pair set growing ~106× in BOTH scaled variants
-  (160.7k / 75.0k vs 706), so wall at 31–34× means per-pair cost
-  *improved*.  This is inherent to low-threshold all-pairs similarity
-  (SRP-LSH theory: sub-quadratic candidate generation at fixed recall
-  needs band bits ~ log₂ n and pays the n^ρ exponent, and no method
-  can beat the output size itself).  The registered scale paths for
-  corpus-wide similarity are the k-bounded `ann_ivf_topk` (2.4× here)
-  and cluster-blocked `semantic_dedup`; `lsh_cosine_pairs` remains
-  the right tool when the pair LISTING is the requirement and the
-  threshold is high enough to bound it.
-- **Iterative operators scale flat.**  The families whose cost is
-  hardest to read from a plan — fixpoint loops with localCheckpoint
-  rounds (`pagerank_top_nodes` 1.5×, `dedup_clusters` 1.5×,
-  `kmeans_lloyd_deterministic` 1.2×), the sweep-line day-carry
-  (`max_concurrent_sessions` 1.1×), and the persisted-silver CF
-  (`item_cooccurrence_topk` 1.2×) — are all structure-dominated at
-  this scale: per-round work grows with data but round count does
-  not, exactly the 100 TB posture their docstrings claim.
+- **No plan decays at 10×.**  Every relational/event/text family sits
+  at 0.2–7.3× wall for 10× data; the only strategy drift is AQE
+  correctly demoting over-threshold broadcasts to SortMerge
+  (minhash, cross-doc spans, flagship's two biggest dims,
+  item-cooccurrence's pair grain), and partition pruning keeps
+  `dynamic_partition_pruned_join` flat (1.1×) — still the strongest
+  100 TB signal in the main table.
+- **The last output-quadratic headliner is retired.**
+  `lsh_cosine_pairs` (fixed cosine ≥ 0.4 all-pairs listing) remains
+  ~34× — inherent: its qualifying pair set grows ~106× in both scaled
+  corpora, so wall tracks OUTPUT, and SRP-LSH theory says no method
+  beats the output size itself.  Its k-bounded twin `lsh_pairs_topk`
+  (8-bit bands, ≤5 partners/vector) is now the bench headliner:
+  output saturates to n·k (100k rows at sf1 = exactly 20k×5, linear
+  in n by construction) while wall lands at 3.6–4.7 s absolute at
+  sf1 across three independent runs (ratios 4.5×/5.4×/6.3×, variance
+  driven by the sub-second sf0.1 denominator, plans identical).
+- **Second decade (sf10 = 100× data, iterative tier): round counts
+  are invariant.**  Steady-state Spark job counts barely move while
+  data grows 100× — pagerank 50→56, dedup-clusters 105→119 (output
+  exactly 100× linear on the rate-preserving corpus), k-means 44→44,
+  BFS 27→35, Bellman-Ford 17→24, item-cooccurrence 9→9 — and wall
+  ratios stay at 0.2–4.4× of the sf0.1 base.  The few extra jobs are
+  AQE stage materializations, not extra convergence rounds.  This is
+  the measured form of every iterative docstring's claim: per-round
+  work grows with data, round count does not.
+- **The ANN recall floor caught a real bug and the fix closed it.**
+  At sf1 the label-filed IVF measured recall@5 = 0.30 single-probe /
+  0.60 multi-probe (worst query 0.0) while its wall ratios looked
+  healthy — candidates were filed by their STORED label while queries
+  probed by nearest centroid, so a boundary query probed a cell its
+  true neighbors were never filed in.  After re-filing every vector
+  by the quantizer (r7 fix, oracles updated to replay the
+  assignment), recall@5 = 1.0 / 1.0 / 1.0 (worst query 1.0).  Caveat:
+  sf1 truth sets are replica-concentrated (a query's top-5 are its
+  own near-identical replicas), which flatters recall — but that same
+  concentration is precisely what exposed the label-filing flaw, and
+  the fixture-scale pytest floors (diverse truth) also improved.
 - sf1i's embedding decorrelation uses per-(replica, dim) sign flips;
-  with 64 coordinate-concentrated dims that still leaves a heavy
-  cross-replica cosine tail (the ± dot's variance concentrates on the
-  dominant coords), which is why the lsh row count stays ~100× there —
-  consistent with, not contradicting, the fixed-threshold analysis
-  above.
+  with 64 coordinate-concentrated dims a heavy cross-replica cosine
+  tail survives, which is why `lsh_cosine_pairs`' sf1i row count
+  stays ~100× — consistent with, not contradicting, the
+  fixed-threshold analysis above.
 """
 
 
