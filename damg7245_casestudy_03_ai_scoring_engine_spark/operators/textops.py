@@ -2307,3 +2307,294 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("n_leaky_groups"),
     ).select(F.lit("group_level").alias("strategy"), "*")
     return doc_level.unionByName(grp_level)
+
+
+@register(
+    "dedup_span_removal",
+    survey="LLM-pipeline extension: duplicated-span REMOVAL (Lee et al. 2022 exact-substring dedup, cleaned-text rebuild)",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, len(ws) AS n_tokens,
+           unnest(range(1, len(ws) + 1)) AS p,
+           unnest(ws) AS tok
+    FROM toks
+),
+g AS (
+    SELECT doc_id,
+           unnest(range(1, greatest(len(ws) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+           unnest(list_transform(range(1, greatest(len(ws) - {_SPAN_N - 1}, 0) + 1),
+               i -> md5(array_to_string(
+                        ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_N - 1}], ' '))))
+               AS gram
+    FROM toks
+),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {_SPAN_DF}
+),
+covpos AS (
+    SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id, unnest(range(g.pos, g.pos + {_SPAN_N})) AS p
+        FROM g JOIN dup ON g.gram = dup.gram
+    )
+),
+kept AS (
+    SELECT t.doc_id, t.p, t.tok
+    FROM tok t ANTI JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+agg AS (
+    SELECT doc_id, count(*) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS INT) AS n_tokens,
+       CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t.ws) - coalesce(a.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       floor(coalesce(a.kept_tokens, 0)::DOUBLE / len(t.ws) * 1e6 + 0.5) / 1e6
+           AS kept_frac,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*): where
+    `cross_doc_dup_spans` only measures duplicate-span coverage, this
+    operator produces the CLEANED corpus — every token position
+    covered by any 8-token span that occurs in >= 2
+    distinct documents is excised, and the surviving tokens are
+    stitched back into `clean_text` in original order.
+
+    Relational shape (no suffix array needed): span hashing is the
+    same narrow per-doc stage as the coverage query; duplicated spans
+    are one hash-keyed aggregate + equi-join back; covered POSITIONS
+    are a per-doc distinct; removal is a left-anti join of the token
+    table against covered positions on (doc_id, p); the rebuild is a
+    per-doc sort-free `array_sort(collect_list(struct(p, tok)))` —
+    each doc's token list is assembled inside its own hash partition,
+    so per-task memory is bounded by the longest single document (the
+    same bound any per-doc tokenizer already needs), never by the
+    corpus.  Every stage keys on gram or doc_id equi-joins, so the
+    plan survives a 100x corpus unchanged."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("n_tokens")
+    )
+    base = tracked_persist(base, "dedup_span_removal.base")
+    gp = F.when(
+        F.col("n_tokens") >= _SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(_SPAN_N - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("ws"), i, _SPAN_N), " ")).alias(
+                    "gram"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    grams = (
+        base.select("doc_id", F.explode(gp).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .repartition("gram")
+    )
+    grams = tracked_persist(grams, "dedup_span_removal.grams")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _SPAN_DF)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        "doc_id",
+        F.posexplode("ws").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok")
+    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    kt = F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            kt.alias("kept_tokens"),
+            (F.col("n_tokens").cast("bigint") - kt).alias("removed_tokens"),
+            round_stable(
+                kt.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("kept_frac"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+_DSIR_B = 4096  # hashed-ngram feature buckets
+_DSIR_TARGET_LANG = "en"  # target-domain proxy: English documents
+
+
+@register(
+    "dsir_importance_weights",
+    survey="LLM-pipeline extension: DSIR hashed-ngram importance weights (Xie et al. 2023)",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM toks),
+bi AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(ws)),
+               i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 1], ' ')))
+               AS g
+    FROM toks WHERE len(ws) >= 2
+),
+feats AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS b
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+doc_bucket AS (
+    SELECT doc_id, lang, b, count(*) AS n FROM feats GROUP BY doc_id, lang, b
+),
+bucket AS (
+    SELECT b, sum(n) AS c_r,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN n ELSE 0 END) AS c_t
+    FROM doc_bucket GROUP BY b
+),
+tot AS (SELECT sum(c_r) AS t_r, sum(c_t) AS t_t FROM bucket),
+lr AS (
+    SELECT b,
+           CAST(floor((ln((c_t + 0.5) / (t_t + 0.5 * {_DSIR_B}))
+                     - ln((c_r + 0.5) / (t_r + 0.5 * {_DSIR_B}))) * 1e6 + 0.5)
+                AS BIGINT) AS unats
+    FROM bucket, tot
+),
+w AS (
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_feats,
+           CAST(sum(n * unats) AS BIGINT) AS log_weight_unats
+    FROM doc_bucket JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT w.doc_id, d.source, w.n_feats, w.log_weight_unats,
+       CAST(CASE WHEN w.log_weight_unats > 0 THEN 1 ELSE 0 END AS INT) AS selected
+FROM w JOIN documents d ON w.doc_id = d.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): hash every unigram
+    and bigram into 4096 buckets, estimate the target-domain
+    (proxy: `lang = 'en'`) and raw-corpus bucket
+    distributions with +0.5 Laplace smoothing, and score each document
+    by its summed per-feature log-likelihood ratio.  `selected` marks
+    documents that look more target-like than raw (weight > 0) — the
+    resampling gate.
+
+    Parity design: the per-bucket log-ratio is quantized to int64
+    MICRO-NATS (`floor(lr * 1e6 + 0.5)`) before any per-doc
+    summation, so document weights are exact integer sums — no
+    float-summation-order drift between engines (the playbook's
+    1e6-quantized-logs pattern).
+
+    Scale shape: feature hashing is narrow per-doc work; bucket stats
+    cascade through a (doc_id, b) partial aggregate (map-side
+    combine) into a 4096-row table; the log-ratio table is tiny
+    by construction and BROADCAST back onto the doc-bucket grain, so
+    scoring 100 TB is one narrow pass + one broadcast hash join —
+    the corpus is never shuffled on anything wider than (doc_id, b)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", "lang", ws.alias("ws"))
+    uni = base.select("doc_id", "lang", F.explode("ws").alias("g"))
+    bi = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(_DSIR_B)
+        ).alias("b"),
+    )
+    # (doc_id, b) grain feeds BOTH the bucket stats and the final
+    # scoring join — persist it so tokenize+hash runs once.
+    doc_bucket = tracked_persist(
+        feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n")),
+        "dsir_importance_weights.doc_bucket",
+    )
+    bucket = doc_bucket.groupBy("b").agg(
+        F.sum("n").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("n")).otherwise(0)
+        ).alias("c_t"),
+    )
+    tot = bucket.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    half_b = 0.5 * _DSIR_B
+    lr = (
+        bucket.crossJoin(F.broadcast(tot))  # 1-row corpus-totals attach
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.col("c_t") + 0.5) / (F.col("t_t") + half_b))
+                    - F.log((F.col("c_r") + 0.5) / (F.col("t_r") + half_b))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("unats"),
+        )
+    )
+    w = (
+        doc_bucket.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("unats")).cast("bigint").alias(
+                "log_weight_unats"
+            ),
+        )
+    )
+    return w.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "n_feats",
+        "log_weight_unats",
+        (F.col("log_weight_unats") > 0).cast("int").alias("selected"),
+    )

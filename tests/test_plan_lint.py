@@ -50,6 +50,7 @@ BNLJ_OK = {
     "curation_decision_gate",
     "data_quality_expectations",
     "domain_token_budget",
+    "dsir_importance_weights",
     "drift_chi2_value_buckets",
     "eb_shrunk_return_rates",
     "fulfillment_lag_quantiles",
