@@ -1432,3 +1432,55 @@ def test_rag_packing_respects_budget_and_rank_prefix(spark):
             run += r.cand_chars
             assert r.cum_chars == run
             assert r.cum_chars <= 2500
+
+
+def test_span_removal_agrees_with_coverage_and_rebuilds_text(spark):
+    """dedup_span_removal and cross_doc_dup_spans share the exact
+    duplicated-position set: removed_tokens must equal the coverage
+    query's covered_tokens per doc, and re-tokenizing clean_text must
+    yield exactly kept_tokens whitespace tokens."""
+    cov = {
+        r["doc_id"]: r
+        for r in REGISTRY["cross_doc_dup_spans"].fn(spark, SF_SMOKE).collect()
+    }
+    rem = REGISTRY["dedup_span_removal"].fn(spark, SF_SMOKE).collect()
+    assert len(rem) == len(cov)
+    any_removed = False
+    for r in rem:
+        c = cov[r["doc_id"]]
+        assert r["n_tokens"] == c["n_tokens"]
+        assert r["removed_tokens"] == c["covered_tokens"], r["doc_id"]
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean == r["kept_tokens"], r["doc_id"]
+        any_removed = any_removed or r["removed_tokens"] > 0
+    assert any_removed, "fixture has no duplicated spans — invariant vacuous"
+
+
+def test_dsir_weights_skew_toward_target_language(spark):
+    """DSIR importance weights, fit with lang='en' as the target
+    domain, must (a) conserve the corpus feature count against an
+    independent tokenization and (b) score English documents higher
+    on average than non-English ones — the selection signal the
+    method exists to produce."""
+    d = load(spark, SF_SMOKE, "documents")
+    w = (
+        REGISTRY["dsir_importance_weights"]
+        .fn(spark, SF_SMOKE)
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    rows = w.collect()
+    n_docs = d.count()
+    assert len(rows) == n_docs
+    # feature conservation: n_feats == unigrams + bigrams == 2*len-1
+    expect = d.select(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n")
+    ).agg(F.sum(F.col("n") * 2 - 1)).collect()[0][0]
+    assert sum(r["n_feats"] for r in rows) == expect
+    en = [r["log_weight_unats"] for r in rows if r["lang"] == "en"]
+    other = [r["log_weight_unats"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # and the gate agrees with the sign of the weight
+    for r in rows:
+        assert r["selected"] == (1 if r["log_weight_unats"] > 0 else 0)
