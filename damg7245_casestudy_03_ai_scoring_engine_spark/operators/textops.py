@@ -2598,3 +2598,201 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_weight_unats",
         (F.col("log_weight_unats") > 0).cast("int").alias("selected"),
     )
+
+
+# --- fastText-style quality filter: fixed-iteration logistic GD -------------
+
+_LGD_B = 512  # hashed feature buckets (the model: 512 weights)
+_LGD_ITERS = 5
+_LGD_LR = 0.5
+
+
+def _logistic_gd_oracle() -> str:
+    """DuckDB oracle for the logistic quality filter — the fixed
+    5-step full-batch gradient descent UNROLLED as chained aggregate
+    CTEs (the recursive term would need GROUP BY, which standard SQL
+    forbids; same pattern as the Lloyd k-means oracle).  Both engines
+    iterate weight states differing only in aggregate summation order
+    (~1e-15/step, Lipschitz-bounded through the sigmoid), so the
+    6dp-rounded scores are hash-stable."""
+    b, lr = _LGD_B, _LGD_LR
+    steps = []
+    prev = "w0"
+    for t in range(1, _LGD_ITERS + 1):
+        steps.append(f"""d{t} AS (
+    SELECT x.doc_id, sum(x.x * w.w) AS dot
+    FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id
+),
+r{t} AS (
+    SELECT d.doc_id, (1.0 / (1.0 + exp(-d.dot)) - y.y) AS resid
+    FROM d{t} d JOIN y USING (doc_id)
+),
+g{t} AS (
+    SELECT x.b, sum(r.resid * x.x) AS g
+    FROM x JOIN r{t} r USING (doc_id) GROUP BY x.b
+),
+w{t} AS (
+    SELECT w.b, w.w - {lr} * coalesce(g.g, 0) / nn.nd AS w
+    FROM {prev} w LEFT JOIN g{t} g USING (b), nn
+)""")
+        prev = f"w{t}"
+    chain = ",\n".join(steps)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(ws) AS g FROM toks),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+               i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + 1], ' ')))
+               AS g
+    FROM toks WHERE len(ws) >= 2
+),
+feats AS (
+    SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} AS b
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+db AS (SELECT doc_id, b, count(*) AS n FROM feats GROUP BY doc_id, b),
+dn AS (SELECT doc_id, sum(n) AS nd FROM db GROUP BY doc_id),
+x AS (
+    SELECT d.doc_id, d.b, d.n::DOUBLE / dn.nd AS x
+    FROM db d JOIN dn ON d.doc_id = dn.doc_id
+),
+y AS (
+    SELECT doc_id, CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+),
+nn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+w0 AS (SELECT DISTINCT b, 0.0 AS w FROM x),
+{chain},
+s AS (
+    SELECT x.doc_id, sum(x.x * w.w) AS dot
+    FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id
+)
+SELECT s.doc_id,
+       CAST(y.y AS INT) AS y,
+       floor((1.0 / (1.0 + exp(-s.dot))) * 1e6 + 0.5) / 1e6 AS score,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-s.dot)) > 0.5 THEN 1 ELSE 0 END AS INT)
+           AS predicted
+FROM s JOIN y ON s.doc_id = y.doc_id
+"""
+
+
+@register(
+    "quality_filter_logistic_gd",
+    survey="LLM-pipeline extension: fastText-style learned quality filter (fixed-iteration logistic GD, unrolled oracle)",
+    oracle=_logistic_gd_oracle(),
+)
+def quality_filter_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter in the fastText-classifier mold (the
+    quality-gate stage of CCNet / RefinedWeb-style pipelines): a
+    512-bucket hashed unigram+bigram bag-of-words logistic model,
+    trained with exactly 5 full-batch gradient-descent steps (lr 0.5,
+    zero init, labels = `lang = 'en'` as the quality proxy), then
+    applied back to every document.  Output per doc: label, 6dp
+    sigmoid score, and the >0.5 decision.
+
+    Iterative-oracle pattern: the DuckDB twin replays the IDENTICAL
+    finite iteration as unrolled aggregate CTEs (see
+    `_logistic_gd_oracle`), so training itself — not just scoring —
+    is value-hash-checked.
+
+    Scale shape: the MODEL (512 weights) is what crosses the network,
+    never the corpus — each step broadcasts the weight table into a
+    bucket equi-join for the forward pass (one (doc_id)-keyed
+    aggregate), joins residuals back on doc_id, and reduces the
+    gradient on the 512-key bucket grain (map-side combine does
+    almost all of it); `localCheckpoint` truncates lineage per step
+    exactly like the Lloyd/PageRank loops.  At 100 TB an epoch is two
+    narrow-keyed shuffles of the persisted doc-bucket silver — the
+    classic distributed-full-batch-GD layout."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", ws.alias("ws"))
+    uni = base.select("doc_id", F.explode("ws").alias("g"))
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(_LGD_B)
+        ).alias("b"),
+    )
+    db = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    dn = db.groupBy("doc_id").agg(F.sum("n").alias("nd"))
+    x = tracked_persist(
+        db.join(dn, "doc_id").select(
+            "doc_id", "b", (F.col("n").cast("double") / F.col("nd")).alias("x")
+        ),
+        "quality_filter_logistic_gd.x",
+    )
+    y = tracked_persist(
+        d.select(
+            "doc_id",
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        ),
+        "quality_filter_logistic_gd.y",
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    w = x.select("b").distinct().select("b", F.lit(0.0).alias("w"))
+
+    def forward(wt: DataFrame) -> DataFrame:
+        return (
+            x.join(F.broadcast(wt), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        )
+
+    for _ in range(_LGD_ITERS):
+        resid = forward(w).join(y, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dot"))) - F.col("y")
+            ).alias("resid"),
+        )
+        grad = (
+            x.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("resid") * F.col("x")).alias("g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .crossJoin(F.broadcast(nn))  # 1-row doc-count attach
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.lit(_LGD_LR)
+                    * F.coalesce(F.col("g"), F.lit(0.0))
+                    / F.col("nd")
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dot")))
+    return (
+        forward(w)
+        .join(y, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y"),
+            round_stable(sig, 6).alias("score"),
+            (sig > 0.5).cast("int").alias("predicted"),
+        )
+    )

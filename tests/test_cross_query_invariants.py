@@ -1484,3 +1484,26 @@ def test_dsir_weights_skew_toward_target_language(spark):
     # and the gate agrees with the sign of the weight
     for r in rows:
         assert r["selected"] == (1 if r["log_weight_unats"] > 0 else 0)
+
+
+def test_logistic_gd_separates_target_language(spark):
+    """Five GD steps from zero init must move scores in the label
+    direction: mean sigmoid score of en docs strictly above non-en,
+    every score in (0,1), and the 0.5 decision consistent with the
+    emitted score."""
+    d = load(spark, SF_SMOKE, "documents")
+    rows = (
+        REGISTRY["quality_filter_logistic_gd"]
+        .fn(spark, SF_SMOKE)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .collect()
+    )
+    assert len(rows) == d.count()
+    en = [r["score"] for r in rows if r["lang"] == "en"]
+    other = [r["score"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for r in rows:
+        assert 0.0 < r["score"] < 1.0
+        assert r["y"] == (1 if r["lang"] == "en" else 0)
+        assert r["predicted"] == (1 if r["score"] > 0.5 else 0)
