@@ -68,6 +68,8 @@ DEFAULT_QUERIES = [
     "tfidf_top_terms",
     "heavy_hitter_tokens",       # sketch-then-verify
     "text_quality_scores",
+    "dsir_importance_weights",     # hashed-ngram broadcast scoring
+    "quality_filter_logistic_gd",  # fixed-epoch distributed GD
     "ann_ivf_topk",              # cell-blocked ANN
     "lsh_cosine_pairs",          # hyperplane LSH (exhaustive listing)
     "lsh_pairs_topk",            # k-bounded LSH shortlist (bench headliner)
@@ -309,6 +311,8 @@ CORPUS_QUERIES = {
     "tfidf_top_terms",
     "heavy_hitter_tokens",
     "text_quality_scores",
+    "dsir_importance_weights",     # hashed-ngram broadcast scoring
+    "quality_filter_logistic_gd",  # fixed-epoch distributed GD
     "ann_ivf_topk",
     "lsh_cosine_pairs",
     "lsh_pairs_topk",
