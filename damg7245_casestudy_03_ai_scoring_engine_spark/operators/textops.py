@@ -2796,3 +2796,144 @@ def quality_filter_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sig > 0.5).cast("int").alias("predicted"),
         )
     )
+
+
+@register(
+    "heaps_vocab_growth",
+    survey="LLM-pipeline extension: per-source Heaps-law vocabulary-growth exponent (exact-integer log-log OLS)",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
+    FROM documents
+),
+docg0 AS (SELECT doc_id, source, len(ws) AS n_toks FROM toks),
+tok AS (SELECT DISTINCT source, doc_id, unnest(ws) AS tok FROM toks),
+first AS (SELECT source, tok, min(doc_id) AS fdoc FROM tok GROUP BY source, tok),
+newc AS (
+    SELECT source, fdoc AS doc_id, count(*) AS n_new
+    FROM first GROUP BY source, fdoc
+),
+docg AS (
+    SELECT d.source, d.doc_id, d.n_toks, coalesce(n.n_new, 0) AS n_new
+    FROM docg0 d LEFT JOIN newc n ON d.source = n.source AND d.doc_id = n.doc_id
+),
+cum AS (
+    SELECT source, n_toks, n_new,
+           sum(n_toks) OVER w AS ct,
+           sum(n_new) OVER w AS cv
+    FROM docg
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+q AS (
+    SELECT source, n_toks, n_new,
+           CAST(floor(ln(ct::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qx,
+           CAST(floor(ln(cv::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qy
+    FROM cum
+),
+agg AS (
+    SELECT source, count(*) AS m,
+           CAST(sum(qx) AS BIGINT) AS sx,
+           CAST(sum(qy) AS BIGINT) AS sy,
+           CAST(sum(qx * qy) AS BIGINT) AS sxy,
+           CAST(sum(qx * qx) AS BIGINT) AS sxx,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_new) AS BIGINT) AS vocab_size
+    FROM q GROUP BY source
+)
+SELECT source,
+       CAST(m AS BIGINT) AS n_docs,
+       total_tokens,
+       vocab_size,
+       floor(CAST(m::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+             / nullif(CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 0)
+             * 1e6 + 0.5) / 1e6 AS heaps_beta
+FROM agg
+""",
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per source: V(n) = K·n^beta, fit
+    as a log-log OLS slope over the per-doc cumulative (tokens seen,
+    distinct types seen) curve (docs ordered by doc_id within each
+    source).  A falling beta across sources is the classic corpus
+    health signal — templated/duplicated sources grow vocabulary
+    sublinearly vs organic text.
+
+    Parity design: first-occurrence attribution (`min(doc_id)` per
+    (source, token)) and both cumulative curves are exact integers;
+    each log-log point is quantized to int64 MICRO-NATS before the
+    regression, so the OLS moment sums are exact int64 (per-point
+    products ~2e14, sums ~5e17 — inside the ANSI budget), the final
+    m·Sxy − Sx·Sy combination runs per SOURCE row in a 128-bit
+    carrier (Spark DECIMAL(38,0) / DuckDB HUGEINT — m²-scaled terms
+    reach ~1e21), and beta is ONE final IEEE division of identically-
+    converted doubles.
+
+    Scale shape: the token grain shuffles once on (source, token) for
+    first-occurrence, once on (source, doc) for new-type counts; the
+    cumulative window partitions by source (at 100 TB: thousands of
+    sources = thousands of independent curves; a single source's
+    curve has one row PER DOC, not per token, so the window input is
+    metadata-sized); the regression itself is a 5-integer fold with
+    map-side combine."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", "source", ws.alias("ws"))
+    docg0 = base.select("doc_id", "source", F.size("ws").alias("n_toks"))
+    tok = base.select(
+        "source", "doc_id", F.explode("ws").alias("tok")
+    ).distinct()
+    first = tok.groupBy("source", "tok").agg(F.min("doc_id").alias("fdoc"))
+    newc = first.groupBy("source", F.col("fdoc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    docg = docg0.join(newc, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docg.select(
+        "source",
+        "n_toks",
+        "n_new",
+        F.sum("n_toks").over(w).alias("ct"),
+        F.sum("n_new").over(w).alias("cv"),
+    )
+    q = cum.select(
+        "source",
+        "n_toks",
+        "n_new",
+        F.floor(F.log(F.col("ct").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qx"),
+        F.floor(F.log(F.col("cv").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qy"),
+    )
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_new").cast("bigint").alias("vocab_size"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("m") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("m") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    beta = F.when(den != 0.0, num / den)
+    return agg.select(
+        "source",
+        F.col("m").cast("bigint").alias("n_docs"),
+        "total_tokens",
+        "vocab_size",
+        round_stable(beta, 6).alias("heaps_beta"),
+    )

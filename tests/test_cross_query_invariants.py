@@ -1507,3 +1507,31 @@ def test_logistic_gd_separates_target_language(spark):
         assert 0.0 < r["score"] < 1.0
         assert r["y"] == (1 if r["lang"] == "en" else 0)
         assert r["predicted"] == (1 if r["score"] > 0.5 else 0)
+
+
+def test_heaps_fit_conserves_vocabulary(spark):
+    """heaps_vocab_growth: per-source vocab_size must equal an
+    independent distinct-token count, total_tokens the raw token
+    count, and the fitted exponent must sit in the sublinear band a
+    V(n) <= n growth curve forces."""
+    d = load(spark, SF_SMOKE, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    expect = {
+        r["source"]: r
+        for r in d.select("source", F.explode(ws).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("vocab"),
+            F.count(F.lit(1)).alias("toks"),
+        )
+        .collect()
+    }
+    rows = REGISTRY["heaps_vocab_growth"].fn(spark, SF_SMOKE).collect()
+    assert {r["source"] for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r["source"]]
+        assert r["vocab_size"] == e["vocab"]
+        assert r["total_tokens"] == e["toks"]
+        if r["n_docs"] >= 2:
+            assert r["heaps_beta"] is not None
+            assert 0.0 <= r["heaps_beta"] <= 1.05, r  # tiny synthetic vocab saturates -> slope ~0
