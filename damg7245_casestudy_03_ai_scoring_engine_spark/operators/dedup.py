@@ -865,3 +865,167 @@ SELECT a AS doc_contained, b AS doc_ancestor,
 FROM closure
 GROUP BY a, b
 """)
+
+
+@register(
+    "incremental_lsh_probe",
+    survey="LLM-pipeline extension: incremental MinHash+LSH dedup — delta batch probed against the standing corpus",
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()},
+flags AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-seed-1'), 1, 8))::BIGINT
+               % 100 >= 90 AS is_delta
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_P}) AS hs
+    FROM sh
+),
+mh AS (
+    SELECT doc_id,
+           list_transform(range(0, {_K}),
+               s -> list_min(list_transform(hs, h -> ((2*s + 1) * h + (17*s + 7)) % {_P})))
+               AS sig
+    FROM hashed
+),
+bands AS (
+    SELECT doc_id, b,
+           CAST(sig[b*3+1] AS VARCHAR) || '|' || CAST(sig[b*3+2] AS VARCHAR)
+               || '|' || CAST(sig[b*3+3] AS VARCHAR) AS band_hash
+    FROM mh, (SELECT unnest(range(0, {_BANDS})) AS b)
+),
+cand AS (
+    SELECT DISTINCT least(a.doc_id, b2.doc_id) AS doc_a,
+                    greatest(a.doc_id, b2.doc_id) AS doc_b
+    FROM bands a
+    JOIN flags fa ON a.doc_id = fa.doc_id AND fa.is_delta
+    JOIN bands b2 ON a.b = b2.b AND a.band_hash = b2.band_hash
+                  AND a.doc_id != b2.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT v.doc_a, v.doc_b, round(v.jaccard, 6) AS jaccard,
+       CASE WHEN fa.is_delta AND fb.is_delta THEN 'delta-delta'
+            ELSE 'delta-base' END AS pair_type
+FROM verified v
+JOIN flags fa ON v.doc_a = fa.doc_id
+JOIN flags fb ON v.doc_b = fb.doc_id
+WHERE round(v.jaccard, 6) >= 0.5
+""",
+)
+def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup for continuous ingestion: the
+    deterministic 10% 'delta' batch (same salted-md5 split as
+    `train_test_split`) is probed against the FULL standing corpus —
+    same shingle/minhash/band parameters as `dedup_minhash_lsh`, but
+    the candidate join keeps only buckets touched by a delta doc, so
+    base×base work is never redone.  Returns delta-base and
+    delta-delta verified pairs (jaccard >= 0.5) with the pair type.
+
+    The law `tests/test_cross_query_invariants.py::
+    test_incremental_lsh_equals_full_restriction` pins the output to
+    dedup_minhash_lsh's full pair set restricted to pairs touching a
+    delta doc — the maintenance invariant that makes the incremental
+    path trustworthy (the same incremental == rebuild discipline as
+    the Bloom index and rollup-merge operators).
+
+    Scale shape: at 100 TB the standing corpus's band table is a
+    persisted silver keyed on (band, band_hash); each arriving batch
+    shuffles ONLY its own bands (delta-sized, not corpus-sized) into
+    that layout, and the verify join touches base shingle rows only
+    for colliding candidates.  Per-batch cost scales with the batch
+    and its collision set — independent of corpus size."""
+    sh = _shingled_docs(spark, sf_dir)
+    base = F.transform(
+        F.col("shingles"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % _P,
+    )
+    is_delta = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= 90
+    )
+    hashed = tracked_persist(
+        sh.select("doc_id", "shingles", base.alias("hs"), is_delta.alias("is_delta")),
+        "incremental_lsh_probe.hashed",
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_K - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: ((2 * s + 1) * h + (17 * s + 7)) % _P,
+            )
+        ),
+    )
+    mh = hashed.select("doc_id", "is_delta", sig.alias("sig"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
+    bands = mh.select("doc_id", "is_delta", b, "sig").select(
+        "doc_id",
+        "is_delta",
+        "b",
+        F.concat_ws(
+            "|",
+            F.element_at("sig", F.col("b") * 3 + 1).cast("string"),
+            F.element_at("sig", F.col("b") * 3 + 2).cast("string"),
+            F.element_at("sig", F.col("b") * 3 + 3).cast("string"),
+        ).alias("band_hash"),
+    )
+    probe = bands.filter(F.col("is_delta")).select(
+        F.col("doc_id").alias("doc_p"), "b", "band_hash"
+    )
+    build = bands.select(F.col("doc_id").alias("doc_q"), "b", "band_hash")
+    cand = (
+        probe.join(build, ["b", "band_hash"])
+        .filter(F.col("doc_p") != F.col("doc_q"))
+        .select(
+            F.least("doc_p", "doc_q").alias("doc_a"),
+            F.greatest("doc_p", "doc_q").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("is_delta").alias("delta_a"),
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("is_delta").alias("delta_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
+            F.when(F.col("delta_a") & F.col("delta_b"), F.lit("delta-delta"))
+            .otherwise(F.lit("delta-base"))
+            .alias("pair_type"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5)

@@ -1535,3 +1535,33 @@ def test_heaps_fit_conserves_vocabulary(spark):
         if r["n_docs"] >= 2:
             assert r["heaps_beta"] is not None
             assert 0.0 <= r["heaps_beta"] <= 1.05, r  # tiny synthetic vocab saturates -> slope ~0
+
+
+def test_incremental_lsh_equals_full_restriction(spark):
+    """The maintenance law: probing only the delta batch against the
+    standing corpus must find EXACTLY the full rebuild's pairs
+    restricted to pairs touching a delta doc — nothing missed (no
+    base-side candidate pruning can lose a delta pair) and nothing
+    extra."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["pair_type"])
+        for r in REGISTRY["incremental_lsh_probe"].fn(spark, SF_SMOKE).collect()
+    }
+
+    def is_delta(doc_id: int) -> bool:
+        import hashlib
+
+        h = int(hashlib.md5(f"{doc_id}|split-seed-1".encode()).hexdigest()[:8], 16)
+        return h % 100 >= 90
+
+    expect = {k: v for k, v in full.items() if is_delta(k[0]) or is_delta(k[1])}
+    assert set(inc) == set(expect)
+    for k, (j, ptype) in inc.items():
+        assert j == expect[k]
+        want = "delta-delta" if (is_delta(k[0]) and is_delta(k[1])) else "delta-base"
+        assert ptype == want
+    assert inc, "fixture delta batch produced no near-dup pairs — law vacuous"
