@@ -508,6 +508,18 @@ against the auto-derived summary above and re-date any edit.
   AQE stage materializations, not extra convergence rounds.  This is
   the measured form of every iterative docstring's claim: per-round
   work grows with data, round count does not.
+- **r7 curation tier (same-day probe).**  `dsir_importance_weights`
+  0.8×/0.9× and `quality_filter_logistic_gd` 0.6×/0.5× at 10× — both
+  broadcast-model shapes where only the 4096/512-row model moves;
+  `dedup_span_removal` 0.5× with the expected AQE SMJ demotion on the
+  gram join-back; `heaps_vocab_growth` 2.4× (token-grain shuffles,
+  source-partitioned window).  `incremental_lsh_probe` reads 8.0× —
+  but its verified pair OUTPUT grew 45 → 46,164 (~1000×: the sf1
+  near-dup corpus is the adversarial input for a delta-vs-corpus
+  probe, every delta doc collides with all nine replica siblings), so
+  per-pair cost fell ~100×; on the rate-preserving axis the probe's
+  per-batch cost tracks batch size by construction (the candidate
+  join keys only on delta bands).
 - **The ANN recall floor caught a real bug and the fix closed it.**
   At sf1 the label-filed IVF measured recall@5 = 0.30 single-probe /
   0.60 multi-probe (worst query 0.0) while its wall ratios looked
