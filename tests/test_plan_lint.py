@@ -69,6 +69,7 @@ BNLJ_OK = {
     "sem_bootstrap_ci",
     "spatial_nn_expanding_ring",
     "target_encoding_smoothed",
+    "temperature_mixing_weights",
     "tfidf_top_terms",
     "trending_users_decayed",
     "unigram_ll_quality",
