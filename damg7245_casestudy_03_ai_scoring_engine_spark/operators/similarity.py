@@ -1923,3 +1923,118 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_chars") <= 2500)
         .select("query_id", "rk", "cand_id", "cand_chars", "cum_chars")
     )
+
+
+_DRIFT_Q = 1_000_000  # global quantization scale (|x| < 1 in the corpus)
+
+
+@register(
+    "embedding_drift_by_label",
+    survey="similarity (extension: per-label embedding drift monitor — centroid cosine + dispersion from exact integer moments)",
+    oracle=rf"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+    SELECT label,
+           unnest(range(1, 65)) AS i,
+           unnest(list_transform(v, x -> CAST(trunc(x * {_DRIFT_Q}) AS BIGINT))) AS qv
+    FROM e
+),
+dim AS (
+    SELECT label, i,
+           CAST(sum(qv) AS BIGINT) AS s,
+           CAST(sum(qv * qv) AS BIGINT) AS ssq
+    FROM q GROUP BY label, i
+),
+gdim AS (SELECT i, CAST(sum(s) AS BIGINT) AS g FROM dim GROUP BY i),
+n AS (SELECT label, count(*) AS n_vectors FROM e GROUP BY label),
+mo AS (
+    SELECT d.label,
+           sum(d.s::HUGEINT * g.g) AS sg,
+           sum(d.s::HUGEINT * d.s) AS ss,
+           sum(d.ssq::HUGEINT) AS ssq
+    FROM dim d JOIN gdim g ON d.i = g.i GROUP BY d.label
+),
+gn AS (SELECT sum(g::HUGEINT * g) AS gg FROM gdim)
+SELECT n.label,
+       CAST(n.n_vectors AS BIGINT) AS n_vectors,
+       floor(CAST(mo.sg AS DOUBLE)
+             / nullif(sqrt(CAST(mo.ss AS DOUBLE)) * sqrt(CAST(gn.gg AS DOUBLE)), 0)
+             * 1e6 + 0.5) / 1e6 AS cos_to_global,
+       floor((n.n_vectors * CAST(mo.ssq AS DOUBLE) - CAST(mo.ss AS DOUBLE))
+             / (CAST(n.n_vectors AS DOUBLE) * n.n_vectors)
+             / {_DRIFT_Q}.0 / {_DRIFT_Q}.0 * 1e6 + 0.5) / 1e6 AS dispersion
+FROM n JOIN mo ON n.label = mo.label, gn
+""",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor at the label (segment) grain: each
+    label's centroid cosine against the GLOBAL corpus centroid, plus
+    within-label dispersion (mean squared distance to own centroid) —
+    the two numbers a training-data pipeline tracks to catch a source
+    whose embedding distribution is sliding away from the corpus.
+
+    Parity design: embeddings are quantized ONCE at a fixed global
+    scale (trunc(x·1e6) — Spark's double→bigint cast truncates,
+    DuckDB's rounds, so the oracle truncs explicitly), after which
+    every moment is an exact integer: per-(label, dim) sums and
+    square sums, the global per-dim sums, and the centroid cross
+    products in a 128-bit carrier (S·G terms reach ~4e19).  The 1/n
+    factors cancel inside the cosine; dispersion uses the exact
+    n·Σ||v||² − ||Σv||² identity.  The ONLY floats are the final
+    sqrt/divisions of identically-converted exact integers.
+
+    Scale shape: one narrow posexplode to the (label, dim) grain
+    (64 rows per label after the map-side-combined aggregate), a
+    64-row broadcast of the global dimension sums, and label-grain
+    folds — the corpus is touched exactly once, and nothing wider
+    than (label, dim) ever shuffles."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = F.transform("v", lambda x: (x * _DRIFT_Q).cast("bigint"))
+    q = e.select("label", F.posexplode(qv).alias("i", "q"))
+    dim = q.groupBy("label", "i").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ssq"),
+    )
+    from ..functions.cache import tracked_persist
+    from ..functions.core import round_stable
+
+    dim = tracked_persist(dim, "embedding_drift_by_label.dim")
+    gdim = dim.groupBy("i").agg(F.sum("s").alias("g"))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = (
+        dim.join(F.broadcast(gdim), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(dec("s") * dec("g")).alias("sg"),
+            F.sum(dec("s") * dec("s")).alias("ss"),
+            F.sum(dec("ssq")).alias("ssq"),
+        )
+    )
+    gn = gdim.agg(F.sum(dec("g") * dec("g")).alias("gg"))
+    nv = F.col("n_vectors").cast("double")
+    denom = F.sqrt(F.col("ss").cast("double")) * F.sqrt(F.col("gg").cast("double"))
+    return (
+        n.join(mo, "label")
+        .crossJoin(F.broadcast(gn))  # 1-row global-norm attach
+        .select(
+            "label",
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            round_stable(
+                F.when(denom != 0.0, F.col("sg").cast("double") / denom), 6
+            ).alias("cos_to_global"),
+            round_stable(
+                (nv * F.col("ssq").cast("double") - F.col("ss").cast("double"))
+                / (nv * nv)
+                / float(_DRIFT_Q)
+                / float(_DRIFT_Q),
+                6,
+            ).alias("dispersion"),
+        )
+    )

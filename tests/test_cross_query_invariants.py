@@ -1595,3 +1595,39 @@ def test_zipf_slope_is_negative_and_vocab_consistent(spark):
         assert r["vocab_size"] == heaps[s]["vocab_size"]
         if r["zipf_slope"] is not None:
             assert -3.0 <= r["zipf_slope"] <= 0.0, r
+
+
+def test_embedding_drift_matches_numpy_replay(spark):
+    """Cosine-to-global and dispersion per label must match a numpy
+    replay of the same quantized-moment formulas (independent of the
+    Spark aggregation path), and basic geometry must hold: cosines in
+    [-1, 1], dispersions non-negative, label counts conserved."""
+    import numpy as np
+
+    rows = (
+        load(spark, SF_SMOKE, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label: dict = {}
+    for r in rows:
+        q = np.trunc(np.array(r["embedding"], dtype=np.float64) * 1_000_000)
+        by_label.setdefault(r["label"], []).append(q)
+    G = np.sum([q for qs in by_label.values() for q in qs], axis=0)
+    got = {
+        r["label"]: r
+        for r in REGISTRY["embedding_drift_by_label"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_label)
+    for lab, qs in by_label.items():
+        S = np.sum(qs, axis=0)
+        ssq = float(sum(float(q @ q) for q in qs))
+        n = len(qs)
+        cos = float(S @ G) / (np.sqrt(float(S @ S)) * np.sqrt(float(G @ G)))
+        disp = (n * ssq - float(S @ S)) / (n * n) / 1e12
+        r = got[lab]
+        assert r["n_vectors"] == n
+        assert abs(r["cos_to_global"] - cos) < 2e-6, (lab, r["cos_to_global"], cos)
+        assert abs(r["dispersion"] - disp) < 2e-6
+        assert -1.0 <= r["cos_to_global"] <= 1.0
+        assert r["dispersion"] >= 0.0

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "dsir_importance_weights",
     "drift_chi2_value_buckets",
     "eb_shrunk_return_rates",
+    "embedding_drift_by_label",
     "fulfillment_lag_quantiles",
     "hr_position_stack",
     "hybrid_retrieval_rrf",
