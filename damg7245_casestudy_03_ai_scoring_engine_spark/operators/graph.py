@@ -508,3 +508,101 @@ def cheapest_path_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         F.col("cost").alias("min_cost_cents"),
     )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    """DuckDB oracle for label-propagation communities — the same
+    fixed 4-round synchronous majority-vote iteration, unrolled as
+    chained aggregate CTEs.  Every quantity is an INTEGER (labels,
+    counts, argmax tie-broken by min label), so the value hash is
+    exact with no rounding analysis at all — the all-integer end of
+    the finite-iteration-replay pattern."""
+    steps = []
+    for k in range(1, _LPA_ITERS + 1):
+        steps.append(f"""c{k} AS (
+    SELECT e.dst AS node, p.lab, count(*) AS cnt
+    FROM l{k - 1} p JOIN edges e ON e.src = p.node
+    GROUP BY e.dst, p.lab
+),
+l{k} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM c{k}
+    ) WHERE rn = 1
+)""")
+        chain = ",\n".join(steps)
+    return f"""
+WITH ed AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 10 = 0
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM ed
+    UNION ALL
+    SELECT supp, cust FROM ed
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS lab FROM nodes),
+{chain}
+SELECT lab AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l{_LPA_ITERS}
+GROUP BY lab
+"""
+
+
+@register(
+    "label_propagation_communities",
+    survey="graph (extension: synchronous label-propagation communities, unrolled all-integer oracle)",
+    oracle=_lpa_oracle(),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    customer↔supplier transaction graph: every node starts as its own
+    label; each round, a node adopts the MAJORITY label among its
+    neighbors (ties broken by the smallest label) — fixed 4 rounds,
+    fully deterministic.  Output: per surviving community, its size
+    and canonical (minimum) member.
+
+    Each round is ONE equi-join (edges ⋈ labels on src) and TWO
+    key-local aggregates (neighbor-label counts on (dst, label), then
+    the per-node argmax window partitioned by node) — the identical
+    shuffle profile as a PageRank round, with `localCheckpoint`
+    truncating lineage.  Round count is fixed by construction, so the
+    sf10 invariance the iterative tier measures applies verbatim.
+    The DuckDB twin unrolls the same 4 rounds; with labels, counts,
+    and tie-breaks all integers, parity is exact with no float
+    analysis anywhere (see _lpa_oracle)."""
+    from pyspark.sql import Window
+
+    edges = transaction_edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node2"), "lab")
+            .groupBy(F.col("node2").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )
