@@ -64,12 +64,19 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",         # banded LSH join
     "dedup_containment_prefix",  # prefix inverted index
     "cross_doc_dup_spans",       # span-hash agg
+    "dedup_span_removal",        # span removal + per-doc text rebuild
     "decontaminate_ngram_overlap",
     "tfidf_top_terms",
     "heavy_hitter_tokens",       # sketch-then-verify
     "text_quality_scores",
     "dsir_importance_weights",     # hashed-ngram broadcast scoring
     "quality_filter_logistic_gd",  # fixed-epoch distributed GD
+    "heaps_vocab_growth",        # vocab-curve log-log OLS
+    "zipf_rank_slope",           # rank-frequency log-log OLS
+    "temperature_mixing_weights",  # source-grain n^alpha rebalancing
+    "incremental_lsh_probe",     # delta-vs-corpus band probe
+    "embedding_drift_by_label",  # exact-moment centroid drift
+    "label_propagation_communities",  # per-round join+argmax, fixed rounds
     "ann_ivf_topk",              # cell-blocked ANN
     "lsh_cosine_pairs",          # hyperplane LSH (exhaustive listing)
     "lsh_pairs_topk",            # k-bounded LSH shortlist (bench headliner)
@@ -328,6 +335,7 @@ ITERATIVE_QUERIES = [
     "bfs_hop_distance",
     "cheapest_path_bellman_ford",
     "item_cooccurrence_topk",
+    "label_propagation_communities",
 ]
 
 
@@ -520,6 +528,11 @@ against the auto-derived summary above and re-date any edit.
   per-pair cost fell ~100×; on the rate-preserving axis the probe's
   per-batch cost tracks batch size by construction (the candidate
   join keys only on delta bands).
+  Late-r7 additions probe flat as designed: `zipf_rank_slope` 1.1×,
+  `temperature_mixing_weights` 1.4× (source-grain scalar math),
+  `embedding_drift_by_label` 0.9× (64-row dim grain), and
+  `label_propagation_communities` 1.6× at 10× edges (fixed 4 rounds,
+  per-round join+argmax — the PageRank shuffle profile).
 - **The ANN recall floor caught a real bug and the fix closed it.**
   At sf1 the label-filed IVF measured recall@5 = 0.30 single-probe /
   0.60 multi-probe (worst query 0.0) while its wall ratios looked
