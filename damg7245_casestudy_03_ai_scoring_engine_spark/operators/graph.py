@@ -534,7 +534,7 @@ l{k} AS (
         FROM c{k}
     ) WHERE rn = 1
 )""")
-        chain = ",\n".join(steps)
+    chain = ",\n".join(steps)
     return f"""
 WITH ed AS (
     SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
