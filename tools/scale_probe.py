@@ -320,6 +320,7 @@ CORPUS_QUERIES = {
     "text_quality_scores",
     "dsir_importance_weights",     # hashed-ngram broadcast scoring
     "quality_filter_logistic_gd",  # fixed-epoch distributed GD
+    "incremental_lsh_probe",     # delta-vs-corpus band probe
     "ann_ivf_topk",
     "lsh_cosine_pairs",
     "lsh_pairs_topk",
@@ -525,9 +526,10 @@ against the auto-derived summary above and re-date any edit.
   but its verified pair OUTPUT grew 45 → 46,164 (~1000×: the sf1
   near-dup corpus is the adversarial input for a delta-vs-corpus
   probe, every delta doc collides with all nine replica siblings), so
-  per-pair cost fell ~100×; on the rate-preserving axis the probe's
-  per-batch cost tracks batch size by construction (the candidate
-  join keys only on delta bands).
+  per-pair cost fell ~100×; on the rate-preserving axis (sf1i) the
+  probe measures 5.0× for 10× corpus+batch with ~10× (linear) pair
+  output — the same band as the other corpus families, as the
+  candidate join keys only on delta bands.
   Late-r7 additions probe flat as designed: `zipf_rank_slope` 1.1×,
   `temperature_mixing_weights` 1.4× (source-grain scalar math),
   `embedding_drift_by_label` 0.9× (64-row dim grain), and
