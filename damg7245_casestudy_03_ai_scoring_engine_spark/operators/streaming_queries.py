@@ -1433,6 +1433,31 @@ def _bounded_walk_builder(cap: int):
 @register(
     "bounded_running_balance_stateful",
     survey="W5,§2.11 (extension: two-sided clamped scan — genuinely stateful, applyInPandas)",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) - {_DRAIN_CENTS} AS delta
+    FROM events
+),
+seq AS (
+    SELECT user_id,
+           list(delta ORDER BY ts_ns, event_id) AS ds,
+           list(event_id ORDER BY ts_ns, event_id) AS eids
+    FROM ev GROUP BY user_id
+),
+walk AS (
+    SELECT user_id, 1 AS i,
+           greatest(0, least({_BALANCE_CAP_CENTS}, ds[1])) AS bal
+    FROM seq
+    UNION ALL
+    SELECT w.user_id, w.i + 1,
+           greatest(0, least({_BALANCE_CAP_CENTS}, w.bal + s.ds[w.i + 1]))
+    FROM walk w JOIN seq s ON w.user_id = s.user_id
+    WHERE w.i < len(s.ds)
+)
+SELECT s.user_id, s.eids[w.i] AS event_id, CAST(w.bal AS BIGINT) AS balance_cents
+FROM walk w JOIN seq s ON w.user_id = s.user_id
+""",
 )
 def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running balance clamped to [0, cap] — the TWO-SIDED version of
@@ -1442,10 +1467,13 @@ def bounded_running_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     structure both ways), so this is the registry's canonical
     "genuinely sequential per key" operator: an Arrow-batched
     `applyInPandas` walk per user, deterministic under the
-    (ts, event_id) total order, rows-only checked (python replay +
-    the cap→∞ degeneration law: with the ceiling above any reachable
-    balance it must equal the closed-form window query EXACTLY —
-    both pinned in tests).
+    (ts, event_id) total order.  As of r7 it is fully ORACLE-checked:
+    the DuckDB twin replays the identical clamp recursion with a
+    WITH RECURSIVE walk over each user's (ts, event_id)-ordered delta
+    list — exact cents in, exact cents out, no float analysis — on
+    top of the earlier python-replay and cap→∞ degeneration pins
+    (with the ceiling above any reachable balance it must equal the
+    closed-form window query EXACTLY — both in tests).
 
     Scale shape: one exchange (groupBy user), state is O(1) per key,
     batch transfer is Arrow; per-user row counts bound task memory
