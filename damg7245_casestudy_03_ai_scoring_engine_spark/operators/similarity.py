@@ -1944,7 +1944,7 @@ q AS (
 dim AS (
     SELECT label, i,
            CAST(sum(qv) AS BIGINT) AS s,
-           CAST(sum(qv * qv) AS BIGINT) AS ssq
+           sum(qv::HUGEINT * qv) AS ssq
     FROM q GROUP BY label, i
 ),
 gdim AS (SELECT i, CAST(sum(s) AS BIGINT) AS g FROM dim GROUP BY i),
@@ -1953,7 +1953,7 @@ mo AS (
     SELECT d.label,
            sum(d.s::HUGEINT * g.g) AS sg,
            sum(d.s::HUGEINT * d.s) AS ss,
-           sum(d.ssq::HUGEINT) AS ssq
+           sum(d.ssq) AS ssq
     FROM dim d JOIN gdim g ON d.i = g.i GROUP BY d.label
 ),
 gn AS (SELECT sum(g::HUGEINT * g) AS gg FROM gdim)
@@ -1999,7 +1999,12 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select("label", F.posexplode(qv).alias("i", "q"))
     dim = q.groupBy("label", "i").agg(
         F.sum("q").alias("s"),
-        F.sum(F.col("q") * F.col("q")).alias("ssq"),
+        # 128-bit carrier: Σq² per (label, dim) passes int64 at extreme
+        # label cardinalities while DuckDB promotes to int128 — the
+        # lift_ppm overflow-divergence class, closed up front
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("ssq"),
     )
     from ..functions.cache import tracked_persist
     from ..functions.core import round_stable

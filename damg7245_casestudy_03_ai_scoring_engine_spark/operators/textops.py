@@ -2834,8 +2834,8 @@ agg AS (
     SELECT source, count(*) AS m,
            CAST(sum(qx) AS BIGINT) AS sx,
            CAST(sum(qy) AS BIGINT) AS sy,
-           CAST(sum(qx * qy) AS BIGINT) AS sxy,
-           CAST(sum(qx * qx) AS BIGINT) AS sxx,
+           sum(qx::HUGEINT * qy) AS sxy,
+           sum(qx::HUGEINT * qx) AS sxx,
            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
            CAST(sum(n_new) AS BIGINT) AS vocab_size
     FROM q GROUP BY source
@@ -2921,8 +2921,15 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("m"),
         F.sum("qx").alias("sx"),
         F.sum("qy").alias("sy"),
-        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
-        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        # 128-bit carrier: at extreme per-source doc counts the squared-
+        # moment sums pass int64 while DuckDB auto-promotes to int128 —
+        # the lift_ppm overflow-divergence class, closed here up front
+        F.sum(
+            F.col("qx").cast("decimal(38,0)") * F.col("qy").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("qx").cast("decimal(38,0)") * F.col("qx").cast("decimal(38,0)")
+        ).alias("sxx"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
         F.sum("n_new").cast("bigint").alias("vocab_size"),
     )
@@ -3041,8 +3048,8 @@ agg AS (
     SELECT source, count(*) AS m,
            CAST(sum(qx) AS BIGINT) AS sx,
            CAST(sum(qy) AS BIGINT) AS sy,
-           CAST(sum(qx * qy) AS BIGINT) AS sxy,
-           CAST(sum(qx * qx) AS BIGINT) AS sxx
+           sum(qx::HUGEINT * qy) AS sxy,
+           sum(qx::HUGEINT * qx) AS sxx
     FROM q GROUP BY source
 )
 SELECT source,
@@ -3091,8 +3098,13 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("m"),
         F.sum("qx").alias("sx"),
         F.sum("qy").alias("sy"),
-        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
-        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        # same 128-bit squared-moment carrier as heaps_vocab_growth
+        F.sum(
+            F.col("qx").cast("decimal(38,0)") * F.col("qy").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("qx").cast("decimal(38,0)") * F.col("qx").cast("decimal(38,0)")
+        ).alias("sxx"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (dec("m") * dec("sxy") - dec("sx") * dec("sy")).cast("double")
