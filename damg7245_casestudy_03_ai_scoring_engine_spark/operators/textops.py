@@ -3010,7 +3010,8 @@ def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qw"),
     )
-    tot = q.agg(F.sum("qw").alias("tq"))
+    # decimal normalizer: DuckDB promotes sum(qw) to int128; match it
+    tot = q.agg(F.sum(F.col("qw").cast("decimal(38,0)")).alias("tq"))
     return q.crossJoin(F.broadcast(tot)).select(  # 1-row totals attach
         "source",
         F.col("n_docs").cast("bigint").alias("n_docs"),
