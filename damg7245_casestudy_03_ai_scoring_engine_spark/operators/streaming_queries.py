@@ -3548,3 +3548,122 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "not_yet_converted"
         ),
     )
+
+
+@register(
+    "cusum_drift_alarms",
+    survey="W5,M19 (extension: two-sided CUSUM change detection via the Lindley closed form)",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // {_DAY_NS} AS day_idx,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, CAST(2 * median(dq) AS BIGINT) AS med2
+    FROM daily GROUP BY event_type
+),
+d AS (
+    SELECT daily.event_type, day_idx, 2 * dq - med2 AS dd, 2 * med2 AS h2
+    FROM daily JOIN med USING (event_type)
+),
+p AS (
+    SELECT event_type, day_idx, h2,
+           sum(dd) OVER (PARTITION BY event_type ORDER BY day_idx
+                         ROWS UNBOUNDED PRECEDING) AS pfx
+    FROM d
+),
+sw AS (
+    SELECT event_type, h2, pfx,
+           min(pfx) OVER (PARTITION BY event_type ORDER BY day_idx
+                          ROWS UNBOUNDED PRECEDING) AS rmin,
+           max(pfx) OVER (PARTITION BY event_type ORDER BY day_idx
+                          ROWS UNBOUNDED PRECEDING) AS rmax
+    FROM p
+),
+sc AS (
+    SELECT event_type, h2,
+           pfx - least(0, rmin) AS s_hi,
+           greatest(0, rmax) - pfx AS s_lo
+    FROM sw
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN s_hi > h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_alarms,
+       CAST(sum(CASE WHEN s_lo > h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alarms,
+       CAST(max(s_hi) AS BIGINT) AS max_cusum_high_x2,
+       CAST(max(s_lo) AS BIGINT) AS max_cusum_low_x2
+FROM sc GROUP BY event_type
+""",
+)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection over each event type's daily
+    value series: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target)) accumulates
+    upward drift, S⁻ₜ the mirror image, alarming when either exceeds
+    twice the target (target = the type's exact median daily cents).
+    The production control-chart companion to the MAD outlier fences
+    and the chi²/KS drift tests — those flag level shifts point-wise,
+    CUSUM catches slow drifts that never individually breach a fence.
+
+    The max(0, ·) recursion is the SAME Lindley walk as
+    `capped_running_balance`, solved by the same closed form instead
+    of a stateful scan: S⁺ = pfx − min(0, running-min pfx), and on
+    negated deltas S⁻ = max(0, running-max pfx) − pfx — so BOTH sides
+    come out of one prefix sum plus two running extrema in a single
+    event_type-partitioned WindowExec.  Everything is integer: daily
+    cents are exact, and doubling (2·x − 2·median) keeps the target
+    exact even when the median interpolates halfway, so outputs carry
+    the `_x2` unit suffix and parity needs no float analysis.
+
+    Scale shape: one corpus pass to the (type, day) grain with
+    map-side combine (metadata-sized output — 10 types × days), a
+    broadcast-joined per-type target, and windows over that same tiny
+    grain; at 100 TB the scan dominates and the chart math is free."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts div {_DAY_NS}").alias("day_idx"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5))).cast("long").alias("cents"),
+    )
+    daily = d.groupBy("event_type", "day_idx").agg(
+        F.sum("cents").cast("long").alias("dq")
+    )
+    from ..functions.cache import tracked_persist
+
+    daily = tracked_persist(daily, "cusum_drift_alarms.daily")
+    med = daily.groupBy("event_type").agg(
+        (F.lit(2) * F.expr("percentile(dq, 0.5)")).cast("long").alias("med2")
+    )
+    dd = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day_idx",
+        (F.lit(2) * F.col("dq") - F.col("med2")).alias("dd"),
+        (F.lit(2) * F.col("med2")).alias("h2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = dd.withColumn("pfx", F.sum("dd").over(w))
+    sw = p.withColumn("rmin", F.min("pfx").over(w)).withColumn(
+        "rmax", F.max("pfx").over(w)
+    )
+    sc = sw.select(
+        "event_type",
+        "h2",
+        (F.col("pfx") - F.least(F.lit(0), F.col("rmin"))).alias("s_hi"),
+        (F.greatest(F.lit(0), F.col("rmax")) - F.col("pfx")).alias("s_lo"),
+    )
+    return sc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum((F.col("s_hi") > F.col("h2")).cast("int")).cast("bigint").alias(
+            "n_high_alarms"
+        ),
+        F.sum((F.col("s_lo") > F.col("h2")).cast("int")).cast("bigint").alias(
+            "n_low_alarms"
+        ),
+        F.max("s_hi").cast("bigint").alias("max_cusum_high_x2"),
+        F.max("s_lo").cast("bigint").alias("max_cusum_low_x2"),
+    )

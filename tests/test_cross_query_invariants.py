@@ -1631,3 +1631,52 @@ def test_embedding_drift_matches_numpy_replay(spark):
         assert abs(r["dispersion"] - disp) < 2e-6
         assert -1.0 <= r["cos_to_global"] <= 1.0
         assert r["dispersion"] >= 0.0
+
+
+def test_cusum_matches_python_replay(spark):
+    """CUSUM alarms must match a sequential python replay of the
+    literal two-sided recursion (not the closed form) — pinning the
+    Lindley identity on REAL data for both sides at once."""
+    from collections import defaultdict
+
+    daily = defaultdict(dict)
+    for r in (
+        load(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day_idx"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("dq"))
+        .collect()
+    ):
+        daily[r["event_type"]][r["day_idx"]] = r["dq"]
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["cusum_drift_alarms"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        vals = [series[d] for d in sorted(series)]
+        sv = sorted(vals)
+        n = len(sv)
+        med2 = sv[n // 2] * 2 if n % 2 else sv[n // 2 - 1] + sv[n // 2]
+        h2 = 2 * med2
+        s_hi = s_lo = 0
+        hi_alarms = lo_alarms = max_hi = max_lo = 0
+        for v in vals:
+            dd = 2 * v - med2
+            s_hi = max(0, s_hi + dd)
+            s_lo = max(0, s_lo - dd)
+            hi_alarms += s_hi > h2
+            lo_alarms += s_lo > h2
+            max_hi = max(max_hi, s_hi)
+            max_lo = max(max_lo, s_lo)
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["n_high_alarms"] == hi_alarms, et
+        assert r["n_low_alarms"] == lo_alarms, et
+        assert r["max_cusum_high_x2"] == max_hi
+        assert r["max_cusum_low_x2"] == max_lo
