@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "rolling_active_users",      # window over event time
     "capped_running_balance",    # running fold
     "user_sessionization",       # session windows
+    "cusum_drift_alarms",        # Lindley closed-form control chart
     "topk_per_group",            # per-group top-k
     "column_profile",            # full-width profiling
     "dedup_minhash_lsh",         # banded LSH join
