@@ -65,8 +65,17 @@ def score_band(col: Column | str) -> Column:
 
 
 def round_stable(col: Column | str, scale: int) -> Column:
-    """Cross-engine-stable fixed-point rounding for NON-NEGATIVE
-    doubles: floor(x·10^s + 0.5)/10^s.
+    """Cross-engine-stable fixed-point rounding for SIGNED doubles:
+    floor(x·10^s + 0.5)/10^s.
+
+    On negatives this is round-half-UP toward +inf (-0.5 → 0, not
+    -1), i.e. NOT half-away-from-zero — that asymmetry is fine and
+    deliberate: parity only needs both engines to spell the IDENTICAL
+    formula, and the oracle SQL does (mom_revenue_growth and the CUSUM
+    family feed negatives through it; signed-value parity is pinned in
+    tests/test_functions.py).  Do not "fix" this into abs()-based
+    symmetric rounding — that would double the formula surface for
+    zero parity gain.
 
     Spark's `round()` rounds the exact decimal expansion of the double
     (BigDecimal HALF_UP) while DuckDB rounds the SCALED double — at a

@@ -1468,8 +1468,8 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        count(*) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(20,0)) / 100
-           AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1
@@ -1482,12 +1482,14 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone enters the bucketing, so the hostile-session gate and the
     naive DuckDB oracle agree exactly.
 
-    Revenue is an exact-integer cents sum surfaced as DECIMAL — at
-    sf0.1 a month's revenue (~4.4e8 at 2 decimals) sits in the
+    Revenue is an exact-integer cents sum surfaced as INT64 CENTS —
+    at sf0.1 a month's revenue (~4.4e8 at 2 decimals) sits in the
     magnitude band where NO double representation is fixed-point
-    (ulp(revenue·1e7) ≈ 1), so both round() and the floor-pattern
-    doubles flunk the float-hygiene lint; decimal is the only exact
-    carrier (caught by the once-per-round sf0.1 parity sweep)."""
+    (ulp(revenue·1e7) ≈ 1), so doubles flunk the float-hygiene lint;
+    and a DECIMAL carrier hash-diverges in the driver comparator
+    (Spark decimal(26,6) vs DuckDB's decimal/int → DOUBLE division
+    promotion — the r7 mom_revenue_growth red row).  Int64 cents is
+    the one output type both engines materialize identically."""
     o = load(spark, sf_dir, "orders")
     cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     return (
@@ -1497,7 +1499,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (cents.cast("decimal(20,0)") / F.lit(100)).alias("revenue"),
+            cents.alias("revenue_cents"),
         )
     )
 
@@ -2156,7 +2158,7 @@ tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs)
 SELECT e.d AS digit,
        coalesce(o.n, 0) AS n,
        round(coalesce(o.n, 0) / CAST(t.n_tot AS DOUBLE), 6) AS observed,
-       e.p AS expected,
+       CAST(e.p AS DOUBLE) AS expected,
        round(abs(coalesce(o.n, 0) / CAST(t.n_tot AS DOUBLE) - e.p), 6) AS abs_dev
 FROM expected e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
 """,
@@ -3192,7 +3194,7 @@ lg AS (
     FROM m
 )
 SELECT month,
-       CAST(cents AS DECIMAL(20,0)) / 100 AS revenue,
+       cents AS revenue_cents,
        CAST(CASE WHEN prev_cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_prev,
        CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN 0.0
             ELSE floor((CAST(cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
@@ -3203,10 +3205,13 @@ FROM lg
 )
 def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth — the first page of every
-    revenue dashboard: calendar-month exact-cents totals (DECIMAL
-    carrier per the monthly_revenue_trend float-band rule) with the
-    growth ratio vs the previous month as one guarded round_stable
-    division over exact int64 cents.
+    revenue dashboard: calendar-month exact-cents totals (surfaced as
+    int64 cents — the one carrier both engines materialize
+    identically; Spark DECIMAL(26,6) vs DuckDB's decimal/int DOUBLE
+    promotion hash-diverged in the r7 driver even though every value
+    was bit-identical after normalization) with the growth ratio vs
+    the previous month as one guarded round_stable division over
+    exact int64 cents.
 
     Scale shape: the fact aggregate is the work; the lag runs on the
     O(#months) month grain — the bounded single-partition window this
@@ -3232,7 +3237,7 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lg.select(
         "month",
-        (F.col("cents").cast("decimal(20,0)") / F.lit(100)).alias("revenue"),
+        F.col("cents").alias("revenue_cents"),
         F.col("prev_cents").isNotNull().cast("long").alias("has_prev"),
         growth.alias("mom_growth"),
     )

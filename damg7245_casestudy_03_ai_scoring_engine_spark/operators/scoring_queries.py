@@ -149,10 +149,10 @@ h AS (
 ),
 scored AS (
     SELECT v.company_id, c.sector, v.vr_score, h.hhi, h.n_items,
-           CASE WHEN h.n_items < 15 THEN 1.0
+           CAST(CASE WHEN h.n_items < 15 THEN 1.0
                 WHEN h.hhi >= 0.70 THEN 0.85
                 WHEN h.hhi >= 0.40 THEN 0.95
-                ELSE 1.0 END AS hhi_factor,
+                ELSE 1.0 END AS DOUBLE) AS hhi_factor,
            CASE c.sector
              WHEN 'Industrials' THEN 72.0
              WHEN 'Healthcare' THEN 78.0

@@ -135,6 +135,100 @@ def test_oracle_output_types_no_hugeint(duck):
     )
 
 
+def _duck_type_class(t: str) -> str:
+    """Type-class of a DuckDB DESCRIBE column_type string."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "array<" + _duck_type_class(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT") or t.startswith("U"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in ("VARCHAR", "CHAR", "TEXT"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "binary"
+    return t.lower()
+
+
+def _spark_type_class(dt) -> str:
+    """Type-class of a Spark DataType (mirror of _duck_type_class)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return "array<" + _spark_type_class(dt.elementType) + ">"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return dt.typeName()
+
+
+def test_oracle_output_type_classes_match(spark, duck):
+    """Registry-wide typing lint, the GENERAL form of the HUGEINT rule:
+    for every oracle query, the DuckDB DESCRIBE type-class must equal
+    the Spark output type-class column-by-column (int / float /
+    decimal / date / timestamp / string / bool / array<elem>).
+
+    Two driver red rows came from type-class drift that every
+    fetchall()-based local mirror normalizes away: r5
+    `domain_token_budget` (DuckDB HUGEINT vs Spark int64) and r7
+    `mom_revenue_growth` (Spark DECIMAL(26,6) revenue vs DuckDB's
+    decimal/int division promoting to DOUBLE — bit-identical values,
+    diverging materialization).  Matching type-classes kill the whole
+    family: the driver's hasher sees the same Python type on both
+    sides.  DESCRIBE plans without executing and Spark schemas come
+    from plan analysis only, so this sweeps all oracles cheaply."""
+    offenders = {}
+    for name in ORACLE_QUERIES:
+        spec = REGISTRY[name]
+        desc = duck.execute("DESCRIBE " + spec.oracle).fetchall()
+        dclasses = {c.lower(): _duck_type_class(t) for c, t, *_ in desc}
+        sdf = spec.fn(spark, SF_SMOKE)
+        sclasses = {f.name.lower(): _spark_type_class(f.dataType) for f in sdf.schema.fields}
+        diffs = {
+            c: (sclasses.get(c), dclasses.get(c))
+            for c in set(sclasses) | set(dclasses)
+            if sclasses.get(c) != dclasses.get(c)
+        }
+        if diffs:
+            offenders[name] = diffs
+    assert not offenders, (
+        "oracle output type-class drift (driver value-hash trap — emit the "
+        "SAME type-class on both engines, e.g. int64 cents instead of "
+        "Spark-DECIMAL-vs-DuckDB-DOUBLE): "
+        + "\n".join(f"{n}: {d}" for n, d in sorted(offenders.items()))
+    )
+
+
 @pytest.mark.parametrize("name", WEAK_QUERIES)
 def test_rows_only(spark, name):
     spec = REGISTRY[name]

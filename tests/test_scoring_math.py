@@ -261,3 +261,37 @@ def test_golden_portfolio_full_flagship_dag(spark):
     # the priors impose a strict ordering the composite must preserve
     comps = [got[t].composite_score for t in ("NVDA", "JPM", "WMT", "GE", "DG")]
     assert comps == sorted(comps, reverse=True), comps
+
+
+def test_round_stable_signed_values_match_oracle_formula(spark, duck):
+    """round_stable on NEGATIVE inputs: floor(x·10^s + 0.5)/10^s is
+    round-half-toward-+inf (-0.5 → 0), NOT half-away-from-zero — and
+    that is fine for parity because the oracle SQL spells the
+    IDENTICAL formula (mom_revenue_growth growth ratios and the CUSUM
+    family feed negatives through it).  Pin the signed behavior on
+    both engines so nobody "fixes" one side into asymmetry."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.core import round_stable
+
+    vals = [-2.5e-7, -1.5e-7, -0.1234565, -0.9999995, -3.25, 0.0,
+            2.5e-7, 0.1234565, 3.25, -123.4567894]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.y
+        for r in df.select(round_stable(F.col("x"), 6).alias("y"))
+        .orderBy("x")
+        .collect()
+    ]
+    sql_vals = ", ".join(f"({v!r})" for v in vals)
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT floor(x * 1000000 + 0.5) / 1000000 AS y "
+            f"FROM (VALUES {sql_vals}) t(x) ORDER BY x"
+        ).fetchall()
+    ]
+    assert got == want
+    # the documented asymmetry, explicitly: exact -0.5 ticks round UP
+    one = spark.createDataFrame([(-2.5e-7,)], "x double").select(
+        round_stable(F.col("x"), 6).alias("y")
+    ).collect()[0].y
+    assert one == 0.0
