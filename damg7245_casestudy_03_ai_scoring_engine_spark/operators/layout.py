@@ -31,6 +31,7 @@ amortized over every downstream query.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -64,7 +65,14 @@ def _rev_exact() -> F.Column:
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    """Layout-build memo tag: basename + abspath hash, so two
+    datasets with the same directory basename in one session never
+    collide on a bucketed table / index / Z-order layout name (same
+    rule as similarity._sf_tag_sim, where the memo is
+    correctness-bearing)."""
+    base = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{h}"
 
 
 # --- bucketed co-located join ----------------------------------------------
@@ -534,6 +542,7 @@ def bloom_rebuild_decision(
     median_fill = float(stats["median_fill"] or 0.0)
     rebuild = median_fill > fill_threshold
     next_bits = bits
+    at_cap = False
     if rebuild:
         # size for the CURRENT generation's observed per-file load
         next_bits = _bloom_bits_for(
@@ -542,10 +551,20 @@ def bloom_rebuild_decision(
         )
         while next_bits <= bits and next_bits < _BLOOM_MAX_BITS:
             next_bits <<= 1
+        if next_bits <= bits:
+            # the generation is already at _BLOOM_MAX_BITS: rebuilding
+            # at the same width cannot reduce saturation, so don't
+            # recommend a futile rebuild loop — surface the capped
+            # state instead (the caller's escape hatch is splitting
+            # files / partitioning keys, not a wider filter)
+            at_cap = True
+            rebuild = False
+            next_bits = bits
     return {
         "median_fill": median_fill,
         "rebuild": rebuild,
         "next_bits": next_bits,
+        "at_cap": at_cap,
     }
 
 

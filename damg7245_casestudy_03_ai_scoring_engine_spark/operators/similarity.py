@@ -252,9 +252,18 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sf_tag_sim(sf_dir: str) -> str:
+    """Session-memo key for a dataset directory.  Keyed on the FULL
+    normalized path (basename + abspath hash), not the basename alone:
+    `_ivf_cells` memoizes the correctness-bearing (vec_id, cell)
+    filing, and two datasets sharing a directory basename in one
+    session must never reuse each other's cell assignment."""
+    import hashlib as _hashlib
+    import os as _os
     import re as _re
 
-    return _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    h = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{h}"
 
 
 def _ivf_probe_assign(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:

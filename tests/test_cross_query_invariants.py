@@ -1680,3 +1680,40 @@ def test_cusum_matches_python_replay(spark):
         assert r["n_low_alarms"] == lo_alarms, et
         assert r["max_cusum_high_x2"] == max_hi
         assert r["max_cusum_low_x2"] == max_lo
+
+
+def test_mixing_weight_pow_quantization_boundary_distance():
+    """temperature_mixing_weights quantizes the ONE transcendental —
+    pow(n_tokens, 0.7) — via floor(x·1e6 + 0.5) on both engines.  pow
+    is the libm function with the weakest accuracy guarantees (unlike
+    ln/sqrt it is not correctly rounded in either runtime), so a
+    few-ulp JVM-vs-DuckDB disagreement at a quantization boundary
+    would flip qw by 1 and diverge the value hash.  Pin the boundary
+    DISTANCE at every fixture scale the gate runs at: each source's
+    q = pow(n, 0.7)·1e6 must sit ≥ 4096 ulp(q) away from the nearest
+    half-integer flip point — a thousand-fold margin over any
+    plausible cross-libm pow spread (≤ a few ulp)."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        rows = con.execute(
+            rf"""
+            SELECT source, CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+            FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+            GROUP BY source
+            """
+        ).fetchall()
+        con.close()
+        assert rows
+        for source, n_tokens in rows:
+            q = math.pow(float(n_tokens), 0.7) * 1e6
+            fr = math.modf(q + 0.5)[0]
+            dist = min(fr, 1.0 - fr)
+            assert dist >= 4096 * math.ulp(q), (
+                f"{sf}/{source}: q={q!r} sits {dist} from a flip "
+                f"boundary (ulp={math.ulp(q)}) — re-derive the "
+                f"quantization scale for this operator"
+            )

@@ -118,3 +118,35 @@ def test_pq_adc_recall_and_shape(spark):
             assert abs(pq[q][c] - t[c]) < 1e-5, (q, c, pq[q][c], t[c])
         assert len(pq[q]) == len(t)  # full top-k emitted
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_quantized_prefilter_margin_is_provably_safe():
+    """The lsh_pairs_topk candidate stage drops pairs whose QUANTIZED
+    cosine estimate (floor(x·1000) int64 vq) falls below 0.39, while
+    the verify threshold on the EXACT cosine is 0.40 — a 0.01 margin
+    with no counterpart in the DuckDB oracle.  That asymmetry is safe
+    iff |est − cos| < 0.01 over the data domain.  Pin it: over EVERY
+    pair at both fixture SFs (not just bucket candidates — a superset
+    of anything the filter can ever see), the max quantization error
+    must sit under the margin with ≥2× headroom, and no pair with
+    exact cosine ≥ 0.40 may estimate below 0.39.  Also guard the norm
+    floor the error term scales with (err ~ √d/(1000·‖v‖)): vectors
+    at norm ≥ ~1 keep the worst case ≤ 0.008."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(E, axis=1)
+        assert nrm.min() >= 0.99, f"{sf}: norm floor broke ({nrm.min()})"
+        Q = np.floor(E * 1000)
+        qn = np.linalg.norm(Q, axis=1)
+        cos = (E @ E.T) / np.outer(nrm, nrm)
+        est = (Q @ Q.T) / np.outer(qn, qn)
+        iu = np.triu_indices(len(E), 1)
+        err = np.abs(cos[iu] - est[iu])
+        assert err.max() <= 0.005, f"{sf}: quantization error {err.max()} — margin gone"
+        qual = cos[iu] >= 0.4
+        dropped = int(np.sum(qual & (est[iu] < 0.39)))
+        assert dropped == 0, f"{sf}: prefilter would drop {dropped} qualifying pairs"

@@ -599,3 +599,26 @@ def test_compaction_plan_bins_invariants(spark):
         assert r.bin_id == cum // _COMPACT_TARGET_ROWS
         cum += r.n_rows
     assert max(by_bin) == (cum - rows[-1].n_rows) // _COMPACT_TARGET_ROWS
+
+
+def test_bloom_rebuild_decision_at_width_cap(spark):
+    """A generation already at _BLOOM_MAX_BITS that saturates must
+    NOT recommend a rebuild at the same width (futile-loop trap):
+    rebuild=False with at_cap=True and next_bits unchanged."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.layout import (
+        _BLOOM_MAX_BITS,
+        bloom_rebuild_decision,
+    )
+
+    idx = spark.createDataFrame(
+        [("f0", 0.95, 9_000_000), ("f1", 0.92, 8_500_000)],
+        "file string, fill_frac double, n_keys long",
+    )
+    d = bloom_rebuild_decision(idx, _BLOOM_MAX_BITS)
+    assert d["at_cap"] is True
+    assert d["rebuild"] is False
+    assert d["next_bits"] == _BLOOM_MAX_BITS
+    # and a healthy sub-cap generation still widens with at_cap False
+    d2 = bloom_rebuild_decision(idx, 1024)
+    assert d2["rebuild"] is True and d2["next_bits"] > 1024
+    assert d2["at_cap"] is False
