@@ -305,6 +305,65 @@ def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str, t: float) -> DataFra
     )
 
 
+def _containment_shingled64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment family's persisted silver: non-empty shingle
+    sets carried as xxhash64 int64 arrays (set sizes and intersection
+    cardinalities are invariant under an injective mapping; primitive
+    longs make dfreq/explode/array_intersect run without string
+    comparisons)."""
+    return tracked_persist(
+        _shingled_docs(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        ),
+        "dedup_containment.shingled64",
+    )
+
+
+def containment_prefix_candidate_count(spark: SparkSession, sf_dir: str) -> int:
+    """Pre-verify candidate-pair count of `dedup_containment_prefix`
+    at `sf_dir` — the scale probe records this per axis so a
+    superlinear wall can be attributed to candidate growth vs
+    join-strategy decay (the two look identical in a wall-ratio
+    table; they need opposite fixes)."""
+    sh = _containment_shingled64(spark, sf_dir)
+    return _containment_prefix_candidates(spark, sh, t=0.8).count()
+
+
+def _containment_prefix_candidates(
+    spark: SparkSession, sh: DataFrame, t: float
+) -> DataFrame:
+    """Candidate (doc_contained, doc_container) pairs for prefix-
+    filtered containment: the contained side's rare-prefix relation
+    equi-joined against the container side's FULL inverted index.
+    Exposed as a helper so tools/scale_probe.py can count the
+    candidate set per scale axis — wall-ratio tables alone cannot
+    distinguish candidate growth from join-strategy decay."""
+    prefix_a = _rare_prefix(sh, threshold=t, items_col="shingles")
+    all_b = sh.select(
+        F.col("doc_id").alias("doc_container"),
+        F.size("shingles").alias("n_b"),
+        F.explode("shingles").alias("w"),
+    )
+    return (
+        prefix_a.join(
+            all_b,
+            (prefix_a.w == all_b.w)
+            & (prefix_a.doc_id != all_b.doc_container)
+            & (prefix_a.n < all_b.n_b),
+        )
+        .select(F.col("doc_id").alias("doc_contained"), "doc_container")
+        .distinct()
+        # The candidate list is tiny in BYTES but each surviving row
+        # pays an array_intersect over full shingle arrays in the
+        # verify join — AQE's byte-based coalescing would serialize
+        # that onto 1-2 tasks, so spread the pairs explicitly.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _rare_prefix(d: DataFrame, threshold: float, items_col: str = "ws") -> DataFrame:
     """Per-doc prefix relation for prefix filtering: the
     `n - ceil(threshold·n) + 1` globally-rarest items of each doc,
@@ -692,35 +751,20 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive arrays instead of ~20-byte strings — measured 2.03 s →
     1.33 s at sf0.1 with identical output (same brute-force oracle)."""
     t = 0.8
-    sh = tracked_persist(
-        _shingled_docs(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
-        .select(
-            "doc_id",
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
-        ),
-        "dedup_containment.shingled64",
-    )
-    prefix_a = _rare_prefix(sh, threshold=t, items_col="shingles")
-    all_b = sh.select(
-        F.col("doc_id").alias("doc_container"),
-        F.size("shingles").alias("n_b"),
-        F.explode("shingles").alias("w"),
-    )
-    cand = (
-        prefix_a.join(
-            all_b,
-            (prefix_a.w == all_b.w)
-            & (prefix_a.doc_id != all_b.doc_container)
-            & (prefix_a.n < all_b.n_b),
-        )
-        .select(F.col("doc_id").alias("doc_contained"), "doc_container")
-        .distinct()
-        # The candidate list is tiny in BYTES but each surviving row
-        # pays an array_intersect over full shingle arrays in the
-        # verify join — AQE's byte-based coalescing would serialize
-        # that onto 1-2 tasks, so spread the pairs explicitly.
-        .repartition(spark.sparkContext.defaultParallelism)
+    sh = _containment_shingled64(spark, sf_dir)
+    # Materialization barrier at the sketch→verify boundary: without
+    # it AQE plans the two verify joins from STATIC estimates of the
+    # candidate subtree (a distinct over a join of two exploded
+    # relations — wildly over/under-estimated) and at 10× data picks a
+    # broadcast orientation that ships a multi-hundred-MB intermediate
+    # through the driver (measured 18–50 s at sf1i vs 1.2 s staged;
+    # candidates themselves grow exactly linearly — 150,626 → 1,506,995
+    # at 10×, SCALE.md r8).  Persisting the candidate list (linear in
+    # n, 16 B/row) gives AQE true stats, so the verify stays
+    # stream-candidates × broadcast-docs at any scale.
+    cand = tracked_persist(
+        _containment_prefix_candidates(spark, sh, t),
+        "dedup_containment.prefix_cand",
     )
     a = sh.select(F.col("doc_id").alias("doc_contained"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_container"), F.col("shingles").alias("sh_b"))

@@ -72,6 +72,8 @@ DEFAULT_QUERIES = [
     "text_quality_scores",
     "dsir_importance_weights",     # hashed-ngram broadcast scoring
     "quality_filter_logistic_gd",  # fixed-epoch distributed GD
+    "curation_decision_gate",    # composes 4 registered signals — one
+                                 # row proves composition ≤ Σ(components)
     "heaps_vocab_growth",        # vocab-curve log-log OLS
     "zipf_rank_slope",           # rank-frequency log-log OLS
     "temperature_mixing_weights",  # source-grain n^alpha rebalancing
@@ -92,6 +94,26 @@ DEFAULT_QUERIES = [
     "peak_event_rate_per_user",
     "item_cooccurrence_topk",
 ]
+
+# Pre-verify candidate-set counters, recorded per probe axis for the
+# sketch-then-verify dedup families.  A superlinear WALL with linear
+# CANDIDATES is a join-strategy/plan problem; superlinear CANDIDATES is
+# a blocking-scheme problem — a wall-ratio table cannot tell them
+# apart, and they need opposite fixes (r7's `dedup_containment_prefix`
+# sf1i 18.9× was the former: candidates grew exactly 10× while AQE's
+# static estimate of the candidate subtree flipped the verify join's
+# broadcast orientation; staging the candidate list fixed it).
+def _containment_cand(spark, sf_dir):
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.dedup import (
+        containment_prefix_candidate_count,
+    )
+
+    return containment_prefix_candidate_count(spark, sf_dir)
+
+
+CANDIDATE_COUNTERS = {
+    "dedup_containment_prefix": _containment_cand,
+}
 
 JOIN_OPS = (
     "BroadcastHashJoin",
@@ -321,6 +343,7 @@ CORPUS_QUERIES = {
     "text_quality_scores",
     "dsir_importance_weights",     # hashed-ngram broadcast scoring
     "quality_filter_logistic_gd",  # fixed-epoch distributed GD
+    "curation_decision_gate",
     "incremental_lsh_probe",     # delta-vs-corpus band probe
     "ann_ivf_topk",
     "lsh_cosine_pairs",
@@ -388,6 +411,8 @@ def probe(spark, names, points=None, with_jobs=False):
                     )
                     sc.setJobGroup("probe|idle", "idle")
                 rec[tag + "_joins"] = join_mix(df2)
+                if name in CANDIDATE_COUNTERS:
+                    rec[tag + "_cand"] = CANDIDATE_COUNTERS[name](spark, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 rec[tag] = None
                 rec[tag + "_err"] = str(exc)[:120]
@@ -415,37 +440,50 @@ _ANN_RECALL_FLOOR = 0.6
 
 def ann_recall(spark):
     """Recall@k of every approximate ANN query vs the brute-force
-    truth at sf1 (20k vectors — big enough for a real recall signal,
-    cheap enough to brute-force).  Wall-ratio tables can't see a
-    coarse quantizer silently decaying: a probe that reads FEWER
-    cells gets FASTER as recall collapses.  Floor pinned at
-    _ANN_RECALL_FLOOR; the probe exits nonzero below it."""
+    truth at sf1 AND sf1i (20k vectors each — big enough for a real
+    recall signal, cheap enough to brute-force).  Wall-ratio tables
+    can't see a coarse quantizer silently decaying: a probe that
+    reads FEWER cells gets FASTER as recall collapses.  Both axes
+    matter: sf1 truth is replica-concentrated (a query's top-5 are
+    its own near-identical replicas — flattering, but exactly what
+    exposed r7's label-filing bug), while sf1i's decorrelated
+    embeddings give a diverse truth set — the honest recall.  Floor
+    pinned at _ANN_RECALL_FLOOR on every axis; the probe exits
+    nonzero below it."""
     from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import release_all
     from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
 
-    truth: dict[int, set[int]] = {}
-    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF1).collect():
-        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
-    release_all()
     out = []
-    for name in _ANN_RECALL_QUERIES:
-        got: dict[int, set[int]] = {}
-        for r in REGISTRY[name].fn(spark, SF1).collect():
-            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    axes = [("sf1", SF1)]
+    if os.path.isdir(SF1I):
+        axes.append(("sf1i", SF1I))
+    for axis, sf_dir in axes:
+        truth: dict[int, set[int]] = {}
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect():
+            truth.setdefault(r["query_id"], set()).add(r["cand_id"])
         release_all()
-        per_q = [
-            len(t & got.get(q, set())) / len(t) for q, t in truth.items()
-        ]
-        rec = round(sum(per_q) / len(per_q), 3)
-        out.append(
-            {
-                "query": name,
-                "recall": rec,
-                "worst_query": round(min(per_q), 3),
-                "floor_ok": rec >= _ANN_RECALL_FLOOR,
-            }
-        )
-        print(f"  recall@k sf1 {name}: mean={rec} worst={min(per_q):.3f}", flush=True)
+        for name in _ANN_RECALL_QUERIES:
+            got: dict[int, set[int]] = {}
+            for r in REGISTRY[name].fn(spark, sf_dir).collect():
+                got.setdefault(r["query_id"], set()).add(r["cand_id"])
+            release_all()
+            per_q = [
+                len(t & got.get(q, set())) / len(t) for q, t in truth.items()
+            ]
+            rec = round(sum(per_q) / len(per_q), 3)
+            out.append(
+                {
+                    "query": name,
+                    "axis": axis,
+                    "recall": rec,
+                    "worst_query": round(min(per_q), 3),
+                    "floor_ok": rec >= _ANN_RECALL_FLOOR,
+                }
+            )
+            print(
+                f"  recall@k {axis} {name}: mean={rec} worst={min(per_q):.3f}",
+                flush=True,
+            )
     return out
 
 
@@ -586,21 +624,24 @@ def _render_sf10(sf10_rows) -> list[str]:
 def _render_recall(recall_rows) -> list[str]:
     out = [
         "",
-        "## ANN recall@k at sf1 (vs brute force, 20k vectors)",
+        "## ANN recall@k at sf1 and sf1i (vs brute force, 20k vectors each)",
         "",
         "Mean recall@k (k = 5, the registered TOP_K) over the query set",
         "against `ann_topk_bruteforce` ground truth; floor pinned at",
-        f"{_ANN_RECALL_FLOOR} (the probe exits",
+        f"{_ANN_RECALL_FLOOR} on BOTH axes (the probe exits",
         "nonzero below it).  Wall-ratio tables cannot see a coarse",
         "quantizer decaying — a probe that reads fewer cells gets FASTER",
-        "as recall collapses — so recall is measured, not argued.",
+        "as recall collapses — so recall is measured, not argued.  sf1",
+        "truth is replica-concentrated (flattering but bug-revealing);",
+        "sf1i truth is decorrelated — the honest axis.",
         "",
-        "| Query | mean recall | worst query | ≥ floor |",
-        "|---|---|---|---|",
+        "| Query | axis | mean recall | worst query | ≥ floor |",
+        "|---|---|---|---|---|",
     ]
     for r in recall_rows:
         out.append(
-            f"| `{r['query']}` | {r['recall']} | {r['worst_query']} "
+            f"| `{r['query']}` | {r.get('axis', 'sf1')} | {r['recall']} "
+            f"| {r['worst_query']} "
             f"| {'✓' if r['floor_ok'] else '✗ BELOW FLOOR'} |"
         )
     return out
@@ -646,6 +687,28 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
             f"| {r.get('ratio_sf1i', '—')}× | {rows_str} "
             f"| {r.get('sf0.1_joins', '—')} | {r.get('sf1_joins', '—')} |"
         )
+    cand_rows = [r for r in rows if any(k.endswith("_cand") for k in r)]
+    if cand_rows:
+        out += [
+            "",
+            "## Candidate-pair counters (pre-verify, per axis)",
+            "",
+            "The sketch-then-verify dedup families count their candidate",
+            "set BEFORE the verify join on every axis: wall growth with",
+            "linear candidates = plan/join-strategy issue; superlinear",
+            "candidates = blocking-scheme issue.  Same-fix ambiguity a",
+            "wall-ratio table cannot resolve.",
+            "",
+            "| Query | cand sf0.1 | cand sf1 | cand sf1i | verify-rows sf0.1→sf1→sf1i |",
+            "|---|---|---|---|---|",
+        ]
+        for r in cand_rows:
+            out.append(
+                f"| `{r['query']}` | {r.get('sf0.1_cand', '—')} "
+                f"| {r.get('sf1_cand', '—')} | {r.get('sf1i_cand', '—')} "
+                f"| {r.get('sf0.1_rows', '—')}→{r.get('sf1_rows', '—')}"
+                f"→{r.get('sf1i_rows', '—')} |"
+            )
     errs = [(r["query"], k, v) for r in rows for k, v in r.items() if k.endswith("_err")]
     if errs:
         out += ["", "## Errors", ""]
