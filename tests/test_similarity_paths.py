@@ -64,8 +64,10 @@ def test_lsh_pairs_topk_k_bounded_and_exact_verified(spark):
 
 
 def test_multiprobe_recall_dominates_single_probe(spark):
-    """Probing 2 centroids can only add candidates: multi-probe
-    recall vs the brute-force top-k must be >= single-probe recall."""
+    """ann_ivf_multiprobe's margin-adaptive probe set is a SUPERSET
+    of ann_ivf_topk's by construction (min 2 ≥ 1, cap 6 ≥ 5, same
+    delta) — adding probes can only add candidates, so its recall vs
+    the brute-force top-k must be >= the single-entry recall."""
     truth = {
         (r.query_id, r.cand_id)
         for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
