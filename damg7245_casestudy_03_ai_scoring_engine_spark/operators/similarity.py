@@ -2124,3 +2124,251 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dispersion"),
         )
     )
+
+
+# --- retrieval-quality evaluation as an engine query -------------------------
+
+
+def _rank_metrics_oracle() -> str:
+    """Composes the ann_ivf_topk and ann_topk_bruteforce oracles (the
+    curation_decision_gate pattern: the eval oracle is built FROM the
+    component oracles, so the metric and the retrieval it grades can
+    never drift apart)."""
+    from .registry import REGISTRY
+
+    got = REGISTRY["ann_ivf_topk"].oracle
+    truth = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+WITH got AS ({got}),
+truth AS ({truth}),
+j AS (
+    SELECT g.query_id, g.rk,
+           CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM got g
+    LEFT JOIN truth t
+      ON t.query_id = g.query_id AND t.cand_id = g.cand_id
+),
+c AS (
+    SELECT query_id, rk, hit,
+           sum(hit) OVER (
+               PARTITION BY query_id ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM j
+)
+SELECT query_id,
+       CAST(sum(hit) AS BIGINT) AS hits_at_k,
+       floor(sum(hit) / {_TOP_K}.0 * 1e6 + 0.5) / 1e6 AS recall_at_k,
+       floor(max(CASE WHEN hit = 1 THEN 1.0 / rk ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS mrr,
+       floor(sum(CASE WHEN hit = 1 THEN CAST(cum AS DOUBLE) / rk ELSE 0.0 END)
+             / {_TOP_K}.0 * 1e6 + 0.5) / 1e6 AS ap_at_k
+FROM c
+GROUP BY query_id
+"""
+
+
+@register(
+    "retrieval_eval_rank_metrics",
+    survey="similarity (extension: retrieval-quality eval as a query)",
+    oracle=_rank_metrics_oracle(),
+)
+def retrieval_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query rank metrics of the ANN index vs exact truth —
+    recall@k, MRR, and AP@k of `ann_ivf_topk` graded against
+    `ann_topk_bruteforce` — as a first-class engine query, not an
+    offline script: the r7/r8 recall incidents (label-filed IVF at
+    0.30, fixed-probe decay to 0.40 on decorrelated data) both showed
+    wall-clock dashboards reward exactly the failure mode that
+    destroys retrieval quality, so the quality metric must ship in
+    the same plan language as the index it grades.
+
+    All three metrics are RATIONAL arithmetic on small integers
+    (hits/k, 1/rank, cumulative-precision sums — denominators divide
+    lcm(1..5)·5, which never lands on a 6dp rounding boundary), so no
+    transcendental cross-engine hazard; NDCG's log2 discount is
+    deliberately avoided.  Truth here is the exact top-k over the
+    same corpus (brute force is cheap at eval-sample size even at
+    100 TB: the eval set is a fixed tiny query panel)."""
+    got = ann_ivf_topk(spark, sf_dir)
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    j = (
+        got.select("query_id", "cand_id", "rk")
+        .join(truth, ["query_id", "cand_id"], "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.withColumn("cum", F.sum("hit").over(wcum))
+    k = float(_TOP_K)
+    flr = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return c.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("hits_at_k"),
+        flr(F.sum("hit") / F.lit(k)).alias("recall_at_k"),
+        flr(
+            F.max(
+                F.when(F.col("hit") == 1, F.lit(1.0) / F.col("rk")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        ).alias("mrr"),
+        flr(
+            F.sum(
+                F.when(
+                    F.col("hit") == 1,
+                    F.col("cum").cast("double") / F.col("rk"),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.lit(k)
+        ).alias("ap_at_k"),
+    )
+
+
+# --- IVF cell-balance maintenance stats --------------------------------------
+
+
+_IVF_CELL_STATS_ORACLE = f"""
+WITH {_IVF_CELLS_SQL.strip()},
+g AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM v_cell
+    GROUP BY cell
+)
+SELECT cell, n_vecs,
+       floor(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * 1e6 + 0.5) / 1e6
+           AS share,
+       (n_vecs * count(*) OVER ()) > (2 * sum(n_vecs) OVER ()) AS oversized
+FROM g
+"""
+
+
+@register(
+    "ivf_cell_balance_stats",
+    survey="similarity,S15 (extension: vector-index maintenance stats)",
+    oracle=_IVF_CELL_STATS_ORACLE,
+)
+def ivf_cell_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy of the IVF inverted file with an `oversized`
+    maintenance flag (cell holds > 2× the mean non-empty-cell load) —
+    the vector-index analog of `bloom_rebuild_decision`: at 100 TB the
+    inverted file is a persisted layout (see
+    `ann_ivf_partition_pruned`), and a skewed cell quietly turns its
+    probes into near-full scans, so the rebalance signal must be a
+    cheap metadata query over the filing, not a wall-clock symptom.
+    Counts are exact integers; the flag compares integer products
+    (n·cells > 2·total), so no float threshold crosses engines."""
+    cells = _ivf_cells(spark, sf_dir)
+    g = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    wall = Window.partitionBy()
+    total = F.sum("n_vecs").over(wall)
+    ncells = F.count(F.lit(1)).over(wall)
+    return g.select(
+        "cell",
+        "n_vecs",
+        (
+            F.floor(
+                F.col("n_vecs").cast("double") / total * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share"),
+        ((F.col("n_vecs") * ncells) > (F.lit(2) * total)).alias("oversized"),
+    )
+
+
+# --- quantizer-aware hard-negative mining ------------------------------------
+
+
+_HARD_NEG_MAX_COS = 0.3
+
+
+_HARD_NEG_ORACLE = f"""
+WITH {_IVF_CELLS_SQL.strip()},
+assign AS (
+    SELECT vec_id AS query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, label
+        ) AS rk
+        FROM v_cent
+    )
+    WHERE rk <= 1 AND vec_id < {_N_QUERIES}
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neg_id,
+           round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                       AND sqrt(list_dot_product(e.cv, e.cv)) > 0
+                      THEN list_dot_product(q.qv, e.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.cv, e.cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM assign a
+    JOIN q ON a.query_id = q.query_id
+    JOIN (SELECT em.vec_id, vc.cell, em.embedding::DOUBLE[] AS cv
+          FROM embeddings em JOIN v_cell vc ON vc.vec_id = em.vec_id) e
+      ON e.cell = a.probe_label AND e.vec_id <> q.query_id
+)
+SELECT query_id, neg_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neg_id
+    ) AS rk
+    FROM scored
+    WHERE cosine < {_HARD_NEG_MAX_COS}
+)
+WHERE rk <= {_TOP_K}
+"""
+
+
+@register(
+    "hard_negative_mining_cells",
+    survey="similarity (extension: quantizer-aware hard negatives)",
+    oracle=_HARD_NEG_ORACLE,
+)
+def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-aware hard-negative mining for contrastive training:
+    each query's negatives are drawn from its OWN top coarse cell —
+    vectors the index considers same-neighborhood — but capped at
+    cosine < 0.3 so no true neighbor leaks into the negative set, and
+    ranked hardest-first (highest sub-threshold cosine).  Complements
+    `negative_sample_pairs` (label-based, hash-randomized): cell-mined
+    negatives are the ones a trained retriever actually confuses,
+    which is what makes them hard.
+
+    Scale shape: identical to the IVF probe — a broadcastable
+    (query_id, cell) list against the cell-filed corpus, so mining
+    cost per query is one cell, not the corpus.  The threshold
+    compares the same 6dp-rounded cosine both engines rank by."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    assign = _ivf_probe_assign(spark, sf_dir, min_probes=1, cap=1)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.join(_ivf_cells(spark, sf_dir), "vec_id").select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("cell").alias("probe_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        assign.join(q, "query_id")
+        .join(cand, "probe_label")
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") < F.lit(_HARD_NEG_MAX_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

@@ -152,3 +152,63 @@ def test_quantized_prefilter_margin_is_provably_safe():
         qual = cos[iu] >= 0.4
         dropped = int(np.sum(qual & (est[iu] < 0.39)))
         assert dropped == 0, f"{sf}: prefilter would drop {dropped} qualifying pairs"
+
+
+def test_hard_negatives_are_sub_threshold_and_disjoint_from_truth(spark):
+    """Cell-mined hard negatives must never contain a CONFIDENT true
+    neighbor — the cosine < 0.3 cap guarantees any truth overlap is
+    itself sub-threshold (at fixture scale the 500-vector corpus is
+    weak enough that a 'true' 5th neighbor can sit below 0.3; the
+    threshold deliberately treats that as a negative) — and must come
+    ranked hardest-first (descending sub-threshold cosine)."""
+    confident_truth = {
+        (r.query_id, r.cand_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+        if r.cosine >= 0.3
+    }
+    assert confident_truth, "fixture lost all confident neighbors"
+    rows = REGISTRY["hard_negative_mining_cells"].fn(spark, SF_SMOKE).collect()
+    assert rows, "mining returned no negatives at fixture scale"
+    assert all(r.cosine < 0.3 for r in rows)
+    assert not ({(r.query_id, r.neg_id) for r in rows} & confident_truth)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda x: x.rk)
+        cosines = [x.cosine for x in v]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len(v) <= 5
+
+
+def test_rank_metrics_match_direct_recall(spark):
+    """retrieval_eval_rank_metrics must agree with recall computed
+    directly from the two result sets it grades, and every metric
+    must satisfy the rank-metric sandwich ap <= recall, mrr <= 1."""
+    truth = {}
+    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got = {}
+    for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    metrics = {
+        r.query_id: r
+        for r in REGISTRY["retrieval_eval_rank_metrics"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(metrics) == set(truth)
+    for q, t in truth.items():
+        direct = len(t & got.get(q, set())) / len(t)
+        m = metrics[q]
+        assert abs(m.recall_at_k - direct) < 1e-6, (q, m.recall_at_k, direct)
+        assert m.hits_at_k == len(t & got.get(q, set()))
+        assert 0.0 <= m.ap_at_k <= m.recall_at_k + 1e-9
+        assert 0.0 <= m.mrr <= 1.0
+
+
+def test_ivf_cell_stats_shares_sum_to_one(spark):
+    rows = REGISTRY["ivf_cell_balance_stats"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.n_vecs for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.oversized == (r.n_vecs * len(rows) > 2 * total)

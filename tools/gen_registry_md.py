@@ -18,10 +18,9 @@ AUDIT_NOTES = {
         "distinct within HLL error bounds"
     ),
     "pandas_api_bridge": (
-        "driver-run in r2 BEFORE its DuckDB oracle landed, so its only "
-        "driver row is a historical `no_oracle` check; fully oracle-backed "
-        "and pytest-green since — rotate into a future driver window to "
-        "retire this note"
+        "driver-run in r2 BEFORE its DuckDB oracle landed (that r2 row is a "
+        "historical `no_oracle` check); windowed again in r8 with its full "
+        "oracle — the CORRECTNESS_r08.json row supersedes the r2 artifact"
     ),
 }
 
