@@ -36,6 +36,10 @@ from conftest import SF_SMOKE
 BNLJ_OK = {
     # documented O(n²) oracle baselines (blocked twins registered)
     "ann_topk_bruteforce",
+    # inherits ann_topk_bruteforce's truth subtree: exact top-k ground
+    # truth over the FIXED 10-query eval panel (10-row broadcast build
+    # side — one linear corpus scan per eval, not O(n²))
+    "retrieval_eval_rank_metrics",
     "dedup_containment",
     "dedup_simhash",
     "embedding_near_dup",
