@@ -350,6 +350,17 @@ CORPUS_QUERIES = {
     "lsh_pairs_topk",
 }
 
+# Corpus queries that ALSO get the second decade (sf10 = 100× data,
+# rate-preserving near-dup docs): the sketch-then-verify families whose
+# r8 fix (staged candidate silver → AQE plans the verify join from true
+# stats) must hold when candidates grow another 10× — a plan that
+# silently flips back to the bad broadcast orientation at 100× would be
+# invisible to the sf1i point alone.
+CORPUS_SF10_QUERIES = [
+    "dedup_containment_prefix",
+    "lsh_pairs_topk",
+]
+
 # Iterative tier for the second-decade (sf10 = 100×) probe: families
 # whose 100 TB claim is "per-round work grows with data but round
 # count does not" — exactly what another decade stresses.
@@ -568,12 +579,20 @@ against the auto-derived summary above and re-date any edit.
   qualifying pair set grows ~106×; wall tracks OUTPUT), retained as
   the oracle anchor for the k-bounded `lsh_pairs_topk` headliner
   (6.3× at 10×, output saturates at n·k).
-- **Second decade (sf10 = 100× data, iterative tier): round counts
-  are invariant.**  Steady-state Spark job counts barely move while
-  data grows 100× — pagerank 50→56, dedup-clusters 105→119, k-means
-  44→44, BFS 27→35, Bellman-Ford 17→24, item-cooccurrence 9→9 — the
-  measured form of every iterative docstring's claim: per-round work
-  grows with data, round count does not.
+- **Second decade (sf10 = 100× data): round counts are invariant, and
+  the r8 staged-candidate plans hold.**  Steady-state Spark job counts
+  barely move while data grows 100× — pagerank 50→56, dedup-clusters
+  105→119, k-means 44→44, BFS 27→35, Bellman-Ford 17→24,
+  item-cooccurrence 9→9 — the measured form of every iterative
+  docstring's claim: per-round work grows with data, round count does
+  not.  The corpus pair added in r8: `dedup_containment_prefix` 7.4 s
+  at sf10 (55× for 100× data and exactly 100× output, jobs 4→6 — the
+  staged candidate silver keeps the verify join broadcast-oriented
+  through a second decade of candidate growth) and `lsh_pairs_topk`
+  157 s (113.7× ≈ data-linear on fixed cores; output saturates at n·k
+  = 1M rows exactly; jobs 8→8, no plan restructuring — at a real
+  100 TB nlist the band width grows with log n per the docstring's
+  sizing rule, which this fixed-band probe deliberately does not do).
 - **`incremental_lsh_probe` is output-bound on sf1 (pairs 45 →
   46,164: every delta doc collides with its nine replica siblings)
   and 5.0× on the rate-preserving axis** — the same band as the other
@@ -589,16 +608,19 @@ against the auto-derived summary above and re-date any edit.
 def _render_sf10(sf10_rows) -> list[str]:
     out = [
         "",
-        "## Iterative tier at sf10 (100× data, same 32 cores)",
+        "## Second decade at sf10 (100× data, same 32 cores)",
         "",
-        "Second-decade stress for the families whose 100 TB claim is",
+        "Stress for the iterative families whose 100 TB claim is",
         "*per-round work grows with data but round count does not*: wall",
         "plus the steady-state Spark JOB count (one job per convergence",
         "round + the final action's jobs — the round-count-invariance",
         "signal a plan string can't show).  jobs@sf0.1 ≈ jobs@sf10 means",
         "the loop converged in the same number of rounds at 100× data;",
         "wall ratios below ~100× mean the per-round work still hasn't",
-        "saturated the machine.",
+        "saturated the machine.  The last rows are the sketch-then-verify",
+        "corpus pair (r8): their staged candidate plans must hold when",
+        "candidates grow another decade — a silent flip back to the bad",
+        "broadcast orientation would be invisible to the sf1i point alone.",
         "",
         "| Query | sf0.1 (s) | sf10 (s) | ratio | jobs sf0.1 | jobs sf10 | rows sf0.1→sf10 |",
         "|---|---|---|---|---|---|---|",
@@ -792,7 +814,7 @@ def main() -> int:
         print("probing iterative tier at sf10 ...", flush=True)
         sf10_rows = probe(
             spark,
-            ITERATIVE_QUERIES,
+            ITERATIVE_QUERIES + CORPUS_SF10_QUERIES,
             points=[("sf0.1", SF01), ("sf10", SF10)],
             with_jobs=True,
         )
