@@ -95,9 +95,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # graph_degree_histogram, compaction_plan_bins,
 # spatial_nn_expanding_ring — 54 never-run + 6 obligated slots
 # exceed the driver's 50-query sample by exactly 10.  r8 also
-# registers three NEW oracle-backed queries (retrieval_eval_
-# rank_metrics, ivf_cell_balance_stats, hard_negative_mining_cells)
-# after the window was frozen, so the r9 rotation pool is 13.
+# registers four NEW oracle-backed queries (retrieval_eval_
+# rank_metrics, ivf_cell_balance_stats, hard_negative_mining_cells,
+# ivf_probe_cost_profile) after the window was frozen, so the r9
+# rotation pool is 14 — all pre-verified green in the hostile-
+# session mirror this round.
 _PRIORITY = (
     # spine
     "org_air_flagship",

@@ -2372,3 +2372,79 @@ def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+# --- adaptive-probe cost accounting -------------------------------------------
+
+
+_IVF_PROBE_COST_ORACLE = f"""
+WITH {_IVF_CELLS_SQL.strip()},
+assign AS (
+    SELECT vec_id AS query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, label
+        ) AS rk,
+        max(cosine) OVER (PARTITION BY vec_id) AS best
+        FROM v_cent
+    )
+    WHERE vec_id < {_N_QUERIES}
+      AND (rk <= 1
+           OR (rk <= {_IVF_CAP} AND cosine >= best - {_IVF_DELTA}))
+),
+cell_sizes AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n
+    FROM v_cell
+    GROUP BY cell
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v_cell)
+SELECT a.query_id,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(s.n) AS BIGINT) AS candidates_scanned,
+       floor(CAST(sum(s.n) AS DOUBLE) / max(t.n_total) * 1e6 + 0.5) / 1e6
+           AS scan_fraction
+FROM assign a
+JOIN cell_sizes s ON s.cell = a.probe_label
+CROSS JOIN tot t
+GROUP BY a.query_id
+"""
+
+
+@register(
+    "ivf_probe_cost_profile",
+    survey="similarity (extension: adaptive-probe cost accounting)",
+    oracle=_IVF_PROBE_COST_ORACLE,
+)
+def ivf_probe_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query COST of the margin-adaptive IVF probe
+    (`ann_ivf_topk`'s rule: min 1, cap _IVF_CAP, delta _IVF_DELTA):
+    how many cells the query escalated to, how many filed candidates
+    those cells hold, and the resulting corpus scan fraction — the
+    other half of the recall/cost trade-off
+    `retrieval_eval_rank_metrics` grades.  Together the two queries
+    make the adaptive rule auditable in-engine: recall without cost
+    rewards probe-everything, cost without recall rewards the r7
+    failure mode (read fewer cells, get faster, decay silently).
+
+    Scale shape: pure metadata — the probe list is O(queries·cap)
+    rows and cell sizes are one groupBy over the filing; no vector
+    arithmetic is touched."""
+    assign = _ivf_probe_assign(spark, sf_dir, min_probes=1, cap=_IVF_CAP)
+    cells = _ivf_cells(spark, sf_dir)
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    flr = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        assign.join(sizes, assign.probe_label == sizes.cell)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("n").cast("bigint").alias("candidates_scanned"),
+            flr(
+                F.sum("n").cast("double") / F.max("n_total")
+            ).alias("scan_fraction"),
+        )
+    )
