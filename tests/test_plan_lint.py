@@ -40,6 +40,8 @@ BNLJ_OK = {
     # truth over the FIXED 10-query eval panel (10-row broadcast build
     # side — one linear corpus scan per eval, not O(n²))
     "retrieval_eval_rank_metrics",
+    # 1-row broadcast corpus-total attach (scan_fraction denominator)
+    "ivf_probe_cost_profile",
     "dedup_containment",
     "dedup_simhash",
     "embedding_near_dup",
