@@ -73,7 +73,8 @@ def round_stable(col: Column | str, scale: int) -> Column:
     deliberate: parity only needs both engines to spell the IDENTICAL
     formula, and the oracle SQL does (mom_revenue_growth and the CUSUM
     family feed negatives through it; signed-value parity is pinned in
-    tests/test_functions.py).  Do not "fix" this into abs()-based
+    tests/test_scoring_math.py::
+    test_round_stable_signed_values_match_oracle_formula).  Do not "fix" this into abs()-based
     symmetric rounding — that would double the formula surface for
     zero parity gain.
 

@@ -456,8 +456,14 @@ def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinant are exact int64, the final value is ONE fixed-order
     double expression through round_stable(6) with a zero-margin
     guard (identically spelled in the oracle).  Cell products hold in
-    int64 to ~3e9 events per segment; past that the determinant needs
-    the decimal(38,0) carrier, per the monthly_revenue_trend pattern.
+    int64 to ~3e9 events per segment; past that the determinant must
+    move to a wider EXACT integer carrier matched on both engines
+    (e.g. split the product into high/low int64 limbs, or a
+    decimal(38,0) that BOTH the Spark schema and the DuckDB DESCRIBE
+    agree on — the type-class lint in tests/test_oracle_parity.py
+    enforces the match; a one-sided decimal hash-diverges in the
+    driver comparator, which is why the revenue queries use int64
+    cents).
 
     Scale shape: a single map-side-combinable groupBy over the fact —
     four conditional counts, no join, no window.

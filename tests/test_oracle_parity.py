@@ -146,7 +146,18 @@ def _duck_type_class(t: str) -> str:
         return "struct"
     if t.startswith("MAP"):
         return "map"
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT") or t.startswith("U"):
+    if t in (
+        "TINYINT",
+        "SMALLINT",
+        "INTEGER",
+        "BIGINT",
+        "HUGEINT",
+        "UTINYINT",
+        "USMALLINT",
+        "UINTEGER",
+        "UBIGINT",
+        "UHUGEINT",
+    ):
         return "int"
     if t in ("DOUBLE", "FLOAT", "REAL"):
         return "float"

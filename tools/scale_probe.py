@@ -622,15 +622,22 @@ def _render_sf10(sf10_rows) -> list[str]:
         "candidates grow another decade — a silent flip back to the bad",
         "broadcast orientation would be invisible to the sf1i point alone.",
         "",
-        "| Query | sf0.1 (s) | sf10 (s) | ratio | jobs sf0.1 | jobs sf10 | rows sf0.1→sf10 |",
-        "|---|---|---|---|---|---|---|",
+        "| Query | sf0.1 (s) | sf10 (s) | ratio | jobs sf0.1 | jobs sf10 | rows sf0.1→sf10 | cand sf0.1→sf10 |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in sf10_rows:
+        # the second-decade candidate datapoint is the whole reason the
+        # corpus pair probes at sf10 — render it whenever recorded
+        cand = (
+            f"{r.get('sf0.1_cand', '—')}→{r.get('sf10_cand', '—')}"
+            if any(k.endswith("_cand") for k in r)
+            else "—"
+        )
         out.append(
             f"| `{r['query']}` | {r.get('sf0.1', '—')} | {r.get('sf10', '—')} "
             f"| {r.get('ratio_sf10', '—')}× | {r.get('sf0.1_jobs', '—')} "
             f"| {r.get('sf10_jobs', '—')} "
-            f"| {r.get('sf0.1_rows', '—')}→{r.get('sf10_rows', '—')} |"
+            f"| {r.get('sf0.1_rows', '—')}→{r.get('sf10_rows', '—')} | {cand} |"
         )
     return out
 
@@ -713,16 +720,27 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
             "candidates = blocking-scheme issue.  Same-fix ambiguity a",
             "wall-ratio table cannot resolve.",
             "",
-            "| Query | cand sf0.1 | cand sf1 | cand sf1i | verify-rows sf0.1→sf1→sf1i |",
-            "|---|---|---|---|---|",
         ]
+        # render cand/rows columns dynamically from the axes actually
+        # measured (sf10 runs record sf10_cand too — a fixed column
+        # list silently dropped the second-decade datapoint)
+        tags = [
+            t
+            for t in ("sf0.1", "sf1", "sf1i", "sf10")
+            if any(t + "_cand" in r for r in cand_rows)
+        ]
+        out.append(
+            "| Query | "
+            + " | ".join(f"cand {t}" for t in tags)
+            + " | verify-rows "
+            + "→".join(tags)
+            + " |"
+        )
+        out.append("|---|" + "---|" * (len(tags) + 1))
         for r in cand_rows:
-            out.append(
-                f"| `{r['query']}` | {r.get('sf0.1_cand', '—')} "
-                f"| {r.get('sf1_cand', '—')} | {r.get('sf1i_cand', '—')} "
-                f"| {r.get('sf0.1_rows', '—')}→{r.get('sf1_rows', '—')}"
-                f"→{r.get('sf1i_rows', '—')} |"
-            )
+            cands = " | ".join(str(r.get(t + "_cand", "—")) for t in tags)
+            vrows = "→".join(str(r.get(t + "_rows", "—")) for t in tags)
+            out.append(f"| `{r['query']}` | {cands} | {vrows} |")
     errs = [(r["query"], k, v) for r in rows for k, v in r.items() if k.endswith("_err")]
     if errs:
         out += ["", "## Errors", ""]
