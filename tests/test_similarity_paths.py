@@ -212,3 +212,67 @@ def test_ivf_cell_stats_shares_sum_to_one(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert r.oversized == (r.n_vecs * len(rows) > 2 * total)
+
+
+def test_topk_band_bits_sizing_rule():
+    """r = max(8, min(16, ceil(log2 n) - 8)): fixture SFs land on the
+    8-bit floor, growth starts at n = 2^16 + 1, the cap holds."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _topk_band_bits,
+    )
+
+    assert _topk_band_bits(500) == 8          # sf0.001 / sf0.01
+    assert _topk_band_bits(2_000) == 8        # sf0.1
+    assert _topk_band_bits(20_000) == 8       # sf1 / sf1i
+    assert _topk_band_bits(1 << 16) == 8      # boundary: exactly 2^16
+    assert _topk_band_bits((1 << 16) + 1) == 9
+    assert _topk_band_bits(200_000) == 10     # sf10
+    assert _topk_band_bits(1 << 30) == 16     # cap (planes 4×16 = 64)
+    assert _topk_band_bits(1 << 40) == 16
+
+
+def test_lsh_pairs_topk_growth_path_matches_oracle(spark, duck):
+    """Cross-engine check of the band-width GROWTH path that no
+    fixture SF reaches (they all sit on the 8-bit floor): force the
+    memoized corpus count to 2^17 so the Spark side derives r = 9,
+    force the oracle's sizing CTE to the same constant, and demand
+    identical result sets on the same table.  This is the honest twin
+    of the registered oracle at a wider band — if the Spark banding
+    (plane family, shift packing, band ids) drifted from the SQL
+    derivation for any r ≠ 8, the sf10 probe would be measuring a
+    different query than the driver checks."""
+    import re
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _sf_tag_sim,
+        _topk_band_bits,
+    )
+
+    assert _topk_band_bits(1 << 17) == 9
+    key = f"_emb_n_{_sf_tag_sim(SF_SMOKE)}"
+    old = getattr(spark, key, None)
+    setattr(spark, key, 1 << 17)
+    try:
+        srows = {
+            (r.item, r.partner, round(r.cosine, 6), r.rk)
+            for r in REGISTRY["lsh_pairs_topk"].fn(spark, SF_SMOKE).collect()
+        }
+    finally:
+        if old is None:
+            delattr(spark, key)
+        else:
+            setattr(spark, key, old)
+    forced = re.sub(
+        r"WITH sizing AS \(.*?\n\),",
+        "WITH sizing AS (SELECT 9 AS r),",
+        REGISTRY["lsh_pairs_topk"].oracle,
+        count=1,
+        flags=re.S,
+    )
+    assert "SELECT 9 AS r" in forced
+    drows = {
+        (item, partner, round(cos, 6), rk)
+        for item, partner, cos, rk in duck.execute(forced).fetchall()
+    }
+    assert srows == drows
+    assert srows, "9-bit banding surfaced no pairs at fixture scale"
