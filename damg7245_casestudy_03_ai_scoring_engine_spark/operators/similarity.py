@@ -2529,3 +2529,239 @@ def ivf_probe_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_fraction"),
         )
     )
+
+
+# --- IVF cell rebalance action ------------------------------------------------
+
+# Refile admission: cells above 110% of the mean load (integer-exact:
+# n·ncells·10 > 11·total).  This SUPERSETS ivf_cell_balance_stats'
+# `oversized` alarm (2× mean) — every alarmed cell is refiled, so the
+# alarm finally has a consumer — while also sweeping steady-state
+# imbalance the way a compaction pass does, instead of waiting for a
+# 2× emergency (fixture corpora are well-balanced: max cell load is
+# 1.15–1.28× mean across SFs, so a 2×-only action would be a
+# perpetual no-op on every driver run and its split path would ship
+# unexercised).  The invariant "alarmed ⊆ refiled" is pinned in
+# tests/test_similarity_paths.py.
+_REFILE_NUM = 11
+
+_IVF_REFILE_ORACLE = f"""
+WITH {_IVF_CELLS_SQL.strip()},
+own AS (
+    SELECT c.vec_id, c.cell, v.cosine
+    FROM v_cell c JOIN v_cent v ON v.vec_id = c.vec_id AND v.label = c.cell
+),
+sizes AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_c FROM v_cell GROUP BY cell
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS total,
+           CAST(count(DISTINCT cell) AS BIGINT) AS ncells
+    FROM v_cell
+),
+refile AS (
+    SELECT s.cell FROM sizes s, tot t
+    WHERE s.n_c * t.ncells * 10 > {_REFILE_NUM} * t.total
+),
+halves AS (
+    SELECT o.vec_id, o.cell,
+           CASE WHEN 2 * row_number() OVER (
+                    PARTITION BY o.cell ORDER BY o.cosine DESC, o.vec_id
+                ) <= s.n_c THEN 0 ELSE 1 END AS half
+    FROM own o
+    JOIN refile r ON r.cell = o.cell
+    JOIN sizes s ON s.cell = o.cell
+),
+sub_cent AS (
+    SELECT h.cell, h.half, f.i, avg(f.x) AS cx
+    FROM halves h JOIN v_flat f ON f.vec_id = h.vec_id
+    GROUP BY h.cell, h.half, f.i
+),
+resc AS (
+    SELECT h.vec_id, h.cell, sc.half,
+           round(CASE WHEN sqrt(sum(f.x * f.x)) > 0
+                       AND sqrt(sum(sc.cx * sc.cx)) > 0
+                      THEN sum(f.x * sc.cx)
+                           / (sqrt(sum(f.x * f.x)) * sqrt(sum(sc.cx * sc.cx)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM (SELECT DISTINCT vec_id, cell FROM halves) h
+    JOIN v_flat f ON f.vec_id = h.vec_id
+    JOIN sub_cent sc ON sc.cell = h.cell AND sc.i = f.i
+    GROUP BY h.vec_id, h.cell, sc.half
+),
+refiled AS (
+    SELECT vec_id, cell * 10 + 1 + half AS new_cell,
+           cell AS parent_cell, TRUE AS was_split
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, half
+        ) AS rk
+        FROM resc
+    )
+    WHERE rk = 1
+),
+kept AS (
+    SELECT c.vec_id, c.cell * 10 AS new_cell,
+           c.cell AS parent_cell, FALSE AS was_split
+    FROM v_cell c
+    WHERE c.cell NOT IN (SELECT cell FROM refile)
+),
+final AS (SELECT * FROM refiled UNION ALL SELECT * FROM kept),
+g AS (
+    SELECT CAST(new_cell AS BIGINT) AS new_cell,
+           CAST(parent_cell AS BIGINT) AS parent_cell, was_split,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM final GROUP BY 1, 2, 3
+)
+SELECT new_cell, parent_cell, was_split, n_vecs,
+       floor(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * 1e6 + 0.5) / 1e6
+           AS share,
+       (n_vecs * count(*) OVER ()) > (2 * sum(n_vecs) OVER ()) AS oversized
+FROM g
+"""
+
+
+@register(
+    "ivf_refile_oversized",
+    survey="similarity,S15 (extension: vector-index rebalance action)",
+    oracle=_IVF_REFILE_ORACLE,
+)
+def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance action for the IVF inverted file — the consumer of
+    `ivf_cell_balance_stats`' `oversized` flag, closing the same
+    maintenance loop the Bloom index has (`bloom_rebuild_decision` →
+    rebuild, layout.py): flag → refile, with the post-refile balance
+    stats as the checked output.
+
+    Every cell above the 110% maintenance capacity (a SUPERSET of the
+    2× alarm — see _REFILE_NUM) is split FAISS-style: members ranked
+    by cosine to the parent centroid (6dp, vec_id tie-break), the
+    closer half seeds sub-centroid 0 and the farther half sub-centroid
+    1 (per-dim means — the same arithmetic class as the coarse
+    quantizer itself), then every member of the split cell is REFILED
+    to its nearest sub-centroid — one deterministic Lloyd step with
+    rank-split initialization, the same filing discipline as
+    `_ivf_cells` (argmax cosine, 6dp, sub-cell-asc tie-break).
+    Unsplit cells pass through.  New cell ids live in a ×10 id space
+    (parent·10 for unsplit, parent·10+1+half for split halves) so
+    parents remain recoverable and ids never collide.
+
+    Output = per-NEW-cell balance stats (n_vecs, share, oversized —
+    the exact `ivf_cell_balance_stats` definitions) plus the
+    parent/was_split lineage, so the refile's effect is auditable in
+    the same table language as the signal that triggered it.
+
+    Recall is INVARIANT by construction, not by measurement: refiling
+    only redistributes a parent's members between its own two
+    sub-cells (a partition refinement — pinned in
+    tests/test_similarity_paths.py), so a prober that scans the union
+    of a split parent's children reads exactly the pre-split candidate
+    set.  Scale shape: the refile set is O(flagged cells)
+    (broadcastable), the split arithmetic touches only flagged-cell
+    members (one explode → broadcast sub-centroid join → map-side
+    aggregate), and the stats grain is O(cells) — nothing here scans
+    the unflagged corpus beyond the filing already persisted by
+    `_ivf_cells`."""
+    from ..functions.cache import tracked_persist  # noqa: F401  (filing persisted upstream)
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    cells = _ivf_cells(spark, sf_dir)
+    scores = _ivf_cell_scores(
+        emb.select("vec_id", "embedding"), _ivf_cent_flat(emb)
+    )
+    own = (
+        scores.join(cells, "vec_id")
+        .filter(F.col("label") == F.col("cell"))
+        .select("vec_id", "cell", "cosine")
+    )
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.countDistinct("cell").cast("bigint").alias("ncells"),
+    )
+    refile = (
+        sizes.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_c") * F.col("ncells") * F.lit(10)
+            > F.lit(_REFILE_NUM) * F.col("total")
+        )
+        .select("cell")
+    )
+    wrank = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    halves = (
+        own.join(F.broadcast(refile), "cell")
+        .join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "half",
+            F.when(
+                F.lit(2) * F.row_number().over(wrank) <= F.col("n_c"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .select("vec_id", "cell", "half")
+    )
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    sub_cent = (
+        halves.join(v_flat, "vec_id")
+        .groupBy("cell", "half", "i")
+        .agg(F.avg("x").alias("cx"))
+    )
+    nm = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    ns = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    resc = (
+        halves.select("vec_id", "cell")
+        .distinct()
+        .join(v_flat, "vec_id")
+        .join(F.broadcast(sub_cent), ["cell", "i"])
+        .groupBy("vec_id", "cell", "half")
+        .agg(
+            F.round(
+                F.when(
+                    (nm > 0) & (ns > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (nm * ns),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("half"))
+    refiled = (
+        resc.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            (F.col("cell") * 10 + 1 + F.col("half")).cast("bigint").alias("new_cell"),
+            F.col("cell").cast("bigint").alias("parent_cell"),
+            F.lit(True).alias("was_split"),
+        )
+    )
+    kept = cells.join(F.broadcast(refile), "cell", "left_anti").select(
+        "vec_id",
+        (F.col("cell") * 10).cast("bigint").alias("new_cell"),
+        F.col("cell").cast("bigint").alias("parent_cell"),
+        F.lit(False).alias("was_split"),
+    )
+    g = (
+        refiled.unionByName(kept)
+        .groupBy("new_cell", "parent_cell", "was_split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_vecs").over(wall)
+    ncells = F.count(F.lit(1)).over(wall)
+    return g.select(
+        "new_cell",
+        "parent_cell",
+        "was_split",
+        "n_vecs",
+        (
+            F.floor(
+                F.col("n_vecs").cast("double") / total * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share"),
+        ((F.col("n_vecs") * ncells) > (F.lit(2) * total)).alias("oversized"),
+    )

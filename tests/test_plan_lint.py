@@ -42,6 +42,9 @@ BNLJ_OK = {
     "retrieval_eval_rank_metrics",
     # 1-row broadcast corpus-total attach (scan_fraction denominator)
     "ivf_probe_cost_profile",
+    # 1-row broadcast (total, ncells) attach for the 110% refile
+    # admission — same corpus-total pattern as ivf_probe_cost_profile
+    "ivf_refile_oversized",
     "dedup_containment",
     "dedup_simhash",
     "embedding_near_dup",

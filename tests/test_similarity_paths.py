@@ -276,3 +276,56 @@ def test_lsh_pairs_topk_growth_path_matches_oracle(spark, duck):
     }
     assert srows == drows
     assert srows, "9-bit banding surfaced no pairs at fixture scale"
+
+
+def test_ivf_refile_laws(spark):
+    """The rebalance action's three laws:
+
+    1. ALARM CONSUMED — every cell `ivf_cell_balance_stats` flags
+       oversized appears as a split parent (the 110% capacity is a
+       superset of the 2× alarm).
+    2. PARTITION REFINEMENT — refiling only redistributes a parent's
+       members between its own sub-cells: per-parent totals and the
+       corpus total are exactly preserved.  This IS the recall
+       invariance pin: a prober scanning the union of a split
+       parent's children reads exactly the pre-split candidate set,
+       so no measured recall can change.
+    3. BALANCE — a split parent's largest child is strictly smaller
+       than the parent was, and post-refile max share does not exceed
+       pre-refile max share."""
+    pre = {
+        r.cell: r
+        for r in REGISTRY["ivf_cell_balance_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    post = REGISTRY["ivf_refile_oversized"].fn(spark, SF_SMOKE).collect()
+
+    alarmed = {c for c, r in pre.items() if r.oversized}
+    split_parents = {r.parent_cell for r in post if r.was_split}
+    assert alarmed <= split_parents
+
+    # partition refinement: per-parent membership counts preserved
+    by_parent: dict[int, int] = {}
+    for r in post:
+        by_parent[r.parent_cell] = by_parent.get(r.parent_cell, 0) + r.n_vecs
+    assert set(by_parent) == set(pre)
+    for c, n in by_parent.items():
+        assert n == pre[c].n_vecs, (c, n, pre[c].n_vecs)
+    assert sum(r.n_vecs for r in post) == sum(r.n_vecs for r in pre.values())
+
+    # balance: children strictly smaller than their split parent
+    for r in post:
+        if r.was_split:
+            assert r.n_vecs < pre[r.parent_cell].n_vecs, (
+                r.new_cell,
+                r.n_vecs,
+                pre[r.parent_cell].n_vecs,
+            )
+    assert max(r.share for r in post) <= max(r.share for r in pre.values()) + 1e-9
+
+    # id-space lineage: unsplit = parent*10, split = parent*10+1+half
+    for r in post:
+        if r.was_split:
+            assert r.new_cell in (r.parent_cell * 10 + 1, r.parent_cell * 10 + 2)
+        else:
+            assert r.new_cell == r.parent_cell * 10
+    assert any(r.was_split for r in post), "fixture corpus split no cell"
