@@ -329,3 +329,73 @@ def test_ivf_refile_laws(spark):
         else:
             assert r.new_cell == r.parent_cell * 10
     assert any(r.was_split for r in post), "fixture corpus split no cell"
+
+
+def _load_frontier_sweep():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "frontier_sweep.py"
+    )
+    spec = importlib.util.spec_from_file_location("frontier_sweep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_frontier_replica_matches_engine_at_fixture_scale(spark):
+    """The numpy frontier replica (tools/frontier_sweep.py) must agree
+    with the ENGINE at the registered operating point on the fixture
+    corpus — recall@5 against retrieval_eval_rank_metrics, scan
+    fraction against ivf_probe_cost_profile — or the frontier table in
+    SCALE.md describes a different index than the one shipping."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_CAP,
+        _IVF_DELTA,
+    )
+
+    fs = _load_frontier_sweep()
+    rows = fs.sweep_axis(SF_SMOKE, "fixture")
+    pt = next(
+        r for r in rows if r["delta"] == _IVF_DELTA and r["cap"] == _IVF_CAP
+    )
+
+    eng = REGISTRY["retrieval_eval_rank_metrics"].fn(spark, SF_SMOKE).collect()
+    eng_recall = sum(r.recall_at_k for r in eng) / len(eng)
+    assert abs(pt["recall_at_5"] - eng_recall) < 1e-3, (pt, eng_recall)
+
+    cost = REGISTRY["ivf_probe_cost_profile"].fn(spark, SF_SMOKE).collect()
+    eng_scan = sum(r.scan_fraction for r in cost) / len(cost)
+    assert abs(pt["scan_fraction"] - eng_scan) < 1e-3, (pt, eng_scan)
+
+
+def test_operating_point_two_sided_pin():
+    """Two-sided pin of the (delta, cap) operating point on the HONEST
+    axis (sf1i, decorrelated truth): recall@5 >= 0.75 AND mean scan
+    fraction <= 0.66 (the r9-measured 0.4413 at the chosen point
+    x1.5).  One-sided pins reward the two symmetric failure modes:
+    a recall-only floor lets a 'fix' silently probe everything; a
+    cost-only ceiling lets the quantizer decay (read fewer cells, get
+    faster, lose recall — the r7 incident).  Runs the numpy replica
+    (engine-pinned above) because sf1i is 20k vectors — seconds in
+    numpy, minutes as a Spark sweep."""
+    import os
+
+    import pytest as _pytest
+
+    sf1i = os.path.join(os.path.dirname(__file__), "..", ".scale", "sf1i")
+    if not os.path.isdir(sf1i):
+        _pytest.skip(".scale/sf1i not built (tools/scale_probe.py --build)")
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_CAP,
+        _IVF_DELTA,
+    )
+
+    fs = _load_frontier_sweep()
+    rows = fs.sweep_axis(sf1i, "sf1i")
+    pt = next(
+        r for r in rows if r["delta"] == _IVF_DELTA and r["cap"] == _IVF_CAP
+    )
+    assert pt["recall_at_5"] >= 0.75, f"recall floor breached: {pt}"
+    assert pt["scan_fraction"] <= 0.66, f"scan-fraction ceiling breached: {pt}"

@@ -668,6 +668,47 @@ def _render_recall(recall_rows) -> list[str]:
     return out
 
 
+def _render_frontier(frontier_rows) -> list[str]:
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_CAP,
+        _IVF_DELTA,
+    )
+
+    out = [
+        "",
+        "## Recall/cost frontier for the margin-adaptive IVF probe",
+        "",
+        "Sweep of the probe rule's knobs (margin delta × probe cap, min",
+        "probes 1 — the `ann_ivf_topk` rule) on both scaled axes, from",
+        "`tools/frontier_sweep.py` (numpy replica of the engine",
+        "arithmetic — 6dp cosines, label-asc filing, id-asc rank ties —",
+        "pinned against the engine at fixture scale in",
+        "tests/test_similarity_paths.py).  Recall without cost rewards",
+        "probe-everything; cost without recall rewards silent quantizer",
+        "decay — the operating point must be pinned on BOTH sides.",
+        "",
+        f"Chosen operating point: **delta={_IVF_DELTA}, cap={_IVF_CAP}**",
+        "(marked ◀).  Two-sided pin: engine recall floor via this",
+        f"probe's --recall phase ({_ANN_RECALL_FLOOR} on both axes)",
+        "plus the sf1i replica pins (recall@5 ≥ 0.75, scan fraction",
+        "≤ 0.66 = chosen ×1.5) in tests/test_similarity_paths.py —",
+        "neither side can drift silently.",
+        "",
+        "| axis | delta | cap | recall@5 | worst query | scan fraction | avg probes |  |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in frontier_rows:
+        chosen = (
+            "◀" if (r["delta"] == _IVF_DELTA and r["cap"] == _IVF_CAP) else ""
+        )
+        out.append(
+            f"| {r['axis']} | {r['delta']} | {r['cap']} | {r['recall_at_5']} "
+            f"| {r['worst_query']} | {r['scan_fraction']} "
+            f"| {r['avg_probes']} | {chosen} |"
+        )
+    return out
+
+
 def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
     out = [
         "# SCALE.md — 10× scale-up probe (sf0.1 → sf1, same 32 cores)",
@@ -757,6 +798,9 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
         out += _render_sf10(sf10_rows)
     if recall_rows:
         out += _render_recall(recall_rows)
+    frontier_rows = _cache_load("frontier_results")
+    if frontier_rows:
+        out += _render_frontier(frontier_rows)
     out += ["", *derived_findings(rows), "", FINDINGS.strip(), ""]
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(out))
