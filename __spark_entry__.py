@@ -147,6 +147,14 @@ _PRIORITY = (
     "ann_ivf_multiprobe",
     "ann_ivf_partition_pruned",
     "ivf_refile_oversized",
+    # r9 registrations, windowed the round they land (the r8 verdict's
+    # late-registration gap, closed at the source): quality-aware
+    # near-dup survivorship + the duplication-profile report.  Two
+    # multi-round-green reps (pagination_keyset O3, grouped_median_arrow
+    # W3 — both driver-green r8 and pytest-oracle every session) gave
+    # up their slots.
+    "near_dup_keep_best",
+    "dup_cluster_size_histogram",
     # one representative per SURVEY.md §2 family (multi-round greens)
     "submissions_scan",
     "rss_item_parse",
@@ -173,8 +181,6 @@ _PRIORITY = (
     "latest_per_key",
     "topk_per_group",
     "rolling_window_metrics",
-    "pagination_keyset",
-    "grouped_median_arrow",
     "sem_ols_ci",
 )
 

@@ -3116,3 +3116,149 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("vocab_size"),
         round_stable(slope, 6).alias("zipf_slope"),
     )
+
+
+# --- near-dup survivorship + cluster accounting ------------------------------
+
+
+def _near_dup_keep_best_oracle() -> str:
+    """Compose from the COMPONENT oracles verbatim (the
+    curation_decision_gate pattern): the survivorship decision can
+    never drift from the cluster resolution or the quality score it
+    decides with.  dedup_clusters' oracle is WITH RECURSIVE, which
+    DuckDB accepts inside a parenthesized subquery."""
+    from .registry import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters"].oracle
+    tq = REGISTRY["text_quality_scores"].oracle
+    return f"""
+WITH clusters AS (SELECT * FROM ({clusters}) c0),
+q AS (SELECT * FROM ({tq}) q0),
+j AS (
+    SELECT q.doc_id,
+           coalesce(c.comp_id, q.doc_id) AS comp_id,
+           CAST(coalesce(c.n_members, 1) AS BIGINT) AS n_members,
+           q.quality
+    FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id
+)
+SELECT doc_id, comp_id, n_members, quality,
+       row_number() OVER (
+           PARTITION BY comp_id ORDER BY quality DESC, doc_id
+       ) = 1 AS keep
+FROM j
+"""
+
+
+@register(
+    "near_dup_keep_best",
+    survey="S18,U3,W2 (extension: quality-aware near-dup survivorship)",
+    oracle=_near_dup_keep_best_oracle(),
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship over NEAR-dup clusters — the keep
+    policy a curation pipeline actually wants: `exact_dedup_keep_best`
+    keeps the longest member of byte-identical groups, but near-dup
+    clusters (jaccard >= 0.95 via `dedup_clusters`) contain genuinely
+    different renditions, and the right survivor is the highest-
+    QUALITY one (`text_quality_scores` blend), not the longest.  Docs
+    in no cluster are their own singleton component and always kept.
+    (Reference parity anchor: the dedup-before-insert discipline of
+    signal_aggregator.py's upsert path, extended cluster-wise.)
+
+    Deterministic across engines: quality is the 6dp-rounded blend
+    both engines already hash-match on (`text_quality_scores` is
+    driver-green), and ranking tie-breaks on doc_id, so the window is
+    stable under any partitioning.
+
+    Scale shape: cluster resolution is the iterative min-label
+    propagation (diameter-bounded rounds); on top of it this adds ONE
+    doc_id-keyed left join and ONE window over comp_id — two linear
+    hash shuffles, no new iteration, no driver state.  At 100 TB the
+    quality scan is embarrassingly parallel and the comp_id window
+    partitions are near-dup-cluster-sized (tiny)."""
+    from pyspark.sql import Window
+
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "comp_id", "n_members")
+    tq = text_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    j = tq.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp_id", "doc_id").alias("comp_id"),
+        F.coalesce("n_members", F.lit(1)).cast("bigint").alias("n_members"),
+        "quality",
+    )
+    w = Window.partitionBy("comp_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "comp_id",
+        "n_members",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _dup_cluster_histogram_oracle() -> str:
+    from .registry import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters"].oracle
+    return f"""
+WITH clusters AS (SELECT * FROM ({clusters}) c0),
+sizes AS (SELECT DISTINCT comp_id, n_members FROM clusters),
+clustered AS (
+    SELECT CAST(n_members AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY n_members
+),
+singles AS (
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+)
+SELECT * FROM clustered UNION ALL SELECT * FROM singles
+"""
+
+
+@register(
+    "dup_cluster_size_histogram",
+    survey="S18,A17 (extension: duplication-profile report)",
+    oracle=_dup_cluster_histogram_oracle(),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the
+    duplication profile every corpus card reports (how much of the
+    corpus sits in 2-member clusters vs pathological 1000-member
+    ones), singletons included as size-1 "clusters" so the n_docs
+    column sums to the corpus size and the table audits itself.
+
+    Scale shape: cluster sizes are already carried per-member by
+    `dedup_clusters`; the histogram is a distinct over (comp_id,
+    n_members) — cluster-count grain, tiny — plus an anti-join for
+    the singleton count.  Both are single linear shuffles; output is
+    bounded by the number of DISTINCT cluster sizes (~dozens at any
+    corpus scale)."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "comp_id", "n_members")
+    sizes = clusters.select("comp_id", "n_members").distinct()
+    clustered = sizes.groupBy(
+        F.col("n_members").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_members").cast("bigint").alias("n_docs"),
+    )
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    singles = (
+        d.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            F.col("n_clusters").alias("n_docs"),
+        )
+    )
+    return clustered.unionByName(singles)

@@ -1717,3 +1717,61 @@ def test_mixing_weight_pow_quantization_boundary_distance():
                 f"boundary (ulp={math.ulp(q)}) — re-derive the "
                 f"quantization scale for this operator"
             )
+
+
+def test_near_dup_keep_best_survivorship_laws(spark):
+    """Survivorship invariants vs the components it composes:
+    (1) exactly one keep per component; (2) the result covers every
+    document exactly once; (3) every kept doc has the max quality in
+    its component (doc_id tie-break); (4) clustered rows carry
+    dedup_clusters' own n_members."""
+    out = REGISTRY["near_dup_keep_best"].fn(spark, SF_SMOKE)
+    out.persist()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+
+    per_comp = out.groupBy("comp_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count(F.lit(1)).alias("n"),
+        F.first("n_members").alias("n_members"),
+    )
+    bad = per_comp.filter(
+        (F.col("n_keep") != 1) | (F.col("n") != F.col("n_members"))
+    ).count()
+    assert bad == 0
+
+    # kept member is argmax(quality, -doc_id) of its component
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = out.withColumn("rk", F.row_number().over(w))
+    mismatch = ranked.filter(F.col("keep") != (F.col("rk") == 1)).count()
+    assert mismatch == 0
+
+    clusters = REGISTRY["dedup_clusters"].fn(spark, SF_SMOKE).select(
+        "doc_id", F.col("n_members").alias("nm_c")
+    )
+    drift = (
+        out.join(clusters, "doc_id")
+        .filter(F.col("n_members") != F.col("nm_c"))
+        .count()
+    )
+    assert drift == 0
+    out.unpersist()
+
+
+def test_dup_cluster_histogram_conserves_corpus(spark):
+    """n_docs sums to the corpus size; size-1 row counts exactly the
+    docs outside every near-dup cluster; n_docs = size * n_clusters
+    row-wise."""
+    hist = REGISTRY["dup_cluster_size_histogram"].fn(spark, SF_SMOKE)
+    rows = {r["cluster_size"]: r for r in hist.collect()}
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    for size, r in rows.items():
+        assert r["n_docs"] == size * r["n_clusters"], r
+    clustered = (
+        REGISTRY["dedup_clusters"].fn(spark, SF_SMOKE).select("doc_id").distinct().count()
+    )
+    assert rows[1]["n_docs"] == n_docs - clustered
