@@ -2251,6 +2251,7 @@ GROUP BY query_id
 @register(
     "retrieval_eval_rank_metrics",
     survey="similarity (extension: retrieval-quality eval as a query)",
+    bench=True,
     oracle=_rank_metrics_oracle(),
 )
 def retrieval_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
