@@ -2275,9 +2275,11 @@ def retrieval_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ann_topk_bruteforce(spark, sf_dir).select(
         "query_id", "cand_id", F.lit(1).alias("hit")
     )
+    # truth is panel×k rows by construction (10 queries × top-5), so the
+    # hit-join must never plan as a shuffle: broadcast the bounded side
     j = (
         got.select("query_id", "cand_id", "rk")
-        .join(truth, ["query_id", "cand_id"], "left")
+        .join(F.broadcast(truth), ["query_id", "cand_id"], "left")
         .withColumn("hit", F.coalesce("hit", F.lit(0)))
     )
     wcum = (
