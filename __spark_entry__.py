@@ -155,6 +155,9 @@ _PRIORITY = (
     # up their slots.
     "near_dup_keep_best",
     "dup_cluster_size_histogram",
+    # (corr_pairs A18 gave up its re-green slot — xcorr_click_purchase
+    # is the family's r8 driver-green — for the third r9 registration:)
+    "source_overlap_matrix",
     # one representative per SURVEY.md §2 family (multi-round greens)
     "submissions_scan",
     "rss_item_parse",
@@ -177,7 +180,6 @@ _PRIORITY = (
     "top_keywords_csv",
     "cv_penalty",
     "rollup_cube",
-    "corr_pairs",
     "latest_per_key",
     "topk_per_group",
     "rolling_window_metrics",

@@ -1073,3 +1073,168 @@ def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.filter(F.col("jaccard") >= 0.5)
+
+
+# --- corpus-level source-overlap audit ---------------------------------------
+
+_OVERLAP_K = 64  # corpus-grain minhash width: 1/64 resolution, exact in binary
+
+
+@register(
+    "source_overlap_matrix",
+    survey="S18,A18 (extension: inter-source duplication audit — exact vs sketch)",
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()},
+exd AS (
+    SELECT DISTINCT d.source, t.g
+    FROM sh s
+    JOIN documents d USING (doc_id),
+    LATERAL unnest(s.shingles) AS t(g)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM exd GROUP BY source),
+inter AS (
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM exd x JOIN exd y ON x.g = y.g AND x.source < y.source
+    GROUP BY 1, 2
+),
+hashed AS (
+    SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT % {_P} AS h FROM exd
+),
+mh AS (
+    SELECT source, t.s,
+           min(((2 * t.s + 1) * h + (17 * t.s + 7)) % {_P}) AS mv
+    FROM hashed, generate_series(0, {_OVERLAP_K - 1}) t(s)
+    GROUP BY source, t.s
+),
+agree AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS n_agree
+    FROM mh a JOIN mh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n AS n_shingles_a, sb.n AS n_shingles_b,
+       coalesce(i.c, 0) AS n_common,
+       floor(coalesce(i.c, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.c, 0))
+             * 1e6 + 0.5) / 1e6 AS jaccard,
+       coalesce(g.n_agree, 0)::DOUBLE / {_OVERLAP_K} AS minhash_est
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+LEFT JOIN agree g ON g.source_a = sa.source AND g.source_b = sb.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication audit — the pre-mixing check a corpus
+    pipeline runs before blending sources: for every source pair, the
+    EXACT shingle-set Jaccard next to its MinHash estimate, so the
+    sketch that would be used at 100 TB (where the exact self-join is
+    the expensive path) is graded in-engine against ground truth on
+    the same plan — the `retrieval_eval_rank_metrics` pattern applied
+    to the dedup tier's own sketch.  (Reference parity anchor: the
+    cross-collector signal reconciliation of signal_aggregator.py,
+    source-pair grain.)
+
+    Estimate uses the SAME md5 permutation family as
+    `dedup_minhash_lsh` ((2s+1)·h + (17s+7) mod P — valid for any s)
+    widened to 64 seeds: corpus-grain estimates need finer resolution
+    than the 9-wide per-doc signatures, and n/64 is a dyadic rational,
+    so the estimate column is bit-exact across engines with no
+    rounding clause.
+
+    Scale shape: one distinct over (source, shingle) — shingle-grain
+    hash shuffle, linear; the exact intersection is a shingle-keyed
+    equi-join whose per-key multiplicity is bounded by the source
+    count (never a pair explosion); the sketch side collapses to
+    sources × 64 rows before its self-join.  At 100 TB you keep the
+    sketch columns and sample the exact columns; both live in one
+    plan here precisely so the sketch's error is measurable."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select("source", "text")
+    ex = (
+        d.select(
+            "source",
+            F.explode(_word_shingles3(_tokens(F.col("text")))).alias("g"),
+        )
+        .distinct()
+    )
+    ex = tracked_persist(ex, "source_overlap_matrix.exd")
+    sizes = ex.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint") % F.lit(_P)
+    hashed = ex.select("source", h.alias("h"))
+    mh = (
+        hashed.select(
+            "source", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_OVERLAP_K - 1))).alias("s"),
+        )
+        .groupBy("source", "s")
+        .agg(
+            F.min(
+                (
+                    (F.lit(2) * F.col("s") + F.lit(1)) * F.col("h")
+                    + (F.lit(17) * F.col("s") + F.lit(7))
+                )
+                % F.lit(_P)
+            ).alias("mv")
+        )
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    agree = (
+        ma.join(
+            mb,
+            (F.col("ma.s") == F.col("mb.s"))
+            & (F.col("ma.source") < F.col("mb.source")),
+        )
+        .groupBy(
+            F.col("ma.source").alias("source_a"), F.col("mb.source").alias("source_b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ma.mv") == F.col("mb.mv"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = sa.join(
+        F.broadcast(sb), F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("sa.n").alias("n_shingles_a"),
+        F.col("sb.n").alias("n_shingles_b"),
+    )
+    n_common = F.coalesce(F.col("c"), F.lit(0)).cast("bigint")
+    union_n = F.col("n_shingles_a") + F.col("n_shingles_b") - n_common
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .join(F.broadcast(agree), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            n_common.alias("n_common"),
+            (
+                F.floor(
+                    n_common.cast("double") / union_n.cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("jaccard"),
+            (
+                F.coalesce(F.col("n_agree"), F.lit(0)).cast("double")
+                / F.lit(float(_OVERLAP_K))
+            ).alias("minhash_est"),
+        )
+    )

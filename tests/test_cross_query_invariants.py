@@ -1775,3 +1775,20 @@ def test_dup_cluster_histogram_conserves_corpus(spark):
         REGISTRY["dedup_clusters"].fn(spark, SF_SMOKE).select("doc_id").distinct().count()
     )
     assert rows[1]["n_docs"] == n_docs - clustered
+
+
+def test_source_overlap_matrix_laws(spark):
+    """Pair coverage is the full s(s-1)/2 matrix; intersection is
+    bounded by the smaller set; the 64-wide MinHash estimate tracks
+    the exact Jaccard within 0.25 per pair (>4 sigma for K=64 —
+    deterministic hashes make this a stable pin, not a flaky one)."""
+    out = REGISTRY["source_overlap_matrix"].fn(spark, SF_SMOKE).collect()
+    n_sources = (
+        load(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    )
+    assert len(out) == n_sources * (n_sources - 1) // 2
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_common"] <= min(r["n_shingles_a"], r["n_shingles_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0 and 0.0 <= r["minhash_est"] <= 1.0
+        assert abs(r["minhash_est"] - r["jaccard"]) <= 0.25, r

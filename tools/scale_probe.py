@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     # iterative resolution — sf1's replica corpus is their worst case)
     "near_dup_keep_best",
     "dup_cluster_size_histogram",
+    "source_overlap_matrix",     # exact-vs-sketch source duplication audit
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -370,6 +371,7 @@ CORPUS_QUERIES = {
     "ivf_refile_oversized",
     "near_dup_keep_best",
     "dup_cluster_size_histogram",
+    "source_overlap_matrix",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
