@@ -45,6 +45,10 @@ BNLJ_OK = {
     # 1-row broadcast (total, ncells) attach for the 110% refile
     # admission — same corpus-total pattern as ivf_probe_cost_profile
     "ivf_refile_oversized",
+    # source-pair matrix: broadcast inequality join of the ~20-row
+    # per-source size table with itself (s(s-1)/2 pairs by design —
+    # source count, never corpus size, bounds the build side)
+    "source_overlap_matrix",
     "dedup_containment",
     "dedup_simhash",
     "embedding_near_dup",
