@@ -1238,3 +1238,99 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("minhash_est"),
         )
     )
+
+
+@register(
+    "source_overlap_sketch",
+    survey="S18,A18 (extension: sketch-only inter-source overlap — the 100 TB path)",
+    oracle=rf"""
+WITH {_SHINGLES_SQL.lstrip()},
+occ AS (
+    SELECT d.source, t.g
+    FROM sh s
+    JOIN documents d USING (doc_id),
+    LATERAL unnest(s.shingles) AS t(g)
+),
+hashed AS (
+    SELECT source, ('0x' || substr(md5(g), 1, 15))::BIGINT % {_P} AS h FROM occ
+),
+mh AS (
+    SELECT source, t.s,
+           min(((2 * t.s + 1) * h + (17 * t.s + 7)) % {_P}) AS mv
+    FROM hashed, generate_series(0, {_OVERLAP_K - 1}) t(s)
+    GROUP BY source, t.s
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)::DOUBLE / {_OVERLAP_K}
+           AS minhash_est
+FROM mh a JOIN mh b ON a.s = b.s AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY twin of `source_overlap_matrix` — the plan that
+    actually runs at 100 TB, following the repo's exact-twin/sketch-
+    twin pattern (`audience_overlap_daily` → `audience_overlap_hll`):
+    the same 64-seed per-source MinHash signature and the same
+    bit-exact dyadic n/64 estimate, but the exact shingle-grain
+    intersection join NEVER appears in the plan.
+
+    Two structural savings over the exact twin, not just a dropped
+    column: (1) no (source, shingle) DISTINCT — min() is
+    duplicate-insensitive, so the signature is computed over raw
+    shingle occurrences with a map-side-combinable aggregate (the
+    distinct's full shingle-grain shuffle disappears); (2) the only
+    join is the sources×64-row signature self-join — corpus size never
+    crosses a shuffle boundary after the linear scan.  Estimates are
+    bit-identical to `source_overlap_matrix.minhash_est` by
+    construction (same hash family, same seeds, same min), and the
+    estimate-vs-exact tolerance is pinned cross-query in
+    tests/test_cross_query_invariants.py using the exact twin's
+    measured-error columns.
+
+    Scale shape: one narrow scan (explode → hash) feeding a 64-way
+    partial-agg min — at 100 TB this is the canonical one-pass sketch
+    build; the pair matrix is s(s-1)/2 rows off a sources×64 frame."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select("source", "text")
+    occ = d.select(
+        "source",
+        F.explode(_word_shingles3(_tokens(F.col("text")))).alias("g"),
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint") % F.lit(_P)
+    mh = (
+        occ.select(
+            "source",
+            h.alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(_OVERLAP_K - 1))).alias("s"),
+        )
+        .groupBy("source", "s")
+        .agg(
+            F.min(
+                (
+                    (F.lit(2) * F.col("s") + F.lit(1)) * F.col("h")
+                    + (F.lit(17) * F.col("s") + F.lit(7))
+                )
+                % F.lit(_P)
+            ).alias("mv")
+        )
+    )
+    # ONE linear pass builds the sketch; the sources×64 signature is
+    # persisted so the self-join below never re-explodes the corpus.
+    mh = tracked_persist(mh, "source_overlap_sketch.mh")
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    agree = F.sum(F.when(F.col("ma.mv") == F.col("mb.mv"), 1).otherwise(0))
+    return (
+        ma.join(
+            mb,
+            (F.col("ma.s") == F.col("mb.s"))
+            & (F.col("ma.source") < F.col("mb.source")),
+        )
+        .groupBy(
+            F.col("ma.source").alias("source_a"), F.col("mb.source").alias("source_b")
+        )
+        .agg(
+            agree.cast("bigint").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(_OVERLAP_K))).alias("minhash_est"),
+        )
+    )

@@ -2628,6 +2628,10 @@ FROM g
     "ivf_refile_oversized",
     survey="similarity,S15 (extension: vector-index rebalance action)",
     oracle=_IVF_REFILE_ORACLE,
+    # bench headliner since r10: at 3.28 s sf0.1 (SCALE.md) it is the
+    # most expensive maintenance op in the repo and its 42-join plan
+    # is exactly what the bench + PLANS.md pin discipline exists for.
+    bench=True,
 )
 def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalance action for the IVF inverted file — the consumer of
@@ -2767,4 +2771,194 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("share"),
         ((F.col("n_vecs") * ncells) > (F.lit(2) * total)).alias("oversized"),
+    )
+
+
+# --- incremental IVF filing (continuous ingestion) ----------------------------
+
+# Deterministic 10% "arriving batch" — the same salted-md5 split
+# discipline as incremental_lsh_probe (dedup.py) and
+# train_test_split: reproducible across engines, partitionings, runs.
+_IVF_DELTA_SEED = "|ivf-delta-seed-1"
+
+
+def _ivf_delta_flag() -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(_IVF_DELTA_SEED))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= 90
+    )
+
+
+def _ivf_frozen_quantizer_filing(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(standing filing, delta filing) under the FROZEN standing-corpus
+    quantizer — the shared subtree of `ivf_file_delta` and its pytest
+    law.  The quantizer (per-label dim means) is trained on STANDING
+    vectors only and never sees the delta: that is the FAISS add()
+    contract — an arriving batch is filed by the persisted quantizer,
+    not a retrained one.  Both sides use the exact `_ivf_cells`
+    arithmetic (argmax cosine, 6dp, label-asc ties)."""
+    from ..functions.cache import tracked_persist
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    flagged = emb.select(
+        "vec_id", "label", "embedding", _ivf_delta_flag().alias("is_delta")
+    )
+    standing = flagged.filter(~F.col("is_delta"))
+    delta = flagged.filter(F.col("is_delta"))
+    cent = tracked_persist(
+        _ivf_cent_flat(standing.select("label", "embedding")),
+        "ivf_file_delta.quantizer",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
+
+    def file_by(vectors: DataFrame) -> DataFrame:
+        return (
+            _ivf_cell_scores(vectors.select("vec_id", "embedding"), cent)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
+
+    return file_by(standing), file_by(delta)
+
+
+_IVF_FILE_DELTA_ORACLE = f"""
+WITH flags AS (
+    SELECT vec_id,
+           ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '{_IVF_DELTA_SEED}'), 1, 8))::BIGINT
+               % 100 >= 90 AS is_delta
+    FROM embeddings
+),
+cent_flat AS (
+    SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx
+    FROM (
+        SELECT e.label, unnest(e.embedding) AS x,
+               generate_subscripts(e.embedding, 1) AS i
+        FROM embeddings e JOIN flags f ON f.vec_id = e.vec_id
+        WHERE NOT f.is_delta
+    )
+    GROUP BY label, i
+),
+v_flat AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+v_cent AS (
+    SELECT v.vec_id, c.label,
+           round(CASE WHEN sqrt(sum(v.x * v.x)) > 0 AND sqrt(sum(c.cx * c.cx)) > 0
+                      THEN sum(v.x * c.cx) / (sqrt(sum(v.x * v.x)) * sqrt(sum(c.cx * c.cx)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM v_flat v JOIN cent_flat c ON v.i = c.i
+    GROUP BY v.vec_id, c.label
+),
+v_cell AS (
+    SELECT vec_id, label AS cell
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, label
+        ) AS rk
+        FROM v_cent
+    )
+    WHERE rk = 1
+),
+counts AS (
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(sum(CASE WHEN f.is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN f.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+    FROM v_cell c JOIN flags f ON f.vec_id = c.vec_id
+    GROUP BY c.cell
+)
+SELECT cell, n_before, n_added,
+       n_before + n_added AS n_after,
+       floor(CAST(n_before + n_added AS DOUBLE)
+             / sum(n_before + n_added) OVER () * 1e6 + 0.5) / 1e6 AS share_after,
+       ((n_before + n_added) * count(*) OVER ())
+           > (2 * sum(n_before + n_added) OVER ()) AS oversized_after
+FROM counts
+"""
+
+
+@register(
+    "ivf_file_delta",
+    survey="similarity,S15,S16 (extension: incremental vector-index filing)",
+    oracle=_IVF_FILE_DELTA_ORACLE,
+)
+def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF filing — the vector index's continuous-ingestion
+    path, completing the maintenance triangle alongside
+    `ivf_cell_balance_stats` (signal) and `ivf_refile_oversized`
+    (action), and matching the discipline the other two index tiers
+    already have: `incremental_lsh_probe` (delta batch vs standing LSH
+    corpus) and `append_file_bloom_index` (Bloom append == rebuild).
+
+    The deterministic 10% arriving batch (salted-md5 split, same
+    family as `train_test_split`) is filed into the inverted file by
+    the FROZEN standing-corpus quantizer — per-label dim means over
+    standing vectors only, exactly FAISS's add(): an append never
+    retrains the quantizer, so filing a batch costs
+    O(batch × nlist × dim), independent of corpus size.  Output is the
+    post-append per-cell stats in `ivf_cell_balance_stats`' exact
+    table language (n_before / n_added / n_after / share_after /
+    oversized_after, integer-exact flag), so an append can TRIGGER the
+    refile: oversized_after feeds `ivf_refile_oversized`'s admission
+    the same way the balance-stats flag does.
+
+    The maintenance law (tests/test_similarity_paths.py): the batch
+    path's delta assignments equal a full `_ivf_cells`-style filing of
+    the whole corpus under the same frozen quantizer, RESTRICTED to
+    the delta — incremental == rebuild, the invariant that makes the
+    append trustworthy.
+
+    Scale shape: the quantizer is a persisted nlist×dim frame
+    (broadcast); delta filing is one explode → broadcast-join →
+    map-side aggregate → per-vector argmax window over the BATCH only;
+    the standing side contributes only its per-cell counts (at 100 TB:
+    the inverted file's metadata, not a rescan — here derived in-plan
+    from the same frozen quantizer, the `incremental_lsh_probe`
+    precedent).  Stats grain is O(cells)."""
+    file_cells, add_cells = _ivf_frozen_quantizer_filing(spark, sf_dir)
+    before = file_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    added = add_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added")
+    )
+    j = (
+        before.join(added, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_added", F.lit(0)).cast("bigint").alias("n_added"),
+        )
+        .withColumn("n_after", (F.col("n_before") + F.col("n_added")).cast("bigint"))
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_after").over(wall)
+    ncells = F.count(F.lit(1)).over(wall)
+    return j.select(
+        "cell",
+        "n_before",
+        "n_added",
+        "n_after",
+        (
+            F.floor(
+                F.col("n_after").cast("double") / total * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share_after"),
+        ((F.col("n_after") * ncells) > (F.lit(2) * total)).alias("oversized_after"),
     )

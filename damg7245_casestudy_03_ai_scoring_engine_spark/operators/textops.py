@@ -1724,9 +1724,81 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 20
 
 
+def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
+    """Unrolled-CTE replay of the full BPE training loop — the same
+    finite-iteration-replay pattern as `quality_filter_logistic_gd`'s
+    5 GD steps and the PCA power method: each merge round is one
+    (pair-count → deterministic argmax → corpus-wide merge) CTE trio,
+    chained 20 deep.  This retires the op's former rows-only status:
+    the "inherently sequential" fold step IS replayable in SQL.
+
+    The greedy non-overlapping left-to-right merge (Spark side: a
+    higher-order-function fold) is replayed as STRING surgery: symbols
+    are chr(10)-joined (tokens are split on \\s+, so no symbol can
+    contain the separator), every separator is doubled so adjacent
+    matches never share a boundary character, one replace() applies
+    the round's rule (SQL replace is left-to-right non-overlapping —
+    exactly the greedy BPE scan), then separators are un-doubled.
+    Boundary runs stay exactly 2 wide by construction (each match
+    consumes one sep per side and its replacement restores one), so
+    the un-double is lossless.
+
+    CTEs are MATERIALIZED: each round is referenced by both the next
+    round's pair count and its merge application, and DuckDB's default
+    inlining would double the plan per round (2^20 blowup — measured:
+    the inlined form never finishes; materialized runs in ~0.3 s at
+    sf0.001)."""
+    sep = "chr(10)"
+    ctes = [
+        rf"""w0 AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+),
+words AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM w0 WHERE len(word) > 0 GROUP BY word
+),
+sy0 AS MATERIALIZED (
+    SELECT cnt,
+           array_to_string(list_transform(generate_series(1, length(word)),
+               i -> substr(word, i, 1)), {sep}) AS sym
+    FROM words
+)"""
+    ]
+    for k in range(1, merges + 1):
+        p = k - 1
+        ctes.append(
+            f"""pc{k} AS (
+    SELECT ls[t.x] AS l, ls[t.x + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+    FROM (SELECT cnt, string_split(sym, {sep}) AS ls FROM sy{p}),
+         LATERAL unnest(generate_series(1, len(ls) - 1)) AS t(x)
+    GROUP BY 1, 2
+),
+bs{k} AS MATERIALIZED (SELECT l, r, n FROM pc{k} ORDER BY n DESC, l, r LIMIT 1)"""
+        )
+        if k < merges:
+            ctes.append(
+                f"""sy{k} AS MATERIALIZED (
+    SELECT s.cnt,
+           trim(replace(replace(replace({sep} || s.sym || {sep}, {sep}, {sep} || {sep}),
+                {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                {sep} || b.l || b.r || {sep}),
+                {sep} || {sep}, {sep}), {sep}) AS sym
+    FROM sy{p} s CROSS JOIN bs{k} b
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, n AS pair_count FROM bs{k}"
+        for k in range(1, merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
 @register(
     "bpe_merge_induction",
     survey="text-analysis (extension: BPE tokenizer-merge learning, Sennrich et al. 2016)",
+    oracle=_bpe_oracle(),
 )
 def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 20 BPE merges from the corpus — actual
@@ -1745,9 +1817,13 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect (the chosen rule is a scalar decision, exactly like a
     k-means centroid update).  No per-word driver loop at any scale.
 
-    Checked rows-only: tests/test_rows_only.py replays the identical
-    algorithm in pure Python on the collected word-frequency table and
-    asserts the full merge sequence matches."""
+    Oracle-backed since r10 (formerly rows-only): the full 20-round
+    training loop is replayed in DuckDB as unrolled MATERIALIZED CTEs
+    (`_bpe_oracle` — the merge fold becomes deterministic string
+    surgery on a separator-doubled symbol string), so the learned
+    merge TABLE is value-hash-checked cross-engine.  The pure-Python
+    replay in tests/test_rows_only.py stays as a third independent
+    implementation pinning the same sequence."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     words = (
         d.select(
@@ -3262,3 +3338,77 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clustered.unionByName(singles)
+
+
+def _near_dup_corpus_rebuild_oracle() -> str:
+    """Composed verbatim from the survivorship oracle (which itself
+    composes the recursive-CTE cluster resolution + quality score) —
+    the rebuilt corpus can never drift from the keep verdict it
+    consumes."""
+    return rf"""
+WITH kb AS (SELECT * FROM ({_near_dup_keep_best_oracle()}) k0 WHERE keep),
+j AS (
+    SELECT kb.doc_id, kb.comp_id, d.source, kb.quality,
+           CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS INT)
+               AS n_tokens
+    FROM kb JOIN documents d ON d.doc_id = kb.doc_id
+),
+s AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS source_kept_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS source_kept_tokens
+    FROM j GROUP BY source
+)
+SELECT j.doc_id, j.comp_id, j.source, j.quality, j.n_tokens,
+       s.source_kept_docs, s.source_kept_tokens
+FROM j JOIN s ON s.source = j.source
+"""
+
+
+@register(
+    "near_dup_corpus_rebuild",
+    survey="S18,U3 (extension: near-dup survivorship CONSUMED — kept-corpus rebuild)",
+    oracle=_near_dup_corpus_rebuild_oracle(),
+)
+def near_dup_corpus_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus — `near_dup_keep_best`'s verdict CONSUMED, the
+    same consume-your-own-signal discipline as the exact-span path
+    (`cross_doc_dup_spans` measures → `dedup_span_removal` rebuilds):
+    one surviving document per near-dup cluster (plus every
+    singleton), carrying the per-source kept-doc and kept-TOKEN totals
+    the mixing tier reads (`temperature_mixing_weights`' exact token
+    counting), so post-dedup mixing weights can be computed straight
+    off this table instead of the raw corpus.
+
+    Cross-query law (tests/test_cross_query_invariants.py): kept rows
+    == Σ n_clusters of `dup_cluster_size_histogram` — one survivor per
+    cluster, singletons included — pinned next to the existing
+    survivorship laws.
+
+    Scale shape: the survivorship subtree adds one doc_id equi-join
+    against documents (hash-partitioned, linear); the per-source
+    totals are a sources-grain aggregate broadcast back — no window
+    over the corpus, no new iteration.  At 100 TB this is the query
+    that WRITES the post-dedup silver."""
+    kept = near_dup_keep_best(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", "comp_id", "quality"
+    )
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    docs = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    j = kept.join(docs, "doc_id").select(
+        "doc_id", "comp_id", "source", "quality", "n_tokens"
+    )
+    per_src = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("source_kept_docs"),
+        F.sum("n_tokens").cast("bigint").alias("source_kept_tokens"),
+    )
+    return j.join(F.broadcast(per_src), "source").select(
+        "doc_id",
+        "comp_id",
+        "source",
+        "quality",
+        "n_tokens",
+        "source_kept_docs",
+        "source_kept_tokens",
+    )

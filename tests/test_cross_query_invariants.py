@@ -1792,3 +1792,76 @@ def test_source_overlap_matrix_laws(spark):
         assert 0 <= r["n_common"] <= min(r["n_shingles_a"], r["n_shingles_b"])
         assert 0.0 <= r["jaccard"] <= 1.0 and 0.0 <= r["minhash_est"] <= 1.0
         assert abs(r["minhash_est"] - r["jaccard"]) <= 0.25, r
+
+
+def test_source_overlap_sketch_twin_laws(spark):
+    """The sketch-only twin vs its exact twin (the
+    audience_overlap_daily → audience_overlap_hll pattern on the
+    dedup tier): (1) identical pair coverage; (2) the sketch's
+    estimate is BIT-IDENTICAL to the estimate column the exact twin
+    computes in-plan (same hash family, same 64 seeds, min over
+    occurrences == min over distincts); (3) therefore the sketch
+    inherits the exact twin's measured-error pin — within 0.25 of the
+    exact Jaccard per pair (>4 sigma for K=64, deterministic hashes).
+    """
+    exact = {
+        (r["source_a"], r["source_b"]): r
+        for r in REGISTRY["source_overlap_matrix"].fn(spark, SF_SMOKE).collect()
+    }
+    sk = {
+        (r["source_a"], r["source_b"]): r
+        for r in REGISTRY["source_overlap_sketch"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(sk) == set(exact)
+    for pair, r in sk.items():
+        assert r["minhash_est"] == exact[pair]["minhash_est"], pair
+        assert r["n_agree"] == round(r["minhash_est"] * 64)
+        assert abs(r["minhash_est"] - exact[pair]["jaccard"]) <= 0.25, (pair, r)
+
+
+def test_near_dup_corpus_rebuild_laws(spark):
+    """The kept-corpus rebuild vs the signals it consumes:
+    (1) kept rows == Σ n_clusters of dup_cluster_size_histogram (one
+    survivor per cluster, singletons included) — the cross-query law
+    pinned next to the survivorship laws; (2) the kept set is exactly
+    near_dup_keep_best's keep=true set, quality carried through;
+    (3) per-source totals are internally consistent and the doc
+    totals sum to the kept corpus; (4) token counts replay the mixing
+    tier's exact counting (temperature_mixing_weights' n_toks)."""
+    out = REGISTRY["near_dup_corpus_rebuild"].fn(spark, SF_SMOKE)
+    out.persist()
+    hist = REGISTRY["dup_cluster_size_histogram"].fn(spark, SF_SMOKE).collect()
+    assert out.count() == sum(r["n_clusters"] for r in hist)
+
+    kb = {
+        r["doc_id"]: r
+        for r in REGISTRY["near_dup_keep_best"].fn(spark, SF_SMOKE).collect()
+        if r["keep"]
+    }
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(kb)
+    for doc_id, r in got.items():
+        assert r["comp_id"] == kb[doc_id]["comp_id"]
+        assert r["quality"] == kb[doc_id]["quality"]
+
+    per_src: dict[str, list] = {}
+    for r in got.values():
+        per_src.setdefault(r["source"], []).append(r)
+    for source, rows in per_src.items():
+        assert all(r["source_kept_docs"] == len(rows) for r in rows), source
+        tok_sum = sum(r["n_tokens"] for r in rows)
+        assert all(r["source_kept_tokens"] == tok_sum for r in rows), source
+    assert sum(len(rows) for rows in per_src.values()) == len(got)
+
+    toks = {
+        r["doc_id"]: r["n_toks"]
+        for r in load(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_toks"),
+        )
+        .collect()
+    }
+    for doc_id, r in got.items():
+        assert r["n_tokens"] == toks[doc_id], doc_id
+    out.unpersist()

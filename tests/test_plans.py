@@ -815,3 +815,45 @@ def test_rag_assembly_metadata_join_after_topk(spark):
     assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
     for m in re.finditer(r"windowspecdefinition\(([^,]+)", s):
         assert "query_id" in m.group(1), f"unpartitioned window: {m.group(0)}"
+
+
+def test_ivf_refile_plan_blocked_and_partitioned(spark):
+    """The r10 bench headliner (42-join refile plan): no cartesian
+    anywhere, the flagged-cell/size/sub-centroid attaches broadcast,
+    and BOTH rank windows are partitioned (members ranked within their
+    cell; refiled vectors argmax'd within vec_id) — the stats windows
+    over the O(cells) grain are the only partition-less specs."""
+    s = explain_str(_plan(spark, "ivf_refile_oversized"))
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+    assert "windowspecdefinition(cell" in s
+    assert "windowspecdefinition(vec_id" in s
+
+
+def test_ivf_file_delta_batch_path_shape(spark):
+    """Incremental filing: the frozen quantizer rides a broadcast join
+    into both scoring branches, the per-(vector, centroid) aggregate
+    is map-side partial, the argmax windows are partitioned by vec_id,
+    and nothing plans a cartesian/nested-loop."""
+    s = explain_str(_plan(spark, "ivf_file_delta"))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s
+    assert "partial_" in s
+    assert "windowspecdefinition(vec_id" in s
+
+
+def test_source_overlap_sketch_never_joins_shingles(spark):
+    """The sketch-only twin's structural guarantee: the ONLY join in
+    the plan is the sources×64 signature self-join — the exact
+    shingle-grain intersection join (and the (source, shingle)
+    distinct) never appear, and the 64-seed min is map-side partial."""
+    s = explain_str(_plan(spark, "source_overlap_sketch"))
+    nodes = re.findall(r"\(\d+\) (\w+Join|CartesianProduct)", s)
+    assert nodes == ["BroadcastHashJoin"], (
+        f"expected exactly the signature self-join, saw {nodes}"
+    )
+    assert "partial_min" in s
+    # the corpus pass is persisted: the self-join reads the cached
+    # signature, not a second explode of the shingle stream
+    assert "InMemoryTableScan" in s

@@ -399,3 +399,67 @@ def test_operating_point_two_sided_pin():
     )
     assert pt["recall_at_5"] >= 0.75, f"recall floor breached: {pt}"
     assert pt["scan_fraction"] <= 0.66, f"scan-fraction ceiling breached: {pt}"
+
+
+def test_ivf_file_delta_laws(spark):
+    """The incremental-filing maintenance laws:
+
+    1. INCREMENTAL == REBUILD — the batch path's delta assignments
+       (delta vectors scored alone against the frozen standing-corpus
+       quantizer) equal a full one-pass filing of the WHOLE corpus
+       under the same frozen quantizer, restricted to the delta.  The
+       same invariant that makes `incremental_lsh_probe` and
+       `append_file_bloom_index` trustworthy, on the vector tier.
+    2. CONSERVATION — n_before sums to the standing count, n_added to
+       the delta count, n_after to the corpus; per-cell n_after =
+       n_before + n_added by schema.
+    3. SIGNAL LANGUAGE — oversized_after replays
+       `ivf_cell_balance_stats`' exact integer-product flag on the
+       post-append counts, so an append can trigger
+       `ivf_refile_oversized` through the same admission arithmetic.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _ivf_cell_scores,
+        _ivf_cent_flat,
+        _ivf_delta_flag,
+        _ivf_frozen_quantizer_filing,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    flagged = emb.select(
+        "vec_id", "label", "embedding", _ivf_delta_flag().alias("is_delta")
+    )
+    delta_ids = {r.vec_id for r in flagged.filter("is_delta").collect()}
+    n_total = emb.count()
+    assert 0 < len(delta_ids) < n_total, "delta split degenerate at fixture scale"
+
+    # law 1: full rebuild under the SAME frozen quantizer, one pass
+    # over standing+delta together, then restricted to the delta
+    cent = _ivf_cent_flat(
+        flagged.filter(~F.col("is_delta")).select("label", "embedding")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
+    full = {
+        (r.vec_id, r.label)
+        for r in _ivf_cell_scores(flagged.select("vec_id", "embedding"), cent)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    _, add_cells = _ivf_frozen_quantizer_filing(spark, SF_SMOKE)
+    batch = {(r.vec_id, r.cell) for r in add_cells.collect()}
+    assert batch == {(v, c) for v, c in full if v in delta_ids}
+
+    # laws 2 + 3 on the registered output
+    post = REGISTRY["ivf_file_delta"].fn(spark, SF_SMOKE).collect()
+    assert all(r.n_after == r.n_before + r.n_added for r in post)
+    assert sum(r.n_added for r in post) == len(delta_ids)
+    assert sum(r.n_before for r in post) == n_total - len(delta_ids)
+    assert sum(r.n_after for r in post) == n_total
+    total, ncells = n_total, len(post)
+    for r in post:
+        assert r.oversized_after == (r.n_after * ncells > 2 * total), r
