@@ -75,9 +75,10 @@ def main() -> None:
     # round) but are released BETWEEN queries so a 25-query bench never
     # accumulates 25 queries' worth of cached blocks.
     pass_medians: list[dict[str, float | None]] = []
-    failures: dict[str, str] = {}
+    pass_failures: list[dict[str, str]] = []
     for _pass in range(2):
         medians: dict[str, float | None] = {}
+        fails: dict[str, str] = {}
         for name, spec in bench_specs.items():
             runs: list[float] = []
             try:
@@ -89,22 +90,42 @@ def main() -> None:
                 medians[name] = round(sorted(runs)[1], 3)
             except Exception as exc:  # noqa: BLE001 - harness must survive
                 medians[name] = None
-                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
-                print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+                fails[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"bench: {name} FAILED (pass {_pass + 1}): {fails[name]}",
+                    file=sys.stderr,
+                )
             release_all()
         pass_medians.append(medians)
+        pass_failures.append(fails)
 
     timings: dict[str, float | None] = {}
     for name in bench_specs:
         vals = [m[name] for m in pass_medians if m.get(name) is not None]
         timings[name] = min(vals) if vals else None
-        if timings[name] is not None:
-            failures.pop(name, None)  # succeeded in at least one pass
+
+    # A query is "failed" only if NO pass produced a timing; its
+    # per-pass error messages all land in the JSON artifact so a
+    # partial run is diagnosable from the record alone (not stderr).
+    failures = {
+        name: {
+            f"pass{i + 1}": msg
+            for i, fails in enumerate(pass_failures)
+            if (msg := fails.get(name))
+        }
+        for name in bench_specs
+        if timings[name] is None
+    }
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    # Pass totals compare contention between passes, so they must sum
+    # the SAME query set: only queries that succeeded in BOTH passes
+    # (a one-pass failure would otherwise skew coverage, not load).
+    both_ok = [
+        n for n in bench_specs if all(m.get(n) is not None for m in pass_medians)
+    ]
     pass_totals = [
-        round(sum(t for t in m.values() if t is not None), 3)
-        for m in pass_medians
+        round(sum(m[n] for n in both_ok), 3) for m in pass_medians
     ]
     print(
         json.dumps(
@@ -114,6 +135,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "pass_totals": pass_totals,
+                "n_both_passes": len(both_ok),
+                "failures": failures,
                 "sf": sf,
                 "cpus": cpus,
                 "n_queries": len(timings),
