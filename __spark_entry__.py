@@ -119,71 +119,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # writes S16-S19, layouts S15/P3/P5, filters P1, joins J1/J2/J5/J6/
 # J7/J8/J9, aggs A2/A4/A5/A6/A8/A10/A17/A18, windows W1/W3/W4/W5,
 # sorts O3, scalar F-family (inside every rep), ML M1/M2/M12/M14.
+# Round-10 window — GENERATED-THEN-CURATED: tools/window_freshness.py
+# (new this round, mechanizing the r9 hand rule) maps the round's
+# git-touched operator defs → static reference closure → implicated
+# registry queries, and asserts every implicated oracle-backed query
+# is in this window.  Its r10 output implicates exactly five:
+# the four new/changed registrations (ivf_file_delta — incremental
+# IVF filing; source_overlap_sketch — the sketch-only overlap twin;
+# near_dup_corpus_rebuild — the survivorship consumer;
+# bpe_merge_induction — newly ORACLE-BACKED via the unrolled
+# MATERIALIZED-CTE replay, retiring its rows-only status) plus
+# ivf_refile_oversized (decorator touched: bench=True).  All five are
+# windowed below.  The remaining 42 slots rotate to family reps NOT
+# re-greened in r9 (every one a multi-round green, pytest-oracle every
+# session), so cumulative driver freshness keeps spreading:
+# S5/S6/S8/S14/S16/S19/S21, P2/P5/P6/P7, J2/J3/J4/U3/U4, A3/A4/A5/A9/
+# A10..A18 reps, W2/W3/W5, O1/O3, M5/M7/M11/M13/M15..M19, streaming
+# sessionization, dedup/similarity/curation tier reps — and
+# weighted_mean_vr stays windowed so its green accompanies the r10
+# ambient-file profile note (BASELINE.md).
 _PRIORITY = (
     # spine
     "org_air_flagship",
     "section_split_10k",
     "session_window_rollup",
-    # ledger closers, family-implicating trio first (last un-driver-run
-    # member of the SCD2 / CUSUM / correlation families)
-    "scd2_snapshot_asof",
-    "cusum_drift_flags",
-    "autocorr_daily_values",
-    "quantile_profile",
-    "lang_id_ngram",
-    "explode_outer_tokens",
-    "brand_triangle_counts",
-    "graph_degree_histogram",
-    "compaction_plan_bins",
-    "spatial_nn_expanding_ring",
-    # the r8 similarity quartet (registered after the r8 window froze)
-    "retrieval_eval_rank_metrics",
-    "ivf_cell_balance_stats",
-    "hard_negative_mining_cells",
-    "ivf_probe_cost_profile",
-    # r9-touched: greens must post-date the code change
-    "lsh_pairs_topk",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "ann_ivf_partition_pruned",
+    # r10 registrations + touched (window_freshness.py output)
+    "ivf_file_delta",
+    "source_overlap_sketch",
+    "near_dup_corpus_rebuild",
+    "bpe_merge_induction",
     "ivf_refile_oversized",
-    # r9 registrations, windowed the round they land (the r8 verdict's
-    # late-registration gap, closed at the source): quality-aware
-    # near-dup survivorship + the duplication-profile report.  Two
-    # multi-round-green reps (pagination_keyset O3, grouped_median_arrow
-    # W3 — both driver-green r8 and pytest-oracle every session) gave
-    # up their slots.
-    "near_dup_keep_best",
-    "dup_cluster_size_histogram",
-    # (corr_pairs A18 gave up its re-green slot — xcorr_click_purchase
-    # is the family's r8 driver-green — for the third r9 registration:)
-    "source_overlap_matrix",
-    # one representative per SURVEY.md §2 family (multi-round greens)
-    "submissions_scan",
-    "rss_item_parse",
-    "job_board_normalize",
-    "merge_upsert_balances",
-    "anti_join_dedup",
-    "partition_pruned_scan",
-    "file_bloom_index_lookup",
-    "pred_pushdown_revenue",
-    "dim_join_fallback",
-    "bucketed_colocated_join",
-    "keyword_taxonomy_match",
-    "evidence_dimension_features",
-    "rule_synergy_scores",
-    "asof_join_events",
-    "cohort_retention",
-    "manual_pivot",
-    "json_metric_rollup",
+    # family reps rotated in for r10 (none re-greened in r9)
+    "html_text_extract",
+    "pdf_text_extract",
+    "token_window_chunks",
+    "board_proxy_extract",
+    "append_dedup_signals",
+    "sized_output_sharding",
+    "soft_delete_filter",
+    "in_list_filter",
+    "like_prefix_filter",
+    "dynamic_partition_pruned_join",
+    "fact_join_agg",
+    "sem_training_rows",
+    "intersect_except_nations",
+    "content_hash_dedup",
+    "gini_concentration",
+    "unpivot_profit_metrics",
+    "variant_metric_rollup",
+    "grouping_sets_census",
+    "corr_pairs",
+    "signal_summaries",
+    "review_culture_scores",
+    "board_governance_scores",
+    "job_posting_analysis",
+    "talent_concentration",
+    "eb_shrunk_return_rates",
+    "heavy_hitter_tokens",
+    "best_order_per_customer",
+    "weighted_median_grouped_agg",
+    "capped_running_balance",
+    "top_orders",
+    "pagination_keyset",
+    "hr_position_stack",
+    "pca_one_factor_eta",
+    "sem_bootstrap_ci",
+    "sem_spearman_brown",
+    "rubric_dimension_scores",
+    "portfolio_range_validation",
+    "user_sessionization",
     "weighted_mean_vr",
-    "top_keywords_csv",
-    "cv_penalty",
-    "rollup_cube",
-    "latest_per_key",
-    "topk_per_group",
-    "rolling_window_metrics",
-    "sem_ols_ci",
+    "dedup_minhash_lsh",
+    "semantic_dedup",
+    "curation_decision_gate",
 )
 
 
