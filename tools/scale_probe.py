@@ -97,6 +97,13 @@ DEFAULT_QUERIES = [
     "near_dup_keep_best",
     "dup_cluster_size_histogram",
     "source_overlap_matrix",     # exact-vs-sketch source duplication audit
+    # r10 additions, probed the round they land (policy since r9):
+    # the sketch-only overlap twin (its wall must stay FLAT where the
+    # exact twin's grows — that flatness IS the registered claim), the
+    # survivorship consumer, and incremental IVF filing
+    "source_overlap_sketch",
+    "near_dup_corpus_rebuild",
+    "ivf_file_delta",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -372,6 +379,9 @@ CORPUS_QUERIES = {
     "near_dup_keep_best",
     "dup_cluster_size_histogram",
     "source_overlap_matrix",
+    "source_overlap_sketch",
+    "near_dup_corpus_rebuild",
+    "ivf_file_delta",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
