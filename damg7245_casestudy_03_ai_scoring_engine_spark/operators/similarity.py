@@ -251,6 +251,26 @@ def _ivf_cell_scores(vectors: DataFrame, cent_flat: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarse quantizer (label, i, cx) — per-label dim means —
+    memoized + persisted per (session, sf) like the filing itself: at
+    100 TB this is the index's persisted codebook (nlist×dim rows,
+    broadcastable), trained once and read by every filing, probe, and
+    maintenance pass.  Before r10 each IVF query re-aggregated it from
+    the full corpus; caching it removes one corpus-wide explode+agg
+    per consumer at identical values (same plan, same partials)."""
+    from ..functions.cache import tracked_persist
+
+    tag = _sf_tag_sim(sf_dir)
+    key = f"_ivf_quantizer_{tag}"
+    if not hasattr(spark, key):
+        emb = load(spark, sf_dir, "embeddings", fan_out=True)
+        setattr(
+            spark, key, tracked_persist(_ivf_cent_flat(emb), f"ivf.quantizer.{tag}")
+        )
+    return getattr(spark, key)
+
+
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell) for EVERY vector, filed by nearest centroid —
     the inverted-file assignment (FAISS IVF add()).  Memoized +
@@ -265,7 +285,9 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"_ivf_cells_{tag}"
     if not hasattr(spark, key):
         emb = load(spark, sf_dir, "embeddings", fan_out=True)
-        scores = _ivf_cell_scores(emb.select("vec_id", "embedding"), _ivf_cent_flat(emb))
+        scores = _ivf_cell_scores(
+            emb.select("vec_id", "embedding"), _ivf_quantizer(spark, sf_dir)
+        )
         w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
         cells = (
             scores.withColumn("rk", F.row_number().over(w))
@@ -302,7 +324,7 @@ def _ivf_probe_assign(
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     q_scores = _ivf_cell_scores(
         emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding"),
-        _ivf_cent_flat(emb),
+        _ivf_quantizer(spark, sf_dir),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
     best = F.max("cosine").over(Window.partitionBy("vec_id"))
@@ -2669,18 +2691,10 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), and the stats grain is O(cells) — nothing here scans
     the unflagged corpus beyond the filing already persisted by
     `_ivf_cells`."""
-    from ..functions.cache import tracked_persist  # noqa: F401  (filing persisted upstream)
+    from ..functions.cache import tracked_persist
 
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     cells = _ivf_cells(spark, sf_dir)
-    scores = _ivf_cell_scores(
-        emb.select("vec_id", "embedding"), _ivf_cent_flat(emb)
-    )
-    own = (
-        scores.join(cells, "vec_id")
-        .filter(F.col("label") == F.col("cell"))
-        .select("vec_id", "cell", "cosine")
-    )
     sizes = cells.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_c")
     )
@@ -2696,10 +2710,45 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell")
     )
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    # The split arithmetic touches flagged-cell members ONLY, and their
+    # exploded dims are materialized ONCE: mem_flat = filing ⋈ refile ⋈
+    # v_flat, persisted (flagged-members × dim — bounded by the flagged
+    # set, never the corpus), then read three times (own-cosine rank,
+    # sub-centroid means, refile rescoring).  Pre-r10 this rescored the
+    # WHOLE corpus against the FULL quantizer and filtered to
+    # label==cell, and every downstream branch re-exploded the corpus
+    # from parquet — n·nlist pair-aggregates plus 3 corpus scans to
+    # keep |flagged members| rows (bench headliner: see PLANS.md pin +
+    # BENCH ledger).  The quantizer itself is the persisted session
+    # codebook (_ivf_quantizer).
+    cent_own = _ivf_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    mem_flat = tracked_persist(
+        cells.join(F.broadcast(refile), "cell").join(v_flat, "vec_id"),
+        "ivf_refile.mem_flat",
+    )
+    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    own = (
+        mem_flat.join(F.broadcast(cent_own), ["cell", "i"])
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(
+                F.when(
+                    (vn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
     wrank = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("vec_id"))
     halves = (
-        own.join(F.broadcast(refile), "cell")
-        .join(F.broadcast(sizes), "cell")
+        own.join(F.broadcast(sizes), "cell")
         .withColumn(
             "half",
             F.when(
@@ -2708,20 +2757,14 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cell", "half")
     )
-    v_flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    sub_cent = (
-        halves.join(v_flat, "vec_id")
-        .groupBy("cell", "half", "i")
-        .agg(F.avg("x").alias("cx"))
-    )
+    # (vec_id, cell, half, i, x): each member's dims tagged with its
+    # rank-half — one row per (vec, dim), reused by both stages below
+    hm = halves.join(mem_flat, ["vec_id", "cell"])
+    sub_cent = hm.groupBy("cell", "half", "i").agg(F.avg("x").alias("cx"))
     nm = F.sqrt(F.sum(F.col("x") * F.col("x")))
     ns = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     resc = (
-        halves.select("vec_id", "cell")
-        .distinct()
-        .join(v_flat, "vec_id")
+        hm.select("vec_id", "cell", "i", "x")
         .join(F.broadcast(sub_cent), ["cell", "i"])
         .groupBy("vec_id", "cell", "half")
         .agg(

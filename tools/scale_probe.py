@@ -569,6 +569,53 @@ def derived_findings(rows) -> list[str]:
 
 
 FINDINGS = """
+## Findings (manual annotation — r10 probe, 2026-08-16)
+
+- **The sketch-only overlap twin is measurably FLAT where the exact
+  twin grows.**  `source_overlap_sketch` reads 0.9×/0.9× at 10× data
+  on both axes (BroadcastHash×2 — just the sources×64 signature
+  self-join) while `source_overlap_matrix`'s exact shingle
+  intersection reads 4.3× on the replica axis.  That flatness is the
+  registered 100 TB claim: after one linear scan, corpus size never
+  crosses a shuffle boundary.  The estimate column is bit-identical
+  between the twins (pinned in tests/test_cross_query_invariants.py),
+  so dropping the exact join costs nothing the error columns didn't
+  already price.
+- **The survivorship consumer inherits no blowup.**
+  `near_dup_corpus_rebuild` (kept-corpus rebuild + per-source token
+  totals) reads 1.4×/1.2× for 10× docs with output exactly 10× on
+  both axes — one doc_id join and a sources-grain broadcast on top of
+  the `near_dup_keep_best` subtree; its cross-query law (kept rows ==
+  Σ n_clusters) held on every axis.
+- **Incremental IVF filing is structure-dominated like the rest of
+  the index-maintenance family.**  `ivf_file_delta` reads 1.6×/1.3×
+  at 10× (10-row stats grain, plan pinned BroadcastHash×4+SortMerge×2
+  on every axis).  In-plan both sides ride the frozen standing-corpus
+  quantizer (the `incremental_lsh_probe` precedent: the standing
+  filing stands in for the persisted inverted file); the batch-only
+  arithmetic is the delta × nlist scoring, and the incremental ==
+  full-rebuild-restricted-to-delta law is pinned in
+  tests/test_similarity_paths.py.
+- **The refile action now measures what its docstring always
+  claimed.**  r10 made two changes to `ivf_refile_oversized`: the
+  own-cell cosine is scored for FLAGGED-cell members only against
+  exactly their parent centroid (pre-r10 it rescored the whole corpus
+  against the full quantizer and filtered to label==cell), and the
+  flagged members' exploded dims are persisted once (`mem_flat`) and
+  read by all three downstream stages instead of three corpus scans.
+  The coarse quantizer itself became a persisted session codebook
+  (`_ivf_quantizer`), shared by every IVF filing/probe/maintenance
+  consumer.  Measured standalone fresh-JVM: 3.28/4.55/5.06 s (r9) →
+  **2.08/1.84/1.86 s — 0.9×/0.9× at 10× data on both axes**, warm
+  steady state 2.6 s with jobs 33→19 and executor run time
+  69.5→23.7 s; `ann_ivf_topk` also drops to 1.4×/1.6× (was
+  1.8×/2.0×) from the shared codebook.  Values are oracle-identical
+  (full IVF family re-driven green under the hostile-session
+  mirror).  The table rows for this trio were re-probed standalone
+  after the merged 3-query probe JVM showed the documented ambient
+  inflation (refile read 7.5 s there vs 1.8–2.9 s across three
+  separate fresh JVMs).
+
 ## Findings (manual annotation — r9 probe, 2026-08-16)
 
 These paragraphs were written against the r9 measurement and are NOT
