@@ -149,29 +149,38 @@ _PRIORITY = (
     "near_dup_corpus_rebuild",
     "bpe_merge_induction",
     "ivf_refile_oversized",
+    # late-r10 refile rework made the coarse quantizer a persisted
+    # session codebook (_ivf_quantizer) shared by the WHOLE IVF
+    # family — window_freshness.py re-run implicated all seven
+    # consumers, so their greens must post-date the change.  Seven
+    # family reps gave up slots (pdf_text_extract S6,
+    # sized_output_sharding S21, like_prefix_filter P7,
+    # intersect_except_nations U4, variant_metric_rollup A5,
+    # corr_pairs A18, board_governance_scores A13 — each family
+    # keeps another windowed rep or an r9 driver green).
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "ann_ivf_partition_pruned",
+    "hard_negative_mining_cells",
+    "ivf_cell_balance_stats",
+    "ivf_probe_cost_profile",
+    "retrieval_eval_rank_metrics",
     # family reps rotated in for r10 (none re-greened in r9)
     "html_text_extract",
-    "pdf_text_extract",
     "token_window_chunks",
     "board_proxy_extract",
     "append_dedup_signals",
-    "sized_output_sharding",
     "soft_delete_filter",
     "in_list_filter",
-    "like_prefix_filter",
     "dynamic_partition_pruned_join",
     "fact_join_agg",
     "sem_training_rows",
-    "intersect_except_nations",
     "content_hash_dedup",
     "gini_concentration",
     "unpivot_profit_metrics",
-    "variant_metric_rollup",
     "grouping_sets_census",
-    "corr_pairs",
     "signal_summaries",
     "review_culture_scores",
-    "board_governance_scores",
     "job_posting_analysis",
     "talent_concentration",
     "eb_shrunk_return_rates",
