@@ -165,6 +165,11 @@ _PRIORITY = (
     "ivf_cell_balance_stats",
     "ivf_probe_cost_profile",
     "retrieval_eval_rank_metrics",
+    # the second late-r10 registration: the codebook-staleness /
+    # retrain signal closing the frozen-quantizer loop ivf_file_delta
+    # opens (signal_summaries A14 — an r9 driver green whose family
+    # keeps review/job/talent reps windowed — gave up the slot)
+    "ivf_codebook_drift_stats",
     # family reps rotated in for r10 (none re-greened in r9)
     "html_text_extract",
     "token_window_chunks",
@@ -179,7 +184,6 @@ _PRIORITY = (
     "gini_concentration",
     "unpivot_profit_metrics",
     "grouping_sets_census",
-    "signal_summaries",
     "review_culture_scores",
     "job_posting_analysis",
     "talent_concentration",

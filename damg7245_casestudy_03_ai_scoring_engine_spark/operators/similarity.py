@@ -2878,8 +2878,11 @@ def _ivf_frozen_quantizer_filing(
     return file_by(standing), file_by(delta)
 
 
-_IVF_FILE_DELTA_ORACLE = f"""
-WITH flags AS (
+# Shared CTE block for the frozen-quantizer maintenance pair
+# (ivf_file_delta, ivf_codebook_drift_stats): delta flags, the
+# standing-corpus quantizer, and the post-append filing of EVERY
+# vector under it.
+_IVF_DELTA_CELLS_SQL = f"""flags AS (
     SELECT vec_id,
            ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '{_IVF_DELTA_SEED}'), 1, 8))::BIGINT
                % 100 >= 90 AS is_delta
@@ -2917,7 +2920,11 @@ v_cell AS (
         FROM v_cent
     )
     WHERE rk = 1
-),
+)"""
+
+
+_IVF_FILE_DELTA_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
 counts AS (
     SELECT CAST(c.cell AS BIGINT) AS cell,
            CAST(sum(CASE WHEN f.is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
@@ -3004,4 +3011,132 @@ def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("share_after"),
         ((F.col("n_after") * ncells) > (F.lit(2) * total)).alias("oversized_after"),
+    )
+
+
+# Retrain admission: a cell whose CURRENT filed-member mean has drifted
+# to cosine < 0.85 against its frozen codebook centroid.  Chosen from
+# the measured fixture range (per-cell cosines span 0.81-0.91 at
+# sf0.001/sf0.01), so both branches of the flag are exercised at every
+# test SF; the comparison runs on the same 6dp-rounded cosine both
+# engines compute, so the threshold cannot straddle engines.
+_IVF_DRIFT_TAU = 0.85
+
+_IVF_DRIFT_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+memb AS (
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN f.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+    FROM v_cell c JOIN flags f ON f.vec_id = c.vec_id
+    GROUP BY c.cell
+),
+cur AS (
+    SELECT c.cell, v.i, avg(v.x) AS mx
+    FROM v_cell c JOIN v_flat v ON v.vec_id = c.vec_id
+    GROUP BY c.cell, v.i
+),
+drift AS (
+    SELECT cur.cell,
+           round(CASE WHEN sqrt(sum(cur.mx * cur.mx)) > 0
+                       AND sqrt(sum(cf.cx * cf.cx)) > 0
+                      THEN sum(cur.mx * cf.cx)
+                           / (sqrt(sum(cur.mx * cur.mx)) * sqrt(sum(cf.cx * cf.cx)))
+                      ELSE 0.0 END, 6) AS codebook_cosine
+    FROM cur JOIN cent_flat cf ON cf.label = cur.cell AND cf.i = cur.i
+    GROUP BY cur.cell
+)
+SELECT m.cell, m.n_members, m.n_added, d.codebook_cosine,
+       d.codebook_cosine < {_IVF_DRIFT_TAU} AS retrain_flagged
+FROM memb m JOIN drift d ON d.cell = m.cell
+"""
+
+
+@register(
+    "ivf_codebook_drift_stats",
+    survey="similarity,S15 (extension: codebook staleness — the retrain signal)",
+    oracle=_IVF_DRIFT_ORACLE,
+)
+def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-staleness audit — the RETRAIN signal that closes the
+    frozen-quantizer loop `ivf_file_delta` opens: appends file against
+    a frozen codebook (FAISS add()), so something must say when that
+    codebook has drifted from the vectors actually filed under it.
+    Per cell: the cosine between the FROZEN centroid and the CURRENT
+    mean of the cell's post-append members, member/append counts, and
+    a deterministic retrain flag (cosine < 0.85, compared on the
+    6dp-rounded value both engines produce).  Together the vector
+    index now has the full maintenance vocabulary the Bloom tier set
+    the pattern for: occupancy signal (`ivf_cell_balance_stats`) →
+    rebalance action (`ivf_refile_oversized`), ingest path
+    (`ivf_file_delta`) → staleness signal (this) → retrain (rebuild
+    the quantizer = re-run the filing, the `bloom_rebuild_decision` →
+    rebuild analogy).
+
+    Drift here measures BOTH append drift and filing-vs-codebook
+    mismatch (a cell's filed members are argmax-assigned, not
+    label-assigned, so even the standing corpus sits below cosine 1.0
+    — the measured fixture band is 0.81-0.91), which is exactly what
+    a retrain decision needs: the index's effective geometry vs the
+    codebook it probes with.
+
+    Scale shape: the filing is the same one linear pass ivf_file_delta
+    already pays (at 100 TB: the persisted inverted file); the current
+    centroids are one map-side-combinable (cell, dim) mean over it;
+    the codebook join is nlist×dim broadcast; output is O(cells)."""
+    from ..functions.cache import tracked_persist
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    file_cells, add_cells = _ivf_frozen_quantizer_filing(spark, sf_dir)
+    # the post-append filing feeds BOTH the member counts and the
+    # current-centroid means — tag the delta side and persist the
+    # union so the quantizer scoring runs exactly ONCE for the whole
+    # query (vec_id-grain, corpus-sized: the same footprint class as
+    # the _ivf_cells filing itself)
+    allc = tracked_persist(
+        file_cells.withColumn("is_delta", F.lit(False)).unionByName(
+            add_cells.withColumn("is_delta", F.lit(True))
+        ),
+        "ivf_codebook_drift.filing",
+    )
+    memb = allc.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+    ).select(F.col("cell").cast("bigint").alias("cell"), "n_members", "n_added")
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cur = (
+        allc.join(v_flat, "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("mx"))
+    )
+    flagged = emb.select("label", "embedding", _ivf_delta_flag().alias("is_delta"))
+    cent = _ivf_cent_flat(
+        flagged.filter(~F.col("is_delta")).select("label", "embedding")
+    ).select(F.col("label").alias("cell"), "i", "cx")
+    nm = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
+    nc = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    drift = (
+        cur.join(F.broadcast(cent), ["cell", "i"])
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.when(
+                    (nm > 0) & (nc > 0),
+                    F.sum(F.col("mx") * F.col("cx")) / (nm * nc),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("codebook_cosine")
+        )
+        .select(F.col("cell").cast("bigint").alias("cell"), "codebook_cosine")
+    )
+    return memb.join(drift, "cell").select(
+        "cell",
+        "n_members",
+        "n_added",
+        "codebook_cosine",
+        (F.col("codebook_cosine") < F.lit(_IVF_DRIFT_TAU)).alias("retrain_flagged"),
     )

@@ -463,3 +463,33 @@ def test_ivf_file_delta_laws(spark):
     total, ncells = n_total, len(post)
     for r in post:
         assert r.oversized_after == (r.n_after * ncells > 2 * total), r
+
+
+def test_ivf_codebook_drift_laws(spark):
+    """The retrain signal's laws: (1) conservation — member counts sum
+    to the corpus and append counts to the delta split; (2) the flag
+    IS the 6dp-cosine threshold, no hidden state; (3) both branches
+    are live at fixture scale (the 0.85 tau sits inside the measured
+    0.81-0.91 band — a flag that never fires ships an unexercised
+    retrain path); (4) composition — (cell, n_added) agrees with
+    ivf_file_delta's append accounting exactly."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_DRIFT_TAU,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    out = REGISTRY["ivf_codebook_drift_stats"].fn(spark, SF_SMOKE).collect()
+    n_total = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_total
+    for r in out:
+        assert 0 <= r.n_added <= r.n_members
+        assert -1.0 <= r.codebook_cosine <= 1.0
+        assert r.retrain_flagged == (r.codebook_cosine < _IVF_DRIFT_TAU), r
+    flags = {r.retrain_flagged for r in out}
+    assert flags == {True, False}, f"flag not exercised both ways: {flags}"
+
+    fd = {r.cell: r for r in REGISTRY["ivf_file_delta"].fn(spark, SF_SMOKE).collect()}
+    assert sum(r.n_added for r in out) == sum(r.n_added for r in fd.values())
+    for r in out:
+        assert r.n_added == fd[r.cell].n_added, r.cell
+        assert r.n_members == fd[r.cell].n_after, r.cell

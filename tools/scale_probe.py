@@ -104,6 +104,7 @@ DEFAULT_QUERIES = [
     "source_overlap_sketch",
     "near_dup_corpus_rebuild",
     "ivf_file_delta",
+    "ivf_codebook_drift_stats",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -382,6 +383,7 @@ CORPUS_QUERIES = {
     "source_overlap_sketch",
     "near_dup_corpus_rebuild",
     "ivf_file_delta",
+    "ivf_codebook_drift_stats",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
@@ -621,6 +623,18 @@ FINDINGS = """
   after the merged 3-query probe JVM showed the documented ambient
   inflation (refile read 7.5 s there vs 1.8–2.9 s across three
   separate fresh JVMs).
+- **The retrain signal completes the frozen-quantizer loop.**
+  `ivf_codebook_drift_stats` (late r10) measures, per cell, the
+  cosine between the frozen codebook centroid and the CURRENT mean
+  of the cell's post-append members, with a deterministic retrain
+  flag (6dp cosine < 0.85 — inside the measured 0.81–0.91 fixture
+  band so both branches are exercised at every SF).  Probes flat:
+  1.94/2.10/1.97 s = 1.1×/1.0× at 10× on both axes — the filing is
+  ONE persisted pass (the first cut recomputed it per consumer and
+  read 4.15 s at sf0.1; the tagged-union persist halved it), current
+  centroids are a map-side (cell, dim) mean, the codebook join is a
+  broadcast.  Laws pin conservation, flag arithmetic, and exact
+  (cell, n_added) agreement with `ivf_file_delta`.
 
 ## Findings (manual annotation — r9 probe, 2026-08-16)
 
