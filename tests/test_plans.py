@@ -818,7 +818,7 @@ def test_rag_assembly_metadata_join_after_topk(spark):
 
 
 def test_ivf_refile_plan_blocked_and_partitioned(spark):
-    """The r10 bench headliner (42-join refile plan): no cartesian
+    """The r10 bench headliner (51-join refile plan): no cartesian
     anywhere, the flagged-cell/size/sub-centroid attaches broadcast,
     and BOTH rank windows are partitioned (members ranked within their
     cell; refiled vectors argmax'd within vec_id) — the stats windows

@@ -493,3 +493,24 @@ def test_ivf_codebook_drift_laws(spark):
     for r in out:
         assert r.n_added == fd[r.cell].n_added, r.cell
         assert r.n_members == fd[r.cell].n_after, r.cell
+
+
+def test_session_codebook_repersists_after_release(spark):
+    """The r10 advisor wrinkle: bench.py's per-query release_all()
+    unpersists the session codebook but leaves the memo attr, so a
+    later IVF consumer used to get the cached frame back UNPERSISTED
+    and recompute it per action.  The memo getter must re-persist."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.functions.cache import (
+        release_all,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _ivf_quantizer,
+    )
+
+    q1 = _ivf_quantizer(spark, SF_SMOKE)
+    assert q1.storageLevel.useMemory or q1.storageLevel.useDisk
+    release_all()
+    assert not (q1.storageLevel.useMemory or q1.storageLevel.useDisk)
+    q2 = _ivf_quantizer(spark, SF_SMOKE)
+    assert q2.storageLevel.useMemory or q2.storageLevel.useDisk
+    assert q2 is q1  # same frame, re-persisted — never a rebuilt plan

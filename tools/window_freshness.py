@@ -64,9 +64,13 @@ def changed_lines(base: str) -> dict[str, set[int]]:
     diff = _git("diff", "-U0", base, "--", f"{PKG}/")
     cur: str | None = None
     for line in diff.splitlines():
-        if line.startswith("+++ b/"):
-            cur = line[6:]
-            out.setdefault(cur, set())
+        if line.startswith("+++ "):
+            # a deleted file's new side is '+++ /dev/null' — clear cur
+            # so its hunk lines are never attributed to the previous
+            # file (advisor r10); hunks are skipped while cur is None
+            cur = line[6:] if line.startswith("+++ b/") else None
+            if cur is not None:
+                out.setdefault(cur, set())
         elif line.startswith("@@") and cur:
             m = re.search(r"\+(\d+)(?:,(\d+))?", line)
             if m:
