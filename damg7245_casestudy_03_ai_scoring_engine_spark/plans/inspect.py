@@ -30,3 +30,25 @@ def scan_columns(df: DataFrame) -> list[str]:
     """ReadSchema strings from every scan — check column pruning."""
     s = explain_str(df)
     return re.findall(r"ReadSchema: ([^\n]*)", s)
+
+
+def live_parquet_scan_count(df: DataFrame) -> int:
+    """Parquet scans in the LIVE physical plan — the walk stops at
+    InMemoryTableScan, so a persisted subtree's own scans (shown by
+    explain inside the cached relation, but never re-executed) don't
+    count.  This is the pin for 'this plan reads persisted metadata,
+    not the corpus': explain-string greps can't distinguish a live
+    scan from one frozen inside an InMemoryRelation."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+
+    def walk(node) -> int:
+        name = node.nodeName()
+        if "InMemoryTableScan" in name:
+            return 0
+        n = 1 if name.startswith("Scan parquet") else 0
+        ch = node.children()
+        return n + sum(walk(ch.apply(i)) for i in range(ch.size()))
+
+    return walk(plan)

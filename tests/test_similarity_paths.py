@@ -425,7 +425,7 @@ def test_ivf_file_delta_laws(spark):
         _ivf_cell_scores,
         _ivf_cent_flat,
         _ivf_delta_flag,
-        _ivf_frozen_quantizer_filing,
+        _ivf_delta_filing,
     )
     from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
 
@@ -450,8 +450,7 @@ def test_ivf_file_delta_laws(spark):
         .filter(F.col("rk") == 1)
         .collect()
     }
-    _, add_cells = _ivf_frozen_quantizer_filing(spark, SF_SMOKE)
-    batch = {(r.vec_id, r.cell) for r in add_cells.collect()}
+    batch = {(r.vec_id, r.cell) for r in _ivf_delta_filing(spark, SF_SMOKE).collect()}
     assert batch == {(v, c) for v, c in full if v in delta_ids}
 
     # laws 2 + 3 on the registered output
