@@ -138,26 +138,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # sessionization, dedup/similarity/curation tier reps — and
 # weighted_mean_vr stays windowed so its green accompanies the r10
 # ambient-file profile note (BASELINE.md).
+# Round-11 window — GENERATED-THEN-CURATED, now with the MECHANIZED
+# staleness rotation (tools/window_freshness.py --rotation, r10
+# verdict #3): the 3-query spine, the 12 queries implicated by r11's
+# code changes (the honest append path touched the session-memo
+# helpers every IVF consumer reaches; the two NEW registrations
+# ivf_codebook_retrain — the retrain action consuming the drift flag —
+# and post_dedup_mixing_weights — the mixing tier composed over the
+# rebuild's kept tokens), then ALL remaining 35 slots filled oldest
+# driver-green first from the rotation ledger: the entire r2 tail (28
+# queries, none driver-run since round 2) plus the first 7 of the r3
+# tail.  Projected ≤r4 staleness tail after this window: 12 (from 47).
 _PRIORITY = (
     # spine
     "org_air_flagship",
     "section_split_10k",
     "session_window_rollup",
-    # r10 registrations + touched (window_freshness.py output)
+    # r11 implicated (window_freshness.py output): the two new
+    # registrations + the IVF family the honest-append-path /
+    # session-memo changes reach
+    "ivf_codebook_retrain",
+    "post_dedup_mixing_weights",
     "ivf_file_delta",
-    "source_overlap_sketch",
-    "near_dup_corpus_rebuild",
-    "bpe_merge_induction",
+    "ivf_codebook_drift_stats",
     "ivf_refile_oversized",
-    # late-r10 refile rework made the coarse quantizer a persisted
-    # session codebook (_ivf_quantizer) shared by the WHOLE IVF
-    # family — window_freshness.py re-run implicated all seven
-    # consumers, so their greens must post-date the change.  Seven
-    # family reps gave up slots (pdf_text_extract S6,
-    # sized_output_sharding S21, like_prefix_filter P7,
-    # intersect_except_nations U4, variant_metric_rollup A5,
-    # corr_pairs A18, board_governance_scores A13 — each family
-    # keeps another windowed rep or an r9 driver green).
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "ann_ivf_partition_pruned",
@@ -165,46 +169,44 @@ _PRIORITY = (
     "ivf_cell_balance_stats",
     "ivf_probe_cost_profile",
     "retrieval_eval_rank_metrics",
-    # the second late-r10 registration: the codebook-staleness /
-    # retrain signal closing the frozen-quantizer loop ivf_file_delta
-    # opens (signal_summaries A14 — an r9 driver green whose family
-    # keeps review/job/talent reps windowed — gave up the slot)
-    "ivf_codebook_drift_stats",
-    # family reps rotated in for r10 (none re-greened in r9)
-    "html_text_extract",
-    "token_window_chunks",
-    "board_proxy_extract",
-    "append_dedup_signals",
-    "soft_delete_filter",
-    "in_list_filter",
-    "dynamic_partition_pruned_join",
-    "fact_join_agg",
-    "sem_training_rows",
-    "content_hash_dedup",
-    "gini_concentration",
-    "unpivot_profit_metrics",
-    "grouping_sets_census",
-    "review_culture_scores",
-    "job_posting_analysis",
-    "talent_concentration",
-    "eb_shrunk_return_rates",
-    "heavy_hitter_tokens",
-    "best_order_per_customer",
-    "weighted_median_grouped_agg",
-    "capped_running_balance",
-    "top_orders",
-    "pagination_keyset",
-    "hr_position_stack",
-    "pca_one_factor_eta",
-    "sem_bootstrap_ci",
-    "sem_spearman_brown",
-    "rubric_dimension_scores",
-    "portfolio_range_validation",
-    "user_sessionization",
-    "weighted_mean_vr",
-    "dedup_minhash_lsh",
-    "semantic_dedup",
-    "curation_decision_gate",
+    # staleness rotation (--rotation ledger, oldest green first):
+    # the full r2 tail...
+    "avg_fallback_chain",
+    "column_profile",
+    "corr_pairs",
+    "correlated_max_supplier",
+    "date_arithmetic",
+    "distinct_pairs",
+    "full_outer_reconciliation",
+    "fuzzy_match_parts",
+    "hhi_concentration",
+    "intersect_except_nations",
+    "keyword_regex_filter",
+    "like_prefix_filter",
+    "mad_outlier_flags",
+    "median_metric",
+    "null_safe_join",
+    "orphan_fk_check",
+    "pagination",
+    "rank_family_metrics",
+    "regional_revenue_q5",
+    "revenue_share_report",
+    "scalar_function_suite",
+    "semi_join_exists",
+    "ticker_format_validation",
+    "trimmed_mean_balances",
+    "two_level_agg",
+    "union_signals",
+    "value_tier_rangejoin",
+    "zorder_layout_stats",
+    # ...and the first 7 of the r3 tail
+    "activity_streaks",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "dedup_exact",
+    "dedup_simhash_banded",
+    "dimension_breakdown_json",
+    "session_conversion_funnel",
 )
 
 

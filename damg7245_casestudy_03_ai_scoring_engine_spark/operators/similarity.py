@@ -2999,6 +2999,9 @@ FROM counts
     "ivf_file_delta",
     survey="similarity,S15,S16 (extension: incremental vector-index filing)",
     oracle=_IVF_FILE_DELTA_ORACLE,
+    # bench headliner since r11: a production loop runs the append
+    # continuously — its wall belongs in the ledger (r10 verdict #4)
+    bench=True,
 )
 def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF filing — the vector index's continuous-ingestion
@@ -3079,16 +3082,12 @@ def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines compute, so the threshold cannot straddle engines.
 _IVF_DRIFT_TAU = 0.85
 
-_IVF_DRIFT_ORACLE = f"""
-WITH {_IVF_DELTA_CELLS_SQL.strip()},
-memb AS (
-    SELECT CAST(c.cell AS BIGINT) AS cell,
-           CAST(count(*) AS BIGINT) AS n_members,
-           CAST(sum(CASE WHEN f.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_added
-    FROM v_cell c JOIN flags f ON f.vec_id = c.vec_id
-    GROUP BY c.cell
-),
-cur AS (
+# The drift CORE — current per-cell member means + the cosine of each
+# cell's frozen centroid against them.  Shared VERBATIM by the signal
+# (`ivf_codebook_drift_stats`) and the action (`ivf_codebook_retrain`)
+# oracles, so the action can never disagree with the signal it
+# consumes about which cells are flagged.
+_IVF_DRIFT_CORE_SQL = """cur AS (
     SELECT c.cell, v.i, avg(v.x) AS mx
     FROM v_cell c JOIN v_flat v ON v.vec_id = c.vec_id
     GROUP BY c.cell, v.i
@@ -3102,7 +3101,18 @@ drift AS (
                       ELSE 0.0 END, 6) AS codebook_cosine
     FROM cur JOIN cent_flat cf ON cf.label = cur.cell AND cf.i = cur.i
     GROUP BY cur.cell
-)
+)"""
+
+_IVF_DRIFT_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+memb AS (
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN f.is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+    FROM v_cell c JOIN flags f ON f.vec_id = c.vec_id
+    GROUP BY c.cell
+),
+{_IVF_DRIFT_CORE_SQL}
 SELECT m.cell, m.n_members, m.n_added, d.codebook_cosine,
        d.codebook_cosine < {_IVF_DRIFT_TAU} AS retrain_flagged
 FROM memb m JOIN drift d ON d.cell = m.cell
@@ -3113,6 +3123,9 @@ FROM memb m JOIN drift d ON d.cell = m.cell
     "ivf_codebook_drift_stats",
     survey="similarity,S15 (extension: codebook staleness — the retrain signal)",
     oracle=_IVF_DRIFT_ORACLE,
+    # bench headliner since r11 (r10 verdict #4): at ~1.9 s standalone
+    # sf0.1 this was more expensive than 30 of the 33 r10 headliners
+    bench=True,
 )
 def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook-staleness audit — the RETRAIN signal that closes the
@@ -3197,4 +3210,276 @@ def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_added",
         "codebook_cosine",
         (F.col("codebook_cosine") < F.lit(_IVF_DRIFT_TAU)).alias("retrain_flagged"),
+    )
+
+
+_IVF_RETRAIN_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+memb AS (
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_before
+    FROM v_cell GROUP BY cell
+),
+{_IVF_DRIFT_CORE_SQL},
+flagged AS (SELECT cell FROM drift WHERE codebook_cosine < {_IVF_DRIFT_TAU}),
+new_cent AS (
+    SELECT cell, i, mx AS cx FROM cur
+    WHERE cell IN (SELECT cell FROM flagged)
+),
+fm AS (
+    SELECT vec_id, cell FROM v_cell
+    WHERE cell IN (SELECT cell FROM flagged)
+),
+resc AS (
+    SELECT f.vec_id, nc.cell AS cand_cell,
+           round(CASE WHEN sqrt(sum(v.x * v.x)) > 0
+                       AND sqrt(sum(nc.cx * nc.cx)) > 0
+                      THEN sum(v.x * nc.cx)
+                           / (sqrt(sum(v.x * v.x)) * sqrt(sum(nc.cx * nc.cx)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM fm f
+    JOIN v_flat v ON v.vec_id = f.vec_id
+    JOIN new_cent nc ON nc.i = v.i
+    GROUP BY f.vec_id, nc.cell
+),
+refiled AS (
+    SELECT vec_id, cand_cell AS cell
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, cand_cell
+        ) AS rk
+        FROM resc
+    )
+    WHERE rk = 1
+),
+after_means AS (
+    SELECT r.cell, v.i, avg(v.x) AS mx
+    FROM refiled r JOIN v_flat v ON v.vec_id = r.vec_id
+    GROUP BY r.cell, v.i
+),
+after_cos AS (
+    SELECT nc.cell,
+           round(CASE WHEN sqrt(sum(am.mx * am.mx)) > 0
+                       AND sqrt(sum(nc.cx * nc.cx)) > 0
+                      THEN sum(am.mx * nc.cx)
+                           / (sqrt(sum(am.mx * am.mx)) * sqrt(sum(nc.cx * nc.cx)))
+                      ELSE 0.0 END, 6) AS c_after
+    FROM after_means am JOIN new_cent nc ON nc.cell = am.cell AND nc.i = am.i
+    GROUP BY nc.cell
+),
+after_n AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n FROM refiled GROUP BY cell
+),
+united AS (
+    SELECT CAST(f.cell AS BIGINT) AS cell, TRUE AS retrained,
+           m.n_before, CAST(COALESCE(an.n, 0) AS BIGINT) AS n_after,
+           d.codebook_cosine AS codebook_cosine_before,
+           COALESCE(ac.c_after, 0.0) AS codebook_cosine_after
+    FROM flagged f
+    JOIN memb m ON m.cell = f.cell
+    JOIN drift d ON d.cell = f.cell
+    LEFT JOIN after_n an ON an.cell = f.cell
+    LEFT JOIN after_cos ac ON ac.cell = f.cell
+    UNION ALL
+    SELECT CAST(d.cell AS BIGINT) AS cell, FALSE AS retrained,
+           m.n_before, m.n_before AS n_after,
+           d.codebook_cosine AS codebook_cosine_before,
+           d.codebook_cosine AS codebook_cosine_after
+    FROM drift d JOIN memb m ON m.cell = d.cell
+    WHERE d.codebook_cosine >= {_IVF_DRIFT_TAU}
+)
+SELECT cell, retrained, n_before, n_after,
+       codebook_cosine_before, codebook_cosine_after,
+       codebook_cosine_after < {_IVF_DRIFT_TAU} AS still_flagged
+FROM united
+"""
+
+
+@register(
+    "ivf_codebook_retrain",
+    survey="similarity,S15 (extension: the retrain ACTION — codebook refit + refile)",
+    oracle=_IVF_RETRAIN_ORACLE,
+    bench=True,
+)
+def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain ACTION — consumer of `ivf_codebook_drift_stats`'
+    `retrain_flagged` signal, closing the last open maintenance edge:
+    every signal in the repo now has its consumer (occupancy →
+    `ivf_refile_oversized`, Bloom saturation → the wider-generation
+    rebuild, drift → THIS).
+
+    For every flagged cell (drift cosine < tau, the signal's exact
+    admission — the oracle composes the drift CORE verbatim so the
+    action can never disagree with the signal): the centroid is REFIT
+    to the cell's current post-append member mean (one deterministic
+    Lloyd update — the `ivf_refile_oversized` arithmetic class), then
+    every member of a flagged cell is REFILED to its nearest RETRAINED
+    centroid (argmax cosine, 6dp, cell-asc ties — `_ivf_cells`'
+    filing discipline, restricted to the flagged scope so unflagged
+    cells are untouched BY CONSTRUCTION: a partition re-draw over the
+    flagged region only, the same recall-invariance argument as the
+    refile's split).  Output is the post-retrain audit in the signal's
+    own table language: per cell, member counts and codebook cosines
+    before/after, plus `still_flagged` replaying the signal's
+    threshold on the post-retrain cosine — so a retrain's effect is
+    checkable by the SAME rule that triggered it.
+
+    Laws (tests/test_similarity_paths.py): unflagged rows pass through
+    bit-identical (counts and cosines); flagged-scope membership is
+    conserved (Σ n_after == Σ n_before over retrained rows); per
+    flagged cell the post-retrain cosine improves (refit centroid ==
+    member mean; members only move closer); cross-query, `retrained`
+    equals the signal's `retrain_flagged` cell-exactly.
+
+    Scale shape: the filing is the persisted inverted-file metadata
+    (`_ivf_standing_filing` + the batch's own scoring — the r11 honest
+    append path); the drift pass is the signal's own (cell, dim)
+    broadcast-join; the refit is free (the means are already computed);
+    the refile touches ONLY flagged-cell members against the
+    O(flagged × dim) broadcast retrained codebook.  Nothing rescans
+    the unflagged corpus."""
+    from ..functions.cache import tracked_persist
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    allc = tracked_persist(
+        _ivf_standing_filing(spark, sf_dir).unionByName(
+            _ivf_delta_filing(spark, sf_dir)
+        ),
+        "ivf_retrain.filing",
+    )
+    n_before = allc.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    # current per-cell member means — the drift pass AND the refit
+    # target in one frame (the retrain's update step is free)
+    cur = tracked_persist(
+        allc.join(v_flat, "vec_id").groupBy("cell", "i").agg(
+            F.avg("x").alias("mx")
+        ),
+        "ivf_retrain.cur_means",
+    )
+    cent = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    nm = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
+    nc = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    drift = (
+        cur.join(F.broadcast(cent), ["cell", "i"])
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.when(
+                    (nm > 0) & (nc > 0),
+                    F.sum(F.col("mx") * F.col("cx")) / (nm * nc),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("codebook_cosine_before")
+        )
+    )
+    flagged = drift.filter(
+        F.col("codebook_cosine_before") < F.lit(_IVF_DRIFT_TAU)
+    ).select("cell")
+    # retrained codebook = the flagged cells' current means (refit),
+    # broadcast into the refile scoring below
+    new_cent = cur.join(F.broadcast(flagged), "cell").select(
+        F.col("cell").alias("cand_cell"), "i", F.col("mx").alias("cx")
+    )
+    # flagged members' dims, materialized once (refile arithmetic
+    # class — bounded by the flagged scope, never the corpus)
+    mem_flat = tracked_persist(
+        allc.join(F.broadcast(flagged), "cell").join(v_flat, "vec_id"),
+        "ivf_retrain.mem_flat",
+    )
+    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
+    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    resc = (
+        mem_flat.select("vec_id", "i", "x")
+        .join(F.broadcast(new_cent), "i")
+        .groupBy("vec_id", "cand_cell")
+        .agg(
+            F.round(
+                F.when(
+                    (vn > 0) & (cn > 0),
+                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cosine")
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("cand_cell")
+    )
+    refiled = (
+        resc.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cand_cell").alias("cell"))
+    )
+    after_means = (
+        refiled.join(mem_flat.select("vec_id", "i", "x"), "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("mx"))
+    )
+    am = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
+    an_ = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+    after_cos = (
+        after_means.join(
+            F.broadcast(
+                new_cent.select(F.col("cand_cell").alias("cell"), "i", "cx")
+            ),
+            ["cell", "i"],
+        )
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.when(
+                    (am > 0) & (an_ > 0),
+                    F.sum(F.col("mx") * F.col("cx")) / (am * an_),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("c_after")
+        )
+    )
+    after_n = refiled.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out_flagged = (
+        flagged.join(n_before, "cell")
+        .join(drift, "cell")
+        .join(after_n, "cell", "left")
+        .join(after_cos, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.lit(True).alias("retrained"),
+            "n_before",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_after"),
+            "codebook_cosine_before",
+            F.coalesce(F.col("c_after"), F.lit(0.0)).alias(
+                "codebook_cosine_after"
+            ),
+        )
+    )
+    out_unflagged = (
+        drift.filter(F.col("codebook_cosine_before") >= F.lit(_IVF_DRIFT_TAU))
+        .join(n_before, "cell")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.lit(False).alias("retrained"),
+            "n_before",
+            F.col("n_before").alias("n_after"),
+            "codebook_cosine_before",
+            F.col("codebook_cosine_before").alias("codebook_cosine_after"),
+        )
+    )
+    return out_flagged.unionByName(out_unflagged).select(
+        "cell",
+        "retrained",
+        "n_before",
+        "n_after",
+        "codebook_cosine_before",
+        "codebook_cosine_after",
+        (F.col("codebook_cosine_after") < F.lit(_IVF_DRIFT_TAU)).alias(
+            "still_flagged"
+        ),
     )

@@ -3412,3 +3412,94 @@ def near_dup_corpus_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_kept_docs",
         "source_kept_tokens",
     )
+
+
+def _post_dedup_mixing_oracle() -> str:
+    """Composed verbatim from the corpus-rebuild oracle (which itself
+    composes survivorship → clusters) + `temperature_mixing_weights`'
+    exact quantized n^alpha arithmetic — the `curation_decision_gate`
+    discipline: a composition query's oracle is built FROM its
+    components' oracles, so it can never drift from what it claims to
+    consume."""
+    return rf"""
+WITH src AS (
+    SELECT DISTINCT source,
+           source_kept_docs AS kept_docs,
+           source_kept_tokens AS kept_tokens
+    FROM ({_near_dup_corpus_rebuild_oracle()}) rebuilt
+),
+q AS (
+    SELECT source, kept_docs, kept_tokens,
+           CAST(floor(pow(kept_tokens, {_MIX_ALPHA}) * 1e6 + 0.5) AS BIGINT) AS qw
+    FROM src
+),
+tot AS (SELECT sum(qw) AS tq FROM q)
+SELECT source,
+       CAST(kept_docs AS BIGINT) AS kept_docs,
+       kept_tokens,
+       floor(CAST(qw AS DOUBLE) / CAST(tq AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS mix_weight,
+       CAST((qw::HUGEINT * {_MIX_BUDGET}) // tq AS BIGINT) AS tokens_per_epoch
+FROM q, tot
+"""
+
+
+@register(
+    "post_dedup_mixing_weights",
+    survey="LLM-pipeline extension: temperature mixing over the POST-DEDUP kept corpus",
+    oracle=_post_dedup_mixing_oracle(),
+)
+def post_dedup_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing weights computed over the KEPT corpus
+    — `near_dup_corpus_rebuild`'s survivorship verdict consumed by the
+    mixing tier, closing the composition the rebuild's docstring
+    promised in prose (r10 verdict #6): `temperature_mixing_weights`
+    rebalances the RAW corpus; this twin applies the same quantized
+    n^0.7 rule to the per-source kept-token totals the rebuild emits,
+    so the epoch budget is allocated over data that will actually be
+    trained on.  Dedup shifts the mixture: a source that loses many
+    near-dups loses weight relative to its raw share — exactly the
+    LLaMA-style recipe's intent (dup-heavy sources are over-counted by
+    raw token counts).
+
+    Cross-query law (tests/test_cross_query_invariants.py): this
+    query's `kept_tokens` column equals
+    `near_dup_corpus_rebuild.source_kept_tokens` per source
+    bit-exactly, kept_tokens <= the raw twin's n_tokens, and the
+    quantized weights sum to 1 within the same 1e-6 grain as the raw
+    twin.
+
+    Scale shape: the rebuild subtree is the post-dedup silver (at
+    100 TB: READ it, don't recompute — here composed in-plan so the
+    oracle can verify end-to-end); the mixing math is scalar work on a
+    sources-grain frame (thousands of rows), broadcast back to the
+    sampling pass like the raw twin."""
+    reb = near_dup_corpus_rebuild(spark, sf_dir)
+    src = (
+        reb.select(
+            "source",
+            F.col("source_kept_docs").alias("kept_docs"),
+            F.col("source_kept_tokens").alias("kept_tokens"),
+        )
+        .distinct()
+    )
+    q = src.select(
+        "source",
+        "kept_docs",
+        "kept_tokens",
+        F.floor(F.pow(F.col("kept_tokens"), F.lit(_MIX_ALPHA)) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("qw"),
+    )
+    tot = q.agg(F.sum(F.col("qw").cast("decimal(38,0)")).alias("tq"))
+    return q.crossJoin(F.broadcast(tot)).select(  # 1-row totals attach
+        "source",
+        F.col("kept_docs").cast("bigint").alias("kept_docs"),
+        "kept_tokens",
+        round_stable(
+            F.col("qw").cast("double") / F.col("tq").cast("double"), 6
+        ).alias("mix_weight"),
+        F.expr(
+            f"CAST((CAST(qw AS DECIMAL(38,0)) * {_MIX_BUDGET}) div tq AS BIGINT)"
+        ).alias("tokens_per_epoch"),
+    )

@@ -1865,3 +1865,37 @@ def test_near_dup_corpus_rebuild_laws(spark):
     for doc_id, r in got.items():
         assert r["n_tokens"] == toks[doc_id], doc_id
     out.unpersist()
+
+
+def test_post_dedup_mixing_composes_rebuild_tokens(spark):
+    """The mixing-tier composition the r10 rebuild promised in prose,
+    now code: (1) post_dedup_mixing_weights' kept_tokens column equals
+    near_dup_corpus_rebuild.source_kept_tokens per source bit-exactly
+    (the n^0.7 rule runs ON the survivorship verdict, not the raw
+    corpus); (2) kept_tokens <= the raw twin's n_tokens per source
+    (dedup only removes); (3) the quantized weights sum to 1 within
+    the shared 1e-6 grain; (4) dedup shifts the mixture — at fixture
+    scale some source's kept weight differs from its raw weight."""
+    out = {
+        r["source"]: r
+        for r in REGISTRY["post_dedup_mixing_weights"].fn(spark, SF_SMOKE).collect()
+    }
+    reb = {
+        (r["source"], r["source_kept_docs"], r["source_kept_tokens"])
+        for r in REGISTRY["near_dup_corpus_rebuild"].fn(spark, SF_SMOKE).collect()
+    }
+    assert {(s, r["kept_docs"], r["kept_tokens"]) for s, r in out.items()} == reb
+    raw = {
+        r["source"]: r
+        for r in REGISTRY["temperature_mixing_weights"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(raw)
+    for s, r in out.items():
+        assert r["kept_tokens"] <= raw[s]["n_tokens"], s
+        assert r["kept_docs"] <= raw[s]["n_docs"], s
+        assert 0.0 < r["mix_weight"] < 1.0, s
+    assert abs(sum(r["mix_weight"] for r in out.values()) - 1.0) <= len(out) * 1e-6
+    assert sum(r["tokens_per_epoch"] for r in out.values()) <= 1_000_000
+    assert any(out[s]["mix_weight"] != raw[s]["mix_weight"] for s in out), (
+        "dedup moved no weight at fixture scale — composition untested"
+    )

@@ -885,3 +885,18 @@ def test_source_overlap_sketch_never_joins_shingles(spark):
     # the corpus pass is persisted: the self-join reads the cached
     # signature, not a second explode of the shingle stream
     assert "InMemoryTableScan" in s
+
+
+def test_ivf_retrain_touches_only_flagged_scope(spark):
+    """The retrain action's scale pin: the filing/means/member frames
+    are persisted (InMemoryTableScan), the refile argmax window is
+    partitioned per vector, the retrained codebook rides broadcast
+    joins, and the plan live-scans parquet at most once — nothing
+    rescans the unflagged corpus."""
+    df = _plan(spark, "ivf_codebook_retrain")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+    assert "windowspecdefinition(vec_id" in s
+    assert "InMemoryTableScan" in s
+    assert live_parquet_scan_count(df) <= 1

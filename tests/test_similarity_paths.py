@@ -513,3 +513,52 @@ def test_session_codebook_repersists_after_release(spark):
     q2 = _ivf_quantizer(spark, SF_SMOKE)
     assert q2.storageLevel.useMemory or q2.storageLevel.useDisk
     assert q2 is q1  # same frame, re-persisted — never a rebuilt plan
+
+
+def test_ivf_codebook_retrain_laws(spark):
+    """The retrain action's laws:
+
+    1. SIGNAL AGREEMENT — `retrained` equals the drift signal's
+       `retrain_flagged` cell-exactly, and the before-cosines are
+       bit-equal: the action and the signal share one drift core.
+    2. UNTOUCHED UNFLAGGED — non-retrained rows pass through with
+       identical counts and cosines (the refile is restricted to the
+       flagged scope by construction).
+    3. CONSERVATION — flagged-scope membership is conserved (members
+       move between retrained cells, never out), and total membership
+       still sums to the corpus.
+    4. IMPROVEMENT — per retrained cell the post-retrain codebook
+       cosine is >= the drift that triggered it (refit centroid == the
+       member mean; a refile only moves members to a closer retrained
+       centroid).  Measured: 0.81-0.85 -> 0.96-1.0 at fixture SFs.
+    5. The audit replays the signal's threshold: still_flagged ==
+       (codebook_cosine_after < tau), and both flag branches are live.
+    """
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_DRIFT_TAU,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    out = {r.cell: r for r in REGISTRY["ivf_codebook_retrain"].fn(spark, SF_SMOKE).collect()}
+    sig = {
+        r.cell: r
+        for r in REGISTRY["ivf_codebook_drift_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(sig)
+    retrained = {c for c, r in out.items() if r.retrained}
+    assert retrained and retrained != set(out), "both branches must be live"
+    for c, r in out.items():
+        assert r.retrained == sig[c].retrain_flagged, c          # law 1
+        assert r.codebook_cosine_before == sig[c].codebook_cosine, c
+        if not r.retrained:                                      # law 2
+            assert r.n_after == r.n_before, c
+            assert r.codebook_cosine_after == r.codebook_cosine_before, c
+        else:                                                    # law 4
+            assert r.codebook_cosine_after >= r.codebook_cosine_before, c
+        assert r.still_flagged == (r.codebook_cosine_after < _IVF_DRIFT_TAU), c
+    # law 3
+    assert sum(out[c].n_after for c in retrained) == sum(
+        out[c].n_before for c in retrained
+    )
+    n_total = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_after for r in out.values()) == n_total

@@ -105,6 +105,11 @@ DEFAULT_QUERIES = [
     "near_dup_corpus_rebuild",
     "ivf_file_delta",
     "ivf_codebook_drift_stats",
+    # r11 additions, probed the round they land: the retrain action
+    # (drift flag consumed — flagged-scope refit + refile) and the
+    # post-dedup mixing composition (rebuild verdict → n^0.7 weights)
+    "ivf_codebook_retrain",
+    "post_dedup_mixing_weights",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -384,6 +389,8 @@ CORPUS_QUERIES = {
     "near_dup_corpus_rebuild",
     "ivf_file_delta",
     "ivf_codebook_drift_stats",
+    "ivf_codebook_retrain",
+    "post_dedup_mixing_weights",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
@@ -399,6 +406,10 @@ CORPUS_SF10_QUERIES = [
     # linear pass, corpus never crosses a shuffle) — the second
     # decade is where that claim either holds or dies
     "source_overlap_sketch",
+    # r11: the retrain action is iterative-adjacent (a Lloyd update +
+    # refile) — the job-count row is its round-structure signal at the
+    # second decade
+    "ivf_codebook_retrain",
 ]
 
 # Iterative tier for the second-decade (sf10 = 100×) probe: families

@@ -110,9 +110,66 @@ def module_defs(path: str) -> dict[str, tuple[int, int, set[str]]]:
     return defs
 
 
+def last_green_rounds() -> dict[str, int]:
+    """query -> latest round with a green driver row (rows_match, no
+    err, hash_match true-or-absent), from CORRECTNESS_r*.json.  The
+    staleness ledger behind --rotation."""
+    import glob
+    import json
+
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+        for q, v in data.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("err") is None
+                and v.get("hash_match") in (True, None)
+            ):
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def print_rotation(window: list[str]) -> None:
+    """The mechanized staleness rotation (r10 verdict #3): every
+    oracle-backed registry query sorted by last driver-green round,
+    oldest first — fill non-implicated window slots from the top of
+    this list so the driver-freshness tail drains instead of being
+    hand-curated."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+
+    last = last_green_rounds()
+    rows = sorted(
+        ((last.get(q, 0), q) for q, spec in REGISTRY.items() if spec.oracle),
+        key=lambda t: (t[0], t[1]),
+    )
+    in_window = set(window)
+    print("rotation candidates (oracle-backed, oldest driver green first):")
+    for rnd, q in rows:
+        tag = "IN-WINDOW" if q in in_window else ""
+        print(f"  r{rnd:<2d} {q:45s} {tag}")
+    tail = [q for rnd, q in rows if rnd <= 4]
+    covered = sum(1 for q in tail if q in in_window)
+    print(
+        f"\n<=r4 tail: {len(tail)} queries; {covered} windowed this round "
+        f"-> projected tail after this window: {len(tail) - covered}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=None, help="diff base (default: last round commit)")
+    ap.add_argument(
+        "--rotation",
+        action="store_true",
+        help="also print the staleness-sorted rotation ledger",
+    )
     args = ap.parse_args()
     base = args.base or default_base()
     print(f"base: {base[:12]} ({_git('log', '-1', '--format=%s', base).strip()})")
@@ -140,6 +197,10 @@ def main() -> int:
                 changed_defs.add((rel, name))
     if not changed_defs:
         print("no operator defs touched since base — window freshness holds trivially")
+        if args.rotation:
+            import __spark_entry__ as entry
+
+            print_rotation(list(entry.queries())[:WINDOW])
         return 0
     print(f"changed defs ({len(changed_defs)}):")
     for rel, name in sorted(changed_defs):
@@ -185,6 +246,8 @@ def main() -> int:
         tag = ("rows-only" if not REGISTRY[n].oracle
                else "IN-WINDOW" if n in window else "MISSING")
         print(f"  {tag:10s} {n}")
+    if args.rotation:
+        print_rotation(window)
     if missing:
         print(f"\nFAIL: {len(missing)} implicated oracle-backed queries are "
               f"outside the 50-query driver window: {missing}")
