@@ -3075,12 +3075,33 @@ def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Retrain admission: a cell whose CURRENT filed-member mean has drifted
-# to cosine < 0.85 against its frozen codebook centroid.  Chosen from
-# the measured fixture range (per-cell cosines span 0.81-0.91 at
-# sf0.001/sf0.01), so both branches of the flag are exercised at every
-# test SF; the comparison runs on the same 6dp-rounded cosine both
-# engines compute, so the threshold cannot straddle engines.
+# to cosine < tau against its frozen codebook centroid.
+#
+# TWO operating points, deliberately distinct (r11, tools/
+# drift_threshold_sweep.py — the staleness→recall/cost curve):
+#
+# - _IVF_DRIFT_TAU = 0.85, the REGISTERED/fixture threshold: chosen
+#   inside the measured fixture band (per-cell cosines span 0.81-0.91
+#   at sf0.001/sf0.01) so both flag branches — and the retrain's
+#   flagged path — are exercised at every test SF; the comparison runs
+#   on the same 6dp-rounded cosine both engines compute, so the
+#   threshold cannot straddle engines.
+# - _IVF_DRIFT_TAU_SCALED = 0.55, the MEASURED production point
+#   (SCALE.md drift-sweep table, pinned two-sided in
+#   tests/test_similarity_paths.py): injecting a novel mode into the
+#   append stream shows the harmful band is drift 0.62-0.74 —
+#   retraining there trades recall away (sf1 0.98→0.74: the
+#   half-formed mode's refit centroid makes new-mode queries
+#   under-probe while their true neighbors still sit in unflagged
+#   cells) — while below 0.55 the mode is fully formed and retrain is
+#   a pure win (scan fraction 0.54→0.27 / probes 5.0→2.0 at recall
+#   1.0).  The fixture corpus CANNOT express this curve (its natural
+#   band never leaves 0.81-0.91; mode migration is absorbed by
+#   argmax-consistent filing — the sweep's first finding), which is
+#   why the registered threshold stays fixture-calibrated and the
+#   production point lives in the sweep pin.
 _IVF_DRIFT_TAU = 0.85
+_IVF_DRIFT_TAU_SCALED = 0.55
 
 # The drift CORE — current per-cell member means + the cosine of each
 # cell's frozen centroid against them.  Shared VERBATIM by the signal

@@ -84,6 +84,9 @@ BNLJ_OK = {
     "spatial_nn_expanding_ring",
     "target_encoding_smoothed",
     "temperature_mixing_weights",
+    # same 1-row decimal-normalizer attach as its raw twin above,
+    # over the kept corpus (r11)
+    "post_dedup_mixing_weights",
     "tfidf_top_terms",
     "trending_users_decayed",
     "unigram_ll_quality",

@@ -562,3 +562,56 @@ def test_ivf_codebook_retrain_laws(spark):
     )
     n_total = load(spark, SF_SMOKE, "embeddings").count()
     assert sum(r.n_after for r in out.values()) == n_total
+
+
+def test_drift_retrain_operating_point_two_sided():
+    """The retrain threshold's measured operating point (r10 verdict
+    #5, tools/drift_threshold_sweep.py): re-run the staleness sweep on
+    both scaled axes and pin _IVF_DRIFT_TAU_SCALED two-sided —
+
+    - NO-FALSE-RETRAIN side: at every sweep point whose min drift
+      cosine is >= the scaled tau, the FROZEN index's recall holds the
+      engine floor (0.6, the --recall pin) — nothing needed retraining.
+    - RETRAIN-PAYS side: at every point below the scaled tau, the
+      retrained index keeps recall within 0.02 of frozen AND cuts the
+      scan fraction to <= 0.75x — the retrain earns its cost, and a
+      future tau drifting INTO the harmful 0.62-0.74 band (where
+      retraining a half-formed mode trades recall away) trips this.
+
+    Runs the numpy replica (20k vectors/axis — seconds; the Spark
+    twin of the arithmetic is pinned at fixture scale by
+    test_ivf_codebook_retrain_laws)."""
+    import importlib.util
+    import os
+
+    import pytest as _pytest
+
+    sf1i = os.path.join(os.path.dirname(__file__), "..", ".scale", "sf1i")
+    if not os.path.isdir(sf1i):
+        _pytest.skip(".scale not built (tools/scale_probe.py --build)")
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_DRIFT_TAU_SCALED,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "drift_threshold_sweep.py"
+    )
+    spec = importlib.util.spec_from_file_location("drift_threshold_sweep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rows = []
+    for axis in ("sf1", "sf1i"):
+        sf_dir = os.path.join(os.path.dirname(__file__), "..", ".scale", axis)
+        if os.path.isdir(sf_dir):
+            rows += mod.sweep_axis(sf_dir, axis)
+    assert rows, "no scaled axes available"
+    # the sweep must exercise both sides of the scaled threshold
+    assert any(r["drift_min"] >= _IVF_DRIFT_TAU_SCALED for r in rows)
+    assert any(r["drift_min"] < _IVF_DRIFT_TAU_SCALED for r in rows)
+    for r in rows:
+        if r["drift_min"] >= _IVF_DRIFT_TAU_SCALED:
+            assert r["recall_frozen"] >= 0.6, r
+        else:
+            assert r["recall_retrained"] >= r["recall_frozen"] - 0.02, r
+            assert r["scan_retrained"] <= 0.75 * r["scan_frozen"], r

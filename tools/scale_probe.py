@@ -586,6 +586,53 @@ def derived_findings(rows) -> list[str]:
 
 
 FINDINGS = """
+## Findings (manual annotation — r11 probe, 2026-08-16)
+
+- **The retrain action costs flagged-scope work, measured.**
+  `ivf_codebook_retrain` (the drift flag's consumer — refit + refile
+  restricted to flagged cells) reads **1.44 s sf0.1 → 0.9×/0.9× at
+  10× data on both axes** (10-row stats grain), and the second decade
+  reads **0.70 → 0.95 s = 1.3× for 100× data** (jobs 18→37 — the
+  sf10 corpus drifts more cells into flag range, visible as extra
+  broadcast attaches, while the wall stays flat) — the refit is free
+  (the drift pass already computed the means), the refile is
+  flagged-members × flagged-cells broadcast arithmetic, and nothing
+  rescans the unflagged corpus (live-plan pin: ≤1 parquet scan,
+  tests/test_plans.py).  Recall re-pinned unchanged after the whole
+  r11 IVF rework: sf1 1.0/1.0/1.0, sf1i 0.78/0.82/0.80, 0.6 floor
+  green on both axes.
+- **The append path is now metadata-grain IN THE PLAN.**  r11 made
+  `_ivf_standing_filing` a session-persisted frame (the inverted
+  file's membership metadata — the `incremental_lsh_probe` persisted-
+  SILVER precedent): `ivf_file_delta` and `ivf_codebook_drift_stats`
+  no longer refile the standing corpus per run; their registered
+  plans live-scan parquet exactly once (the batch) / at most once
+  (the member-mean pass).  Values oracle-identical; both now bench
+  headliners — and cheaper for it: `ivf_file_delta` 1.0 → 0.48 s
+  sf0.1 (1.4×/1.5× at 10×), `ivf_codebook_drift_stats` 1.94 → 0.61 s
+  (1.1×/1.1×), with `ivf_refile_oversized` reading 1.0 s in the same
+  session (the re-persist fix keeps the session codebook warm across
+  consumers — the r10 advisor wrinkle).
+- **The retrain threshold is derived from a measured curve** (the
+  drift-sweep table below, `tools/drift_threshold_sweep.py`): mode
+  MIGRATION is absorbed by argmax-consistent filing (blending the
+  append batch toward an existing centroid moves NOTHING — drift
+  stays 0.91-0.94, recall flat: the sweep's first finding); a NOVEL
+  mode's harmful band is drift 0.62-0.74, where retraining a
+  half-formed mode trades recall away (sf1: 0.98→0.74), and below
+  ~0.55 retrain is a pure win (scan 0.54→0.27, probes 5.0→2.0 at
+  recall 1.0).  Registered tau stays 0.85 (fixture band — both flag
+  branches run at every test SF); production tau 0.55 pinned
+  two-sided in tests/test_similarity_paths.py.
+- **The post-dedup mixing composition inherits the rebuild's cost
+  and nothing more.**  `post_dedup_mixing_weights` (the n^0.7 rule
+  over kept tokens) reads **1.16 s sf0.1 → 1.7× at sf1 / 1.1× at
+  sf1i** — a sources-grain distinct + scalar math on top of the
+  `near_dup_corpus_rebuild` subtree it consumes (the sf1 ratio IS the
+  rebuild's replica-axis cost, inherited, not added); its cross-query
+  law (kept_tokens == the rebuild's source_kept_tokens, bit-exact)
+  held on every axis.
+
 ## Findings (manual annotation — r10 probe, 2026-08-16)
 
 - **The sketch-only overlap twin is measurably FLAT where the exact
@@ -823,6 +870,60 @@ def _render_frontier(frontier_rows) -> list[str]:
     return out
 
 
+def _render_drift(drift_rows) -> list[str]:
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_DRIFT_TAU,
+        _IVF_DRIFT_TAU_SCALED,
+    )
+
+    out = [
+        "",
+        "## Staleness → recall/cost curve for the retrain threshold",
+        "",
+        "From `tools/drift_threshold_sweep.py` (numpy replica of the",
+        "engine arithmetic): the deterministic 10% append batch is",
+        "blended toward a NOVEL mode (lam = blend weight); per point,",
+        "the drift SIGNAL (min/mean per-cell cosine vs the frozen",
+        "codebook), and recall@5 / corpus scan fraction / probe count",
+        "of the margin-adaptive probe for new-mode queries, frozen vs",
+        "after `ivf_codebook_retrain`'s exact semantics.",
+        "",
+        "Findings: (1) blending toward an EXISTING centroid measures",
+        "nothing — argmax-consistent filing absorbs mode MIGRATION by",
+        "construction (drift stays 0.91-0.94, recall flat); only a",
+        "mode the codebook cannot express creates staleness.  (2) The",
+        "harmful band is drift ~0.62-0.74: retraining a HALF-FORMED",
+        "mode trades recall away (sf1 lam=0.6: 0.98→0.74 — the refit",
+        "centroid makes new-mode queries under-probe while true",
+        "neighbors still sit in unflagged cells).  (3) Below ~0.55 the",
+        "mode is fully formed and retrain is a pure win: 2-3× less",
+        "scan at equal-or-better recall.",
+        "",
+        f"Operating points: registered/fixture tau = {_IVF_DRIFT_TAU}",
+        "(inside the fixture's natural 0.81-0.91 band so both flag",
+        "branches run at every test SF — the fixture cannot express",
+        "the novel-mode curve); measured production tau =",
+        f"**{_IVF_DRIFT_TAU_SCALED}** (below the harmful band, inside",
+        "the pure-win band), pinned two-sided in",
+        "tests/test_similarity_paths.py: no point at drift ≥ tau needs",
+        "the retrain (frozen recall holds), and every point at drift",
+        "< tau must show retrain paying (recall within 0.02, scan",
+        "≤ 0.75× frozen).",
+        "",
+        "| axis | lam | drift min | drift mean | flagged | recall frozen→retrained | scan frozen→retrained | probes frozen→retrained |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in drift_rows:
+        out.append(
+            f"| {r['axis']} | {r['lam']} | {r['drift_min']} "
+            f"| {r['drift_mean']} | {r['n_flagged']} "
+            f"| {r['recall_frozen']}→{r['recall_retrained']} "
+            f"| {r['scan_frozen']}→{r['scan_retrained']} "
+            f"| {r['probes_frozen']}→{r['probes_retrained']} |"
+        )
+    return out
+
+
 def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
     out = [
         "# SCALE.md — 10× scale-up probe (sf0.1 → sf1, same 32 cores)",
@@ -915,6 +1016,9 @@ def write_md(rows, sf10_rows=None, recall_rows=None) -> None:
     frontier_rows = _cache_load("frontier_results")
     if frontier_rows:
         out += _render_frontier(frontier_rows)
+    drift_rows = _cache_load("drift_results")
+    if drift_rows:
+        out += _render_drift(drift_rows)
     out += ["", *derived_findings(rows), "", FINDINGS.strip(), ""]
     with open(os.path.join(REPO, "SCALE.md"), "w") as fh:
         fh.write("\n".join(out))
