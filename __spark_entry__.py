@@ -145,10 +145,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # helpers every IVF consumer reaches; the two NEW registrations
 # ivf_codebook_retrain — the retrain action consuming the drift flag —
 # and post_dedup_mixing_weights — the mixing tier composed over the
-# rebuild's kept tokens), then ALL remaining 35 slots filled oldest
+# rebuild's kept tokens), then ALL remaining slots filled oldest
 # driver-green first from the rotation ledger: the entire r2 tail (28
-# queries, none driver-run since round 2) plus the first 7 of the r3
-# tail.  Projected ≤r4 staleness tail after this window: 12 (from 47).
+# queries, none driver-run since round 2) plus the first 5 of the r3
+# tail.  Late-r11: bpe_encode_corpus (the merge table's consumer) and
+# bpe_merge_induction (its oracle now built from the shared
+# _bpe_cte_chain the encoder composes — freshness tool implicates it)
+# take the last two rotation slots (dimension_breakdown_json,
+# session_conversion_funnel — both r3-green, pytest-oracle every
+# session).  Projected ≤r4 staleness tail after this window: 14
+# (from 47).
 _PRIORITY = (
     # spine
     "org_air_flagship",
@@ -199,14 +205,15 @@ _PRIORITY = (
     "union_signals",
     "value_tier_rangejoin",
     "zorder_layout_stats",
-    # ...and the first 7 of the r3 tail
+    # ...and the first 5 of the r3 tail
     "activity_streaks",
     "asof_join_forward",
     "asof_join_tolerance",
     "dedup_exact",
     "dedup_simhash_banded",
-    "dimension_breakdown_json",
-    "session_conversion_funnel",
+    # late-r11 BPE pair (see note above)
+    "bpe_encode_corpus",
+    "bpe_merge_induction",
 )
 
 

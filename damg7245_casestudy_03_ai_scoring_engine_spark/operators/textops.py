@@ -1748,6 +1748,23 @@ def _bpe_oracle(merges: int = _BPE_MERGES) -> str:
     inlining would double the plan per round (2^20 blowup — measured:
     the inlined form never finishes; materialized runs in ~0.3 s at
     sf0.001)."""
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, n AS pair_count FROM bs{k}"
+        for k in range(1, merges + 1)
+    )
+    return "WITH " + ",\n".join(_bpe_cte_chain(merges)) + "\n" + sel
+
+
+def _bpe_cte_chain(merges: int, final_state: bool = False) -> list[str]:
+    """The shared unrolled training chain (see `_bpe_oracle`), used
+    VERBATIM by both the induction oracle and the encode oracle (the
+    merge table's consumer) — one builder, so the encoder can never
+    disagree with the training it replays.  `word` is threaded through
+    every round so the final symbol state remains word-addressable;
+    with final_state=True the chain also builds sy{merges} (the fully
+    encoded vocabulary — training itself never needs it because round
+    k's merge application only feeds round k+1's pair count)."""
     sep = "chr(10)"
     ctes = [
         rf"""w0 AS (
@@ -1759,7 +1776,7 @@ words AS MATERIALIZED (
     FROM w0 WHERE len(word) > 0 GROUP BY word
 ),
 sy0 AS MATERIALIZED (
-    SELECT cnt,
+    SELECT word, cnt,
            array_to_string(list_transform(generate_series(1, length(word)),
                i -> substr(word, i, 1)), {sep}) AS sym
     FROM words
@@ -1776,10 +1793,10 @@ sy0 AS MATERIALIZED (
 ),
 bs{k} AS MATERIALIZED (SELECT l, r, n FROM pc{k} ORDER BY n DESC, l, r LIMIT 1)"""
         )
-        if k < merges:
+        if k < merges or final_state:
             ctes.append(
                 f"""sy{k} AS MATERIALIZED (
-    SELECT s.cnt,
+    SELECT s.word, s.cnt,
            trim(replace(replace(replace({sep} || s.sym || {sep}, {sep}, {sep} || {sep}),
                 {sep} || b.l || {sep} || {sep} || b.r || {sep},
                 {sep} || b.l || b.r || {sep}),
@@ -1787,12 +1804,7 @@ bs{k} AS MATERIALIZED (SELECT l, r, n FROM pc{k} ORDER BY n DESC, l, r LIMIT 1)"
     FROM sy{p} s CROSS JOIN bs{k} b
 )"""
             )
-    sel = "\nUNION ALL\n".join(
-        f'SELECT CAST({k} AS INT) AS step, l AS "left", r AS "right", '
-        f"l || r AS merged, n AS pair_count FROM bs{k}"
-        for k in range(1, merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return ctes
 
 
 @register(
@@ -3502,4 +3514,143 @@ def post_dedup_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST((CAST(qw AS DECIMAL(38,0)) * {_MIX_BUDGET}) div tq AS BIGINT)"
         ).alias("tokens_per_epoch"),
+    )
+
+
+def _bpe_encode_oracle(merges: int = _BPE_MERGES) -> str:
+    """Composed verbatim from the training chain (`_bpe_cte_chain`,
+    final_state=True): the encoder's oracle replays the SAME 20
+    unrolled merge rounds that learned the rules, then reads the
+    final word→symbols state — so the encode can never drift from
+    the induction it consumes."""
+    sep = "chr(10)"
+    chain = ",\n".join(_bpe_cte_chain(merges, final_state=True))
+    return rf"""
+WITH {chain},
+wsrc AS MATERIALIZED (
+    SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    )
+    WHERE len(word) > 0 GROUP BY source, word
+),
+enc AS MATERIALIZED (
+    SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+           CAST(len(string_split(sym, {sep})) AS BIGINT) AS n_tok
+    FROM sy{merges}
+)
+SELECT w.source,
+       CAST(sum(w.cnt) AS BIGINT) AS n_words,
+       CAST(sum(w.cnt * e.n_chars) AS BIGINT) AS n_char_symbols,
+       CAST(sum(w.cnt * e.n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(w.cnt * (e.n_chars - e.n_tok)) AS BIGINT) AS merges_applied,
+       CASE WHEN sum(w.cnt * e.n_chars) > 0
+            THEN floor(CAST(sum(w.cnt * e.n_tok) AS DOUBLE)
+                       / CAST(sum(w.cnt * e.n_chars) AS DOUBLE) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS bpe_ratio
+FROM wsrc w JOIN enc e ON e.word = w.word
+GROUP BY w.source
+"""
+
+
+@register(
+    "bpe_encode_corpus",
+    survey="text-analysis (extension: learned BPE merges CONSUMED — corpus encoding)",
+    oracle=_bpe_encode_oracle(),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table CONSUMED — `bpe_merge_induction` was the
+    last registered artifact without a consumer (the repo discipline:
+    survivorship → rebuild → mixing, drift flag → retrain, …, merge
+    table → THIS).  Every distinct word is encoded by the 20 learned
+    rules applied in rank order with the exact training fold (greedy
+    non-overlapping left-to-right — encoding replays training, so the
+    encoded vocabulary IS the training loop's final symbol state,
+    pinned against the pure-Python reference in tests), then per-source
+    token statistics: words, char symbols, BPE tokens, merges applied
+    (== chars − tokens, the per-application count law), and the
+    quantized compression ratio — the tokenizer-quality numbers a
+    training-data pipeline reads before committing to a vocab.
+
+    The 20-row merge table is collected once to parameterize the fold
+    literals (the training loop's own 1-row-per-round collect class —
+    k-means-centroid scalars, not data).
+
+    Scale shape: encoding is VOCABULARY-grain (distinct words), one
+    narrow map per rule round with localCheckpoint truncating plan
+    growth (the training loop's shape minus the pair-count shuffles);
+    the corpus join is a hash join on word and the output is
+    source-grain.  At 100 TB the vocab table is the small side — this
+    is exactly how a learned tokenizer is applied in production, and
+    the oracle replays the identical chain in SQL."""
+    rules = [
+        (r.left, r.right, r.merged)
+        for r in sorted(
+            bpe_merge_induction(spark, sf_dir).collect(), key=lambda r: r.step
+        )
+    ]
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    wsrc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    syms = wsrc.select("word").distinct().select(
+        "word", chars.alias("symbols")
+    ).localCheckpoint()
+    for left, right, merged in rules:
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select("word", fold.alias("symbols")).localCheckpoint()
+    enc = syms.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size("symbols").cast("bigint").alias("n_tok"),
+    )
+    agg = wsrc.join(enc, "word").groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("n_char_symbols"),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.col("cnt") * (F.col("n_chars") - F.col("n_tok")))
+        .cast("bigint")
+        .alias("merges_applied"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_char_symbols",
+        "n_bpe_tokens",
+        "merges_applied",
+        F.when(
+            F.col("n_char_symbols") > 0,
+            F.floor(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_char_symbols").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bpe_ratio"),
     )

@@ -756,3 +756,90 @@ def running_balance_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- vector-index streaming ingest (IVF inverted file as a gold table) -------
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source readStream over arriving embedding vectors — the
+    streaming form of `ivf_file_delta`'s arriving batch.  Same
+    file-stream rules as `read_events_stream`: directory source,
+    glob-filtered, one file per micro-batch so a multi-file drop
+    exercises true incremental accumulation."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+
+
+def merge_inverted_file(index_dir: str, sf_dir: str):
+    """foreachBatch body: file one micro-batch of arriving vectors by
+    the FROZEN standing-corpus quantizer (`_ivf_file_by_frozen` — the
+    exact `ivf_file_delta` arithmetic, FAISS add()) and merge the
+    per-cell append counts into a parquet inverted-file stats table
+    keyed on cell.
+
+    This is `merge_gold_window_counts`' incremental-materialized-view
+    protocol applied to the vector index: per-batch cost is
+    O(batch × nlist × dim) (the quantizer is the session-persisted
+    codebook), the gold table is nlist rows, and replays are
+    idempotent via the in-directory `_last_batch_id` marker that
+    commits atomically with the data.  At 100 TB the stats merge
+    becomes `MERGE INTO inverted_file ... UPDATE SET n_added =
+    n_added + src.n` on Delta/Iceberg, and the membership itself lands
+    in cell-partitioned files (`ann_ivf_partition_pruned`'s layout).
+
+    The maintenance law (tests/test_streaming.py): the accumulated
+    gold equals `ivf_file_delta`'s one-shot per-cell `n_added`
+    accounting — streaming == batch, the same invariant every
+    incremental tier pins."""
+    import os
+    import shutil
+
+    from ..operators.similarity import _ivf_file_by_frozen
+
+    def _last_applied() -> int:
+        marker = os.path.join(index_dir, "_last_batch_id")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            _ivf_file_by_frozen(spark, sf_dir, batch_df)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_added"))
+        )
+        if os.path.isdir(index_dir):
+            if batch_id <= _last_applied():
+                return  # replayed batch already merged
+            gold = spark.read.parquet(index_dir)
+            merged = (
+                gold.unionByName(partial)
+                .groupBy("cell")
+                .agg(F.sum("n_added").cast("bigint").alias("n_added"))
+            )
+        else:
+            merged = partial
+        tmp = index_dir + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.replace(tmp, index_dir)
+
+    return upsert

@@ -216,3 +216,69 @@ def test_fuzzy_entity_match_resolves_every_dirty_name(spark):
     assert len(rows) == n_parts  # every dirty record resolved
     assert all(r.dist <= 1 for r in rows)
     assert sum(r.is_correct for r in rows) >= 0.99 * n_parts
+
+
+def test_bpe_encode_corpus_replays_training_state(spark):
+    """The merge-table consumer's laws: (1) the per-source stats equal
+    the pure-Python reference encoding (apply the 20 learned rules in
+    rank order with the greedy non-overlapping scan — encoding REPLAYS
+    training, so the encoded vocabulary is the training loop's final
+    symbol state); (2) merges_applied == n_char_symbols − n_bpe_tokens
+    per source (each application shrinks the symbol string by exactly
+    one); (3) the ratio column is the shared quantization of
+    tokens/chars."""
+    import re
+    from collections import Counter
+
+    rules = [
+        (r.left, r.right)
+        for r in sorted(
+            REGISTRY["bpe_merge_induction"].fn(spark, SF_SMOKE).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    docs = [
+        (r.source, r.text)
+        for r in load(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    ]
+    wc: Counter = Counter()
+    for source, text in docs:
+        for w in re.split(r"\s+", text.lower().strip()):
+            if w:
+                wc[(source, w)] += 1
+    vocab = {w for _, w in wc}
+    enc = {}
+    for w in vocab:
+        syms = tuple(w)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = tuple(out)
+        enc[w] = len(syms)
+    exp: dict[str, list[int]] = {}
+    for (source, w), c in wc.items():
+        e = exp.setdefault(source, [0, 0, 0])
+        e[0] += c
+        e[1] += c * len(w)
+        e[2] += c * enc[w]
+
+    got = {r.source: r for r in REGISTRY["bpe_encode_corpus"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    for source, (n_words, n_chars, n_tok) in exp.items():
+        r = got[source]
+        assert (r.n_words, r.n_char_symbols, r.n_bpe_tokens) == (
+            n_words,
+            n_chars,
+            n_tok,
+        ), source
+        assert r.merges_applied == r.n_char_symbols - r.n_bpe_tokens, source
+        import math
+
+        assert r.bpe_ratio == math.floor(n_tok / n_chars * 1e6 + 0.5) / 1e6, source
+        assert 0.0 < r.bpe_ratio < 1.0, source  # the 20 merges must bite

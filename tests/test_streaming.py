@@ -722,3 +722,54 @@ def test_running_balance_stream_equals_batch_walk(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ivf_ingest_equals_batch_append(spark, tmp_path):
+    """The vector index's streaming-ingest law: the delta split
+    written as THREE files, streamed one file per micro-batch through
+    `merge_inverted_file` (frozen-quantizer filing + per-cell count
+    merge), must accumulate exactly `ivf_file_delta`'s one-shot
+    per-cell n_added accounting — streaming == batch, the invariant
+    every incremental tier pins (gold window counts, Bloom append,
+    incremental LSH).  Replay of the last batch id must be a no-op."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _ivf_delta_flag,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        merge_inverted_file,
+        read_embedding_stream,
+    )
+
+    src = str(tmp_path / "arriving")
+    delta = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(_ivf_delta_flag())
+        .select("vec_id", "label", "embedding")
+    )
+    delta.repartition(3).write.parquet(src)
+
+    index_dir = str(tmp_path / "inverted_file")
+    q = (
+        read_embedding_stream(spark, src)
+        .writeStream.foreachBatch(merge_inverted_file(index_dir, SF_SMOKE))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.cell: r.n_added for r in spark.read.parquet(index_dir).collect()}
+    want = {
+        r.cell: r.n_added
+        for r in REGISTRY["ivf_file_delta"].fn(spark, SF_SMOKE).collect()
+        if r.n_added > 0
+    }
+    assert got == want
+
+    # replay idempotence: re-delivering an already-applied id is a no-op
+    upsert = merge_inverted_file(index_dir, SF_SMOKE)
+    upsert(delta.limit(5), 0)
+    after = {r.cell: r.n_added for r in spark.read.parquet(index_dir).collect()}
+    assert after == got

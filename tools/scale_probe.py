@@ -110,6 +110,7 @@ DEFAULT_QUERIES = [
     # post-dedup mixing composition (rebuild verdict → n^0.7 weights)
     "ivf_codebook_retrain",
     "post_dedup_mixing_weights",
+    "bpe_encode_corpus",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -391,6 +392,7 @@ CORPUS_QUERIES = {
     "ivf_codebook_drift_stats",
     "ivf_codebook_retrain",
     "post_dedup_mixing_weights",
+    "bpe_encode_corpus",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
@@ -410,6 +412,10 @@ CORPUS_SF10_QUERIES = [
     # refile) — the job-count row is its round-structure signal at the
     # second decade
     "ivf_codebook_retrain",
+    # r11: BPE encode is 20 FIXED fold rounds over the distinct-word
+    # table; sf10's replica-tagged corpus grows the vocabulary ~100×,
+    # so the second decade asks exactly the round-invariance question
+    "bpe_encode_corpus",
 ]
 
 # Iterative tier for the second-decade (sf10 = 100×) probe: families
@@ -632,6 +638,15 @@ FINDINGS = """
   rebuild's replica-axis cost, inherited, not added); its cross-query
   law (kept_tokens == the rebuild's source_kept_tokens, bit-exact)
   held on every axis.
+- **BPE encoding is vocabulary-grain, measured.**  `bpe_encode_corpus`
+  (late r11 — the learned merge table's consumer: the training fold
+  replayed per distinct word, per-source compression stats) reads
+  **1.02 s sf0.1 → 1.3× at sf1 / 1.6× at sf1i** for 10× docs — the
+  sf1i axis is its worst case by construction (replica-tagged tokens
+  grow the VOCABULARY 10×, and vocab size is the encode's true cost
+  driver), yet both ratios stay far under data-linear because the
+  rule rounds are narrow maps over the distinct-word table, not the
+  corpus.
 
 ## Findings (manual annotation — r10 probe, 2026-08-16)
 
