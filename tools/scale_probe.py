@@ -646,7 +646,10 @@ FINDINGS = """
   grow the VOCABULARY 10×, and vocab size is the encode's true cost
   driver), yet both ratios stay far under data-linear because the
   rule rounds are narrow maps over the distinct-word table, not the
-  corpus.
+  corpus.  Second decade: **1.08 → 1.95 s = 1.8× for 100× data with
+  jobs 94 → 94 — exact round-count invariance** (20 training rounds +
+  20 encode folds; per-round work grows with the vocab, round count
+  does not — the iterative tier's claim, measured on the tokenizer).
 
 ## Findings (manual annotation — r10 probe, 2026-08-16)
 
