@@ -153,8 +153,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # _bpe_cte_chain the encoder composes — freshness tool implicates it)
 # take the last two rotation slots (dimension_breakdown_json,
 # session_conversion_funnel — both r3-green, pytest-oracle every
-# session).  Projected ≤r4 staleness tail after this window: 14
-# (from 47).
+# session), and ivf_append_refile (the append's oversized_after
+# consumed — the refile action shared verbatim over the post-append
+# filing) takes dedup_simhash_banded's (r3-green; the dedup family
+# keeps dedup_exact windowed plus its r10 minhash/semantic greens).
+# Projected ≤r4 staleness tail after this window: 15 (from 47).
 _PRIORITY = (
     # spine
     "org_air_flagship",
@@ -210,8 +213,8 @@ _PRIORITY = (
     "asof_join_forward",
     "asof_join_tolerance",
     "dedup_exact",
-    "dedup_simhash_banded",
-    # late-r11 BPE pair (see note above)
+    # late-r11 additions (see note above)
+    "ivf_append_refile",
     "bpe_encode_corpus",
     "bpe_merge_induction",
 )

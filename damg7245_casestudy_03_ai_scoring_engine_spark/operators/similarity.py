@@ -2584,9 +2584,14 @@ def ivf_probe_cost_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_similarity_paths.py.
 _REFILE_NUM = 11
 
-_IVF_REFILE_ORACLE = f"""
-WITH {_IVF_CELLS_SQL.strip()},
-own AS (
+# The refile's algorithm as a CTE body over WHICHEVER filing precedes
+# it: `_IVF_CELLS_SQL` (the standing full-corpus quantizer —
+# `ivf_refile_oversized`, the balance-stats consumer) or
+# `_IVF_DELTA_CELLS_SQL` (the frozen-quantizer post-append filing —
+# `ivf_append_refile`, the append's oversized_after consumer).  Both
+# blocks define cent_flat/v_flat/v_cent/v_cell with identical columns,
+# so the action is literally the same SQL over either signal.
+_IVF_REFILE_BODY_SQL = f"""own AS (
     SELECT c.vec_id, c.cell, v.cosine
     FROM v_cell c JOIN v_cent v ON v.vec_id = c.vec_id AND v.label = c.cell
 ),
@@ -2659,6 +2664,10 @@ SELECT new_cell, parent_cell, was_split, n_vecs,
 FROM g
 """
 
+_IVF_REFILE_ORACLE = f"""
+WITH {_IVF_CELLS_SQL.strip()},
+{_IVF_REFILE_BODY_SQL}"""
+
 
 @register(
     "ivf_refile_oversized",
@@ -2705,10 +2714,25 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), and the stats grain is O(cells) — nothing here scans
     the unflagged corpus beyond the filing already persisted by
     `_ivf_cells`."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    return _refile_oversized_impl(
+        emb,
+        _ivf_cells(spark, sf_dir),
+        _ivf_quantizer(spark, sf_dir).select(F.col("label").alias("cell"), "i", "cx"),
+        "ivf_refile",
+    )
+
+
+def _refile_oversized_impl(
+    emb: DataFrame, cells: DataFrame, cent_own: DataFrame, tag: str
+) -> DataFrame:
+    """The refile ACTION parameterized on its input filing + quantizer
+    — shared verbatim (like its oracle body, `_IVF_REFILE_BODY_SQL`)
+    by `ivf_refile_oversized` (standing full-corpus filing, the
+    balance-stats consumer) and `ivf_append_refile` (frozen-quantizer
+    post-append filing, the append's oversized_after consumer)."""
     from ..functions.cache import tracked_persist
 
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    cells = _ivf_cells(spark, sf_dir)
     sizes = cells.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_c")
     )
@@ -2737,13 +2761,10 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from parquet — n·nlist pair-aggregates plus 3 corpus scans to
     # keep |flagged members| rows (bench headliner: see PLANS.md pin +
     # BENCH ledger).  The quantizer itself is the persisted session
-    # codebook (_ivf_quantizer).
-    cent_own = _ivf_quantizer(spark, sf_dir).select(
-        F.col("label").alias("cell"), "i", "cx"
-    )
+    # codebook (passed in as cent_own).
     mem_flat = tracked_persist(
         cells.join(F.broadcast(refile), "cell").join(v_flat, "vec_id"),
-        "ivf_refile.mem_flat",
+        f"{tag}.mem_flat",
     )
     vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
     cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
@@ -3504,3 +3525,58 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "still_flagged"
         ),
     )
+
+
+_IVF_APPEND_REFILE_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+{_IVF_REFILE_BODY_SQL}"""
+
+
+@register(
+    "ivf_append_refile",
+    survey="similarity,S15,S16 (extension: append-triggered rebalance — oversized_after CONSUMED)",
+    oracle=_IVF_APPEND_REFILE_ORACLE,
+)
+def ivf_append_refile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append's `oversized_after` flag CONSUMED — until r11 the
+    link between `ivf_file_delta` and the refile was shared admission
+    ARITHMETIC (law-pinned but never executed end-to-end); this
+    registers the composition: the refile action applied to the
+    POST-APPEND inverted file (standing membership from the persisted
+    `_ivf_standing_filing` + the batch filed in-plan, both under the
+    FROZEN quantizer), admitting every cell above the 110% maintenance
+    capacity of the post-append counts — exactly the cells whose
+    `n_after` the append reported oversized-or-crowded.
+
+    Algorithm and oracle are SHARED VERBATIM with
+    `ivf_refile_oversized` (`_refile_oversized_impl` /
+    `_IVF_REFILE_BODY_SQL` — the action is literally the same code
+    over either signal), so the two consumers can never drift; only
+    the filing and the quantizer differ (frozen standing-corpus
+    codebook here — a post-append rebalance must not retrain, that is
+    `ivf_codebook_retrain`'s job).
+
+    Laws (tests/test_similarity_paths.py): admission == the 110% rule
+    replayed on `ivf_file_delta.n_after` cell-exactly; partition
+    refinement (split parents' members redistribute between their own
+    two sub-cells); unsplit cells pass through with n_vecs ==
+    n_after; total membership conserved.
+
+    Scale shape: identical to the refile's (flagged-scope split
+    arithmetic over a persisted member-dims frame) — plus the r11
+    honest-append guarantee that the standing filing is persisted
+    metadata, so the whole append→rebalance path costs
+    O(batch × nlist + flagged members × dim) per cycle."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    from ..functions.cache import tracked_persist
+
+    cells = tracked_persist(
+        _ivf_standing_filing(spark, sf_dir).unionByName(
+            _ivf_delta_filing(spark, sf_dir)
+        ),
+        "ivf_append_refile.filing",
+    )
+    cent_own = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    return _refile_oversized_impl(emb, cells, cent_own, "ivf_append_refile")

@@ -84,6 +84,10 @@ BNLJ_OK = {
     "spatial_nn_expanding_ring",
     "target_encoding_smoothed",
     "temperature_mixing_weights",
+    # the refile's 1-row (total, ncells) admission attach, over the
+    # post-append filing (r11 — shared _refile_oversized_impl; the
+    # standing twin ivf_refile_oversized is allowlisted below/above)
+    "ivf_append_refile",
     # same 1-row decimal-normalizer attach as its raw twin above,
     # over the kept corpus (r11)
     "post_dedup_mixing_weights",

@@ -615,3 +615,36 @@ def test_drift_retrain_operating_point_two_sided():
         else:
             assert r["recall_retrained"] >= r["recall_frozen"] - 0.02, r
             assert r["scan_retrained"] <= 0.75 * r["scan_frozen"], r
+
+
+def test_ivf_append_refile_consumes_append_accounting(spark):
+    """The append→rebalance composition's laws: (1) ADMISSION — the
+    set of split parents equals the 110% maintenance rule replayed on
+    `ivf_file_delta`'s post-append n_after cell-exactly (the append's
+    own oversized_after (2× alarm) set is a SUBSET, the alarmed ⊆
+    refiled invariant); (2) unsplit cells pass through with n_vecs ==
+    n_after at parent·10 ids; (3) split parents' membership is
+    conserved between their two sub-cells; (4) total membership sums
+    to the corpus."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    fd = {r.cell: r for r in REGISTRY["ivf_file_delta"].fn(spark, SF_SMOKE).collect()}
+    out = REGISTRY["ivf_append_refile"].fn(spark, SF_SMOKE).collect()
+    total = sum(r.n_after for r in fd.values())
+    ncells = len(fd)
+    want_split = {c for c, r in fd.items() if r.n_after * ncells * 10 > 11 * total}
+    alarmed = {c for c, r in fd.items() if r.oversized_after}
+    got_split = {r.parent_cell for r in out if r.was_split}
+    assert got_split == want_split
+    assert alarmed <= got_split  # the 2x alarm never goes unhandled
+    assert want_split and want_split != set(fd), "both branches must be live"
+    for r in out:
+        if not r.was_split:
+            assert r.new_cell == r.parent_cell * 10, r
+            assert r.n_vecs == fd[r.parent_cell].n_after, r
+    for c in got_split:
+        halves = [r for r in out if r.parent_cell == c]
+        assert {r.new_cell for r in halves} <= {c * 10 + 1, c * 10 + 2}
+        assert sum(r.n_vecs for r in halves) == fd[c].n_after, c
+    n_total = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == n_total

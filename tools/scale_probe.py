@@ -111,6 +111,7 @@ DEFAULT_QUERIES = [
     "ivf_codebook_retrain",
     "post_dedup_mixing_weights",
     "bpe_encode_corpus",
+    "ivf_append_refile",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -393,6 +394,7 @@ CORPUS_QUERIES = {
     "ivf_codebook_retrain",
     "post_dedup_mixing_weights",
     "bpe_encode_corpus",
+    "ivf_append_refile",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
@@ -650,6 +652,14 @@ FINDINGS = """
   jobs 94 → 94 — exact round-count invariance** (20 training rounds +
   20 encode folds; per-round work grows with the vocab, round count
   does not — the iterative tier's claim, measured on the tokenizer).
+- **The append→rebalance edge executes end-to-end and stays
+  flagged-scope.**  `ivf_append_refile` (late r11 — the append's
+  oversized_after accounting consumed by the refile action, shared
+  verbatim with `ivf_refile_oversized` over the post-append
+  frozen-quantizer filing) reads **2.28 s sf0.1 → 0.9×/0.8× at 10×
+  data on both axes** — sub-linear like every maintenance action,
+  because the split arithmetic touches only admitted cells' members
+  and the standing filing is the persisted r11 metadata.
 
 ## Findings (manual annotation — r10 probe, 2026-08-16)
 
