@@ -234,20 +234,10 @@ def _ivf_cell_scores(vectors: DataFrame, cent_flat: DataFrame) -> DataFrame:
     v_flat = vectors.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     return (
         v_flat.join(F.broadcast(cent_flat), "i")
         .groupBy("vec_id", "label")
-        .agg(
-            F.round(
-                F.when(
-                    (vn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
+        .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
 
 
@@ -2766,20 +2756,10 @@ def _refile_oversized_impl(
         cells.join(F.broadcast(refile), "cell").join(v_flat, "vec_id"),
         f"{tag}.mem_flat",
     )
-    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     own = (
         mem_flat.join(F.broadcast(cent_own), ["cell", "i"])
         .groupBy("vec_id", "cell")
-        .agg(
-            F.round(
-                F.when(
-                    (vn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
+        .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
     wrank = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("vec_id"))
     halves = (
@@ -2796,21 +2776,11 @@ def _refile_oversized_impl(
     # rank-half — one row per (vec, dim), reused by both stages below
     hm = halves.join(mem_flat, ["vec_id", "cell"])
     sub_cent = hm.groupBy("cell", "half", "i").agg(F.avg("x").alias("cx"))
-    nm = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    ns = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     resc = (
         hm.select("vec_id", "cell", "i", "x")
         .join(F.broadcast(sub_cent), ["cell", "i"])
         .groupBy("vec_id", "cell", "half")
-        .agg(
-            F.round(
-                F.when(
-                    (nm > 0) & (ns > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (nm * ns),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
+        .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
     wbest = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("half"))
     refiled = (
@@ -2950,6 +2920,87 @@ def _ivf_delta_filing(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the BATCH only, O(batch × nlist × dim))."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     return _ivf_file_by_frozen(spark, sf_dir, emb.filter(_ivf_delta_flag()))
+
+
+def _ivf_post_append_filing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, is_delta): the POST-APPEND inverted-file
+    membership — persisted standing metadata + the batch filed once —
+    memoized + persisted per (session, sf) and shared by every
+    post-append consumer (`ivf_codebook_drift_stats`,
+    `ivf_codebook_retrain`, `ivf_append_refile`).  r11 self-review
+    fix: each consumer used to materialize its OWN tracked-persist
+    copy of this identical corpus-sized frame — three cached copies of
+    one membership.  (`ivf_file_delta` deliberately does NOT read
+    this: its registered plan must show the batch scoring as the
+    per-append cost — the live-scan honesty pin.)"""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        return (
+            _ivf_standing_filing(spark, sf_dir)
+            .withColumn("is_delta", F.lit(False))
+            .unionByName(
+                _ivf_delta_filing(spark, sf_dir).withColumn(
+                    "is_delta", F.lit(True)
+                )
+            )
+        )
+
+    return _session_memo_persist(
+        spark, f"_ivf_postappend_{tag}", f"ivf.postappend.{tag}", build
+    )
+
+
+def _cosine_agg(a: str, b: str) -> "F.Column":
+    """The guarded 6dp cosine as a grouped AGGREGATE over per-dim
+    component columns `a` and `b` — THE engine-side arithmetic every
+    IVF scoring/drift/refile stage shares (r11 self-review fix: the
+    block was copy-pasted per stage, so a rounding or zero-norm tweak
+    could silently diverge the signal from the action while their
+    SQL oracles — which share `_IVF_DRIFT_CORE_SQL` — stayed in
+    agreement)."""
+    na = F.sqrt(F.sum(F.col(a) * F.col(a)))
+    nb = F.sqrt(F.sum(F.col(b) * F.col(b)))
+    return F.round(
+        F.when(
+            (na > 0) & (nb > 0), F.sum(F.col(a) * F.col(b)) / (na * nb)
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def _ivf_drift_core(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(current per-cell member means, per-cell drift) — the engine
+    twin of `_IVF_DRIFT_CORE_SQL`, shared by the signal
+    (`ivf_codebook_drift_stats`) and the action
+    (`ivf_codebook_retrain`) so they can never disagree about the
+    drift that links them.  The means frame is tracked-persisted under
+    one shared tag (it is both the drift input and the retrain's refit
+    target)."""
+    from ..functions.cache import tracked_persist
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    allc = _ivf_post_append_filing(spark, sf_dir)
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cur = tracked_persist(
+        allc.join(v_flat, "vec_id").groupBy("cell", "i").agg(
+            F.avg("x").alias("mx")
+        ),
+        f"ivf.postappend_means.{_sf_tag_sim(sf_dir)}",
+    )
+    cent = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    drift = (
+        cur.join(F.broadcast(cent), ["cell", "i"])
+        .groupBy("cell")
+        .agg(_cosine_agg("mx", "cx").alias("codebook_cosine"))
+    )
+    return cur, drift
 
 
 # Shared CTE block for the frozen-quantizer maintenance pair
@@ -3107,22 +3158,31 @@ def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   flagged path — are exercised at every test SF; the comparison runs
 #   on the same 6dp-rounded cosine both engines compute, so the
 #   threshold cannot straddle engines.
-# - _IVF_DRIFT_TAU_SCALED = 0.55, the MEASURED production point
+# - _IVF_DRIFT_TRIGGER_SCALED = 0.55, the MEASURED production TRIGGER
 #   (SCALE.md drift-sweep table, pinned two-sided in
-#   tests/test_similarity_paths.py): injecting a novel mode into the
-#   append stream shows the harmful band is drift 0.62-0.74 —
-#   retraining there trades recall away (sf1 0.98→0.74: the
-#   half-formed mode's refit centroid makes new-mode queries
-#   under-probe while their true neighbors still sit in unflagged
-#   cells) — while below 0.55 the mode is fully formed and retrain is
-#   a pure win (scan fraction 0.54→0.27 / probes 5.0→2.0 at recall
-#   1.0).  The fixture corpus CANNOT express this curve (its natural
-#   band never leaves 0.81-0.91; mode migration is absorbed by
-#   argmax-consistent filing — the sweep's first finding), which is
-#   why the registered threshold stays fixture-calibrated and the
-#   production point lives in the sweep pin.
+#   tests/test_similarity_paths.py).  The sweep (novel mode injected
+#   into the append stream) measured a two-threshold structure:
+#   (a) retraining while the mode is HALF-FORMED (min drift 0.62-0.74)
+#   trades recall away (sf1 0.98→0.74 — the refit centroid makes
+#   new-mode queries under-probe while true neighbors still sit in
+#   unretrained cells); (b) once any cell drifts below ~0.55 the mode
+#   is fully formed and retraining PAYS — but ONLY if the retrain
+#   admits the WHOLE drifted family: refitting a strict subset (e.g.
+#   a 0.55 admission at sf1 lam=0.8 catches 1 of the 2 drifted cells)
+#   collapses recall 1.0→0.62, because the confident refit centroid
+#   suppresses the margin-adaptive escalation that was compensating
+#   for the remaining stale cells.  Production policy therefore:
+#   TRIGGER a retrain when min per-cell drift < 0.55, and ADMIT every
+#   cell under the registered 0.85 flag (trigger-low, admit-wide) —
+#   measured a pure win at every sweep point (recall within 0.02,
+#   scan fraction ≤ 0.75× frozen).  The fixture corpus CANNOT express
+#   this curve (its natural band never leaves 0.81-0.91; mode
+#   MIGRATION is absorbed by argmax-consistent filing — the sweep's
+#   first finding), which is why the registered threshold stays
+#   fixture-calibrated and the production policy lives in the sweep
+#   pin.
 _IVF_DRIFT_TAU = 0.85
-_IVF_DRIFT_TAU_SCALED = 0.55
+_IVF_DRIFT_TRIGGER_SCALED = 0.55
 
 # The drift CORE — current per-cell member means + the cosine of each
 # cell's frozen centroid against them.  Shared VERBATIM by the signal
@@ -3198,53 +3258,20 @@ def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's own): the current centroids are one map-side-combinable
     (cell, dim) mean over the membership ⋈ vectors; the codebook join
     is nlist×dim broadcast; output is O(cells)."""
-    from ..functions.cache import tracked_persist
-
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    file_cells = _ivf_standing_filing(spark, sf_dir)
-    add_cells = _ivf_delta_filing(spark, sf_dir)
-    # the post-append filing feeds BOTH the member counts and the
-    # current-centroid means — tag the delta side and persist the
-    # union so the batch scoring runs exactly ONCE for the whole query
-    # (the standing side is already the session-persisted metadata)
-    allc = tracked_persist(
-        file_cells.withColumn("is_delta", F.lit(False)).unionByName(
-            add_cells.withColumn("is_delta", F.lit(True))
-        ),
-        "ivf_codebook_drift.filing",
-    )
+    # the post-append membership and the drift core are the SESSION-
+    # shared frames every post-append consumer reads (r11 self-review:
+    # one membership, one means frame — not a tracked-persist copy per
+    # consumer)
+    allc = _ivf_post_append_filing(spark, sf_dir)
     memb = allc.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_added"),
     ).select(F.col("cell").cast("bigint").alias("cell"), "n_members", "n_added")
-    v_flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    cur = (
-        allc.join(v_flat, "vec_id")
-        .groupBy("cell", "i")
-        .agg(F.avg("x").alias("mx"))
-    )
-    cent = _ivf_frozen_quantizer(spark, sf_dir).select(
-        F.col("label").alias("cell"), "i", "cx"
-    )
-    nm = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
-    nc = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-    drift = (
-        cur.join(F.broadcast(cent), ["cell", "i"])
-        .groupBy("cell")
-        .agg(
-            F.round(
-                F.when(
-                    (nm > 0) & (nc > 0),
-                    F.sum(F.col("mx") * F.col("cx")) / (nm * nc),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("codebook_cosine")
-        )
-        .select(F.col("cell").cast("bigint").alias("cell"), "codebook_cosine")
+    _, drift = _ivf_drift_core(spark, sf_dir)
+    drift = drift.select(
+        F.col("cell").cast("bigint").alias("cell"), "codebook_cosine"
     )
     return memb.join(drift, "cell").select(
         "cell",
@@ -3382,12 +3409,11 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cache import tracked_persist
 
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    allc = tracked_persist(
-        _ivf_standing_filing(spark, sf_dir).unionByName(
-            _ivf_delta_filing(spark, sf_dir)
-        ),
-        "ivf_retrain.filing",
-    )
+    # the session-shared post-append membership + drift core — the
+    # SAME frames the signal reads (r11 self-review: the engine side
+    # now shares its drift pass the way the oracles share
+    # _IVF_DRIFT_CORE_SQL, so signal and action cannot diverge)
+    allc = _ivf_post_append_filing(spark, sf_dir).select("vec_id", "cell")
     n_before = allc.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_before")
     )
@@ -3395,31 +3421,9 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).withColumn("x", F.col("x").cast("double"))
     # current per-cell member means — the drift pass AND the refit
-    # target in one frame (the retrain's update step is free)
-    cur = tracked_persist(
-        allc.join(v_flat, "vec_id").groupBy("cell", "i").agg(
-            F.avg("x").alias("mx")
-        ),
-        "ivf_retrain.cur_means",
-    )
-    cent = _ivf_frozen_quantizer(spark, sf_dir).select(
-        F.col("label").alias("cell"), "i", "cx"
-    )
-    nm = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
-    nc = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
-    drift = (
-        cur.join(F.broadcast(cent), ["cell", "i"])
-        .groupBy("cell")
-        .agg(
-            F.round(
-                F.when(
-                    (nm > 0) & (nc > 0),
-                    F.sum(F.col("mx") * F.col("cx")) / (nm * nc),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("codebook_cosine_before")
-        )
-    )
+    # target in one shared frame (the retrain's update step is free)
+    cur, drift = _ivf_drift_core(spark, sf_dir)
+    drift = drift.withColumnRenamed("codebook_cosine", "codebook_cosine_before")
     flagged = drift.filter(
         F.col("codebook_cosine_before") < F.lit(_IVF_DRIFT_TAU)
     ).select("cell")
@@ -3434,21 +3438,11 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         allc.join(F.broadcast(flagged), "cell").join(v_flat, "vec_id"),
         "ivf_retrain.mem_flat",
     )
-    vn = F.sqrt(F.sum(F.col("x") * F.col("x")))
-    cn = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     resc = (
         mem_flat.select("vec_id", "i", "x")
         .join(F.broadcast(new_cent), "i")
         .groupBy("vec_id", "cand_cell")
-        .agg(
-            F.round(
-                F.when(
-                    (vn > 0) & (cn > 0),
-                    F.sum(F.col("x") * F.col("cx")) / (vn * cn),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cosine")
-        )
+        .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
     wbest = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("cand_cell")
@@ -3463,8 +3457,6 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell", "i")
         .agg(F.avg("x").alias("mx"))
     )
-    am = F.sqrt(F.sum(F.col("mx") * F.col("mx")))
-    an_ = F.sqrt(F.sum(F.col("cx") * F.col("cx")))
     after_cos = (
         after_means.join(
             F.broadcast(
@@ -3473,15 +3465,7 @@ def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["cell", "i"],
         )
         .groupBy("cell")
-        .agg(
-            F.round(
-                F.when(
-                    (am > 0) & (an_ > 0),
-                    F.sum(F.col("mx") * F.col("cx")) / (am * an_),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("c_after")
-        )
+        .agg(_cosine_agg("mx", "cx").alias("c_after"))
     )
     after_n = refiled.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -3568,14 +3552,7 @@ def ivf_append_refile(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata, so the whole append→rebalance path costs
     O(batch × nlist + flagged members × dim) per cycle."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    from ..functions.cache import tracked_persist
-
-    cells = tracked_persist(
-        _ivf_standing_filing(spark, sf_dir).unionByName(
-            _ivf_delta_filing(spark, sf_dir)
-        ),
-        "ivf_append_refile.filing",
-    )
+    cells = _ivf_post_append_filing(spark, sf_dir).select("vec_id", "cell")
     cent_own = _ivf_frozen_quantizer(spark, sf_dir).select(
         F.col("label").alias("cell"), "i", "cx"
     )

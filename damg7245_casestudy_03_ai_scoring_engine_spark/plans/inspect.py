@@ -40,14 +40,19 @@ def live_parquet_scan_count(df: DataFrame) -> int:
     not the corpus': explain-string greps can't distinguish a live
     scan from one frozen inside an InMemoryRelation."""
     plan = df._jdf.queryExecution().executedPlan()
-    if plan.nodeName() == "AdaptiveSparkPlan":
-        plan = plan.initialPlan()
 
     def walk(node) -> int:
         name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return walk(node.initialPlan())  # root AND nested AQE wrappers
         if "InMemoryTableScan" in name:
             return 0
         n = 1 if name.startswith("Scan parquet") else 0
+        # innerChildren carries subquery plans (Subquery/ScalarSubquery
+        # bodies) — a corpus scan moved into a subquery still executes,
+        # so the honesty pins must see it (r11 self-review fix)
+        ic = node.innerChildren()
+        n += sum(walk(ic.apply(i)) for i in range(ic.size()))
         ch = node.children()
         return n + sum(walk(ch.apply(i)) for i in range(ch.size()))
 

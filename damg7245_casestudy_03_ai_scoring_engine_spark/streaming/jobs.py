@@ -524,6 +524,78 @@ def window_counts_raw(events: DataFrame) -> DataFrame:
     )
 
 
+def _merge_parquet_gold(gold_dir: str, keys: list[str], sums: list[str]):
+    """The shared replay-idempotent, crash-atomic gold-merge protocol
+    — ONE implementation behind every foreachBatch gold table
+    (`merge_gold_window_counts`, `merge_inverted_file`), so a protocol
+    fix can never apply to one table and not the other.
+
+    Replay idempotence: the max applied batch id rides INSIDE the
+    committed directory as `_last_batch_id` (underscore-prefixed ⇒
+    ignored by parquet readers), so it commits atomically with the
+    data; a re-delivered batch id ≤ the marker is skipped instead of
+    double-counted (same protocol as
+    scoring/incremental.py:merge_partials).
+
+    Crash atomicity (r11 self-review fix — the original
+    rmtree-then-replace had a window where a crash between the two
+    calls lost the whole accumulated table): commit is
+    detach-promote-reap, all three steps atomic renames or
+    recoverable —
+      1. detach:  rename(gold, gold._old)     [atomic]
+      2. promote: rename(tmp, gold)           [atomic]
+      3. reap:    rmtree(gold._old)
+    and every upsert starts with RECOVERY: if gold is missing but
+    gold._old exists (crash between detach and promote), the old
+    generation is restored — its marker predates the lost batch, so
+    the replayed batch re-merges instead of re-initializing from one
+    batch's partial.  A crash after promote leaves a stale ._old that
+    the next upsert reaps.  At 100 TB this whole dance is `MERGE INTO
+    gold USING partial` on Delta/Iceberg, whose log gives the same
+    atomicity; the directory-generation scheme is the plain-parquet
+    equivalent."""
+    import os
+    import shutil
+
+    old_dir = gold_dir + "._old"
+
+    def _last_applied() -> int:
+        marker = os.path.join(gold_dir, "_last_batch_id")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    def merge(partial: DataFrame, batch_id: int) -> None:
+        spark = partial.sparkSession
+        if not os.path.isdir(gold_dir) and os.path.isdir(old_dir):
+            os.replace(old_dir, gold_dir)  # recover: crash mid-commit
+        if os.path.isdir(gold_dir):
+            if batch_id <= _last_applied():
+                return  # replayed batch already merged
+            gold = spark.read.parquet(gold_dir)
+            merged = (
+                gold.unionByName(partial)
+                .groupBy(*keys)
+                .agg(*[F.sum(c).alias(c) for c in sums])
+            )
+        else:
+            merged = partial
+        tmp = gold_dir + f"._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)  # reap a stale generation
+        if os.path.isdir(gold_dir):
+            os.replace(gold_dir, old_dir)  # detach
+        os.replace(tmp, gold_dir)  # promote
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)  # reap
+
+    return merge
+
+
 def merge_gold_window_counts(gold_dir: str):
     """foreachBatch body: merge one micro-batch's window partials into
     a parquet gold table keyed on (window_start_ns, event_type).
@@ -533,49 +605,14 @@ def merge_gold_window_counts(gold_dir: str):
     read the gold table with no recompute.  At 100 TB the union+groupBy
     re-write becomes `MERGE INTO gold USING partial ON keys WHEN
     MATCHED UPDATE SET n = n + src.n ...` on Delta/Iceberg — here the
-    whole (tiny) rollup is re-keyed per batch, written to a temp dir
-    and atomically swapped, which also gives crash-safe re-runs.
-
-    Idempotent under replay (same protocol as
-    scoring/incremental.py:merge_partials): the max applied batch id
-    rides INSIDE the swapped directory as `_last_batch_id`
-    (underscore-prefixed ⇒ ignored by parquet readers), so it commits
-    atomically with the data; a re-delivered batch id ≤ the marker is
-    skipped instead of double-counted."""
-    import os
-    import shutil
-
-    def _last_applied() -> int:
-        marker = os.path.join(gold_dir, "_last_batch_id")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip())
-        return -1
+    whole (tiny) rollup is re-keyed per batch through the shared
+    crash-atomic, replay-idempotent protocol (`_merge_parquet_gold`)."""
+    merge = _merge_parquet_gold(
+        gold_dir, ["window_start_ns", "event_type"], ["n_events", "value_sum"]
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = window_counts_raw(batch_df)
-        if os.path.isdir(gold_dir):
-            if batch_id <= _last_applied():
-                return  # replayed batch already merged
-            gold = spark.read.parquet(gold_dir)
-            merged = (
-                gold.unionByName(partial)
-                .groupBy("window_start_ns", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("value_sum").alias("value_sum"),
-                )
-            )
-        else:
-            merged = partial
-        tmp = gold_dir + f"._tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.isdir(gold_dir):
-            shutil.rmtree(gold_dir)
-        os.replace(tmp, gold_dir)
+        merge(window_counts_raw(batch_df), batch_id)
 
     return upsert
 
@@ -804,42 +841,17 @@ def merge_inverted_file(index_dir: str, sf_dir: str):
     gold equals `ivf_file_delta`'s one-shot per-cell `n_added`
     accounting — streaming == batch, the same invariant every
     incremental tier pins."""
-    import os
-    import shutil
-
     from ..operators.similarity import _ivf_file_by_frozen
 
-    def _last_applied() -> int:
-        marker = os.path.join(index_dir, "_last_batch_id")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                return int(fh.read().strip())
-        return -1
+    merge = _merge_parquet_gold(index_dir, ["cell"], ["n_added"])
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        partial = (
+        merge(
             _ivf_file_by_frozen(spark, sf_dir, batch_df)
             .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_added"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_added")),
+            batch_id,
         )
-        if os.path.isdir(index_dir):
-            if batch_id <= _last_applied():
-                return  # replayed batch already merged
-            gold = spark.read.parquet(index_dir)
-            merged = (
-                gold.unionByName(partial)
-                .groupBy("cell")
-                .agg(F.sum("n_added").cast("bigint").alias("n_added"))
-            )
-        else:
-            merged = partial
-        tmp = index_dir + f"._tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.isdir(index_dir):
-            shutil.rmtree(index_dir)
-        os.replace(tmp, index_dir)
 
     return upsert

@@ -565,18 +565,26 @@ def test_ivf_codebook_retrain_laws(spark):
 
 
 def test_drift_retrain_operating_point_two_sided():
-    """The retrain threshold's measured operating point (r10 verdict
-    #5, tools/drift_threshold_sweep.py): re-run the staleness sweep on
-    both scaled axes and pin _IVF_DRIFT_TAU_SCALED two-sided —
+    """The retrain policy's measured operating point (r10 verdict #5,
+    tools/drift_threshold_sweep.py): re-run the staleness sweep on
+    both scaled axes under the PRODUCTION policy — TRIGGER a retrain
+    when min per-cell drift < _IVF_DRIFT_TRIGGER_SCALED (0.55), then
+    ADMIT every cell under the registered _IVF_DRIFT_TAU (0.85) flag —
+    and pin it two-sided:
 
-    - NO-FALSE-RETRAIN side: at every sweep point whose min drift
-      cosine is >= the scaled tau, the FROZEN index's recall holds the
-      engine floor (0.6, the --recall pin) — nothing needed retraining.
-    - RETRAIN-PAYS side: at every point below the scaled tau, the
-      retrained index keeps recall within 0.02 of frozen AND cuts the
-      scan fraction to <= 0.75x — the retrain earns its cost, and a
-      future tau drifting INTO the harmful 0.62-0.74 band (where
-      retraining a half-formed mode trades recall away) trips this.
+    - NO-FALSE-RETRAIN side: at every sweep point where the trigger
+      does not fire, the FROZEN index's recall holds the engine floor
+      (0.6, the --recall pin) — nothing needed retraining, including
+      the harmful half-formed-mode band (min drift 0.62-0.74) where
+      an always-act policy measurably trades recall away.
+    - RETRAIN-PAYS side: at every triggered point, the retrained
+      index keeps recall within 0.02 of frozen AND cuts the scan
+      fraction to <= 0.75x.  Trigger-low + ADMIT-WIDE is load-bearing:
+      admitting only the sub-0.55 subset at sf1 lam=0.8 collapses
+      recall 1.0 -> 0.62 (measured — the confident refit centroid
+      suppresses the probe escalation compensating for the other
+      stale cell), so a future change narrowing the admission set
+      trips this pin.
 
     Runs the numpy replica (20k vectors/axis — seconds; the Spark
     twin of the arithmetic is pinned at fixture scale by
@@ -590,7 +598,8 @@ def test_drift_retrain_operating_point_two_sided():
     if not os.path.isdir(sf1i):
         _pytest.skip(".scale not built (tools/scale_probe.py --build)")
     from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
-        _IVF_DRIFT_TAU_SCALED,
+        _IVF_DRIFT_TAU,
+        _IVF_DRIFT_TRIGGER_SCALED,
     )
 
     path = os.path.join(
@@ -599,22 +608,26 @@ def test_drift_retrain_operating_point_two_sided():
     spec = importlib.util.spec_from_file_location("drift_threshold_sweep", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    assert mod.TAU == _IVF_DRIFT_TAU  # the tool imports, never restates
 
     rows = []
     for axis in ("sf1", "sf1i"):
         sf_dir = os.path.join(os.path.dirname(__file__), "..", ".scale", axis)
         if os.path.isdir(sf_dir):
-            rows += mod.sweep_axis(sf_dir, axis)
+            rows += mod.sweep_axis(
+                sf_dir, axis, tau=_IVF_DRIFT_TAU, trigger=_IVF_DRIFT_TRIGGER_SCALED
+            )
     assert rows, "no scaled axes available"
-    # the sweep must exercise both sides of the scaled threshold
-    assert any(r["drift_min"] >= _IVF_DRIFT_TAU_SCALED for r in rows)
-    assert any(r["drift_min"] < _IVF_DRIFT_TAU_SCALED for r in rows)
-    for r in rows:
-        if r["drift_min"] >= _IVF_DRIFT_TAU_SCALED:
-            assert r["recall_frozen"] >= 0.6, r
-        else:
-            assert r["recall_retrained"] >= r["recall_frozen"] - 0.02, r
-            assert r["scan_retrained"] <= 0.75 * r["scan_frozen"], r
+    triggered = [r for r in rows if r["drift_min"] < _IVF_DRIFT_TRIGGER_SCALED]
+    untriggered = [r for r in rows if r["drift_min"] >= _IVF_DRIFT_TRIGGER_SCALED]
+    assert triggered and untriggered, "both policy branches must be exercised"
+    for r in untriggered:
+        assert r["n_flagged"] == 0, r  # trigger gate actually held
+        assert r["recall_frozen"] >= 0.6, r
+    for r in triggered:
+        assert r["n_flagged"] > 0, r
+        assert r["recall_retrained"] >= r["recall_frozen"] - 0.02, r
+        assert r["scan_retrained"] <= 0.75 * r["scan_frozen"], r
 
 
 def test_ivf_append_refile_consumes_append_accounting(spark):

@@ -773,3 +773,40 @@ def test_streaming_ivf_ingest_equals_batch_append(spark, tmp_path):
     upsert(delta.limit(5), 0)
     after = {r.cell: r.n_added for r in spark.read.parquet(index_dir).collect()}
     assert after == got
+
+
+def test_gold_merge_recovers_mid_commit_crash(spark, tmp_path):
+    """The shared gold-merge protocol's crash window (r11 self-review
+    fix): a crash between detach (gold → gold._old) and promote
+    (tmp → gold) must not lose the accumulated table — the next
+    upsert restores the old generation and re-merges the lost batch,
+    ending bit-equal to the no-crash run."""
+    import os
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        _merge_parquet_gold,
+    )
+
+    gold = str(tmp_path / "gold_crash")
+    merge = _merge_parquet_gold(gold, ["k"], ["n"])
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, n long")
+    b1 = spark.createDataFrame([(1, 5), (3, 7)], "k int, n long")
+    merge(b0, 0)
+    merge(b1, 1)
+    want = {r.k: r.n for r in spark.read.parquet(gold).collect()}
+    assert want == {1: 15, 2: 20, 3: 7}
+
+    # simulate the crash: batch 2's merge detached the current
+    # generation and died before promoting the new one
+    os.replace(gold, gold + "._old")
+    assert not os.path.isdir(gold)
+    b2 = spark.createDataFrame([(2, 1)], "k int, n long")
+    merge(b2, 2)  # recovery path: restore ._old, then merge batch 2
+    got = {r.k: r.n for r in spark.read.parquet(gold).collect()}
+    assert got == {1: 15, 2: 21, 3: 7}
+    assert not os.path.isdir(gold + "._old")  # stale generation reaped
+
+    # replay of an applied id stays a no-op after recovery
+    merge(b2, 2)
+    again = {r.k: r.n for r in spark.read.parquet(gold).collect()}
+    assert again == got

@@ -62,13 +62,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from frontier_sweep import REPO, cell_scores, load_table  # noqa: E402
 
+from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (  # noqa: E402
+    _IVF_CAP as PROBE_CAP,
+    _IVF_DELTA as PROBE_DELTA,
+    _IVF_DELTA_SEED as _DELTA_SEED,
+    _IVF_DRIFT_TAU as TAU,
+)
+
 N_QUERIES = 10
 TOP_K = 5
-PROBE_DELTA = 0.2  # engine operating point (_IVF_DELTA / _IVF_CAP)
-PROBE_CAP = 5
 LAMBDAS = (0.0, 0.2, 0.4, 0.6, 0.8)
-TAU = 0.85  # the pinned threshold under evaluation
-_DELTA_SEED = "|ivf-delta-seed-1"  # _IVF_DELTA_SEED (similarity.py)
+# TAU above (imported — the REGISTERED threshold) is the sweep table's
+# default retrain policy: it is the policy that DEMONSTRATES the
+# harmful band (it retrains half-formed modes).  The production pin
+# (tests/test_similarity_paths.py) re-runs sweep_axis at
+# _IVF_DRIFT_TAU_SCALED to certify the production policy itself.
 
 
 def delta_mask(vec_id: np.ndarray) -> np.ndarray:
@@ -136,7 +144,22 @@ def probe_stats(
     )
 
 
-def sweep_axis(sf_dir: str, axis: str, tau: float = TAU) -> list[dict]:
+def sweep_axis(
+    sf_dir: str, axis: str, tau: float = TAU, trigger: float | None = None
+) -> list[dict]:
+    """One axis of the staleness sweep.  `tau` is the ADMISSION
+    threshold (which cells get refit once a retrain runs — the
+    registered drift flag); `trigger` (optional) gates WHETHER the
+    retrain runs at all: act only when min per-cell drift < trigger.
+    trigger=None is the always-act single-threshold policy the table
+    renders (it demonstrates the harmful half-formed-mode band by
+    retraining into it); the production pin runs (tau=registered
+    0.85, trigger=scaled 0.55) — measured here: admitting a strict
+    SUBSET of drifted cells (e.g. tau=0.55 alone at sf1 lam=0.8)
+    collapses recall 1.0→0.62, because the confident refit centroid
+    suppresses the probe escalation that was compensating for the
+    remaining stale cells; trigger-low + admit-wide retrains the
+    whole drifted family or nothing, and wins at every point."""
     vec_id, label, emb0 = load_table(sf_dir)
     is_delta = delta_mask(vec_id)
     standing = ~is_delta
@@ -178,6 +201,8 @@ def sweep_axis(sf_dir: str, axis: str, tau: float = TAU) -> list[dict]:
                 float(mu @ frozen[i] / (nm * nc)) if nm > 0 and nc > 0 else 0.0, 6
             )
         flagged = [c for c, d in drift.items() if d < tau]
+        if trigger is not None and min(drift.values()) >= trigger:
+            flagged = []  # trigger not met — no retrain this cycle
 
         # brute-force truth over the POST-APPEND corpus, for the
         # shifted query panel

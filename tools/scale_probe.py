@@ -621,17 +621,22 @@ FINDINGS = """
   (1.1×/1.1×), with `ivf_refile_oversized` reading 1.0 s in the same
   session (the re-persist fix keeps the session codebook warm across
   consumers — the r10 advisor wrinkle).
-- **The retrain threshold is derived from a measured curve** (the
-  drift-sweep table below, `tools/drift_threshold_sweep.py`): mode
-  MIGRATION is absorbed by argmax-consistent filing (blending the
-  append batch toward an existing centroid moves NOTHING — drift
-  stays 0.91-0.94, recall flat: the sweep's first finding); a NOVEL
-  mode's harmful band is drift 0.62-0.74, where retraining a
-  half-formed mode trades recall away (sf1: 0.98→0.74), and below
-  ~0.55 retrain is a pure win (scan 0.54→0.27, probes 5.0→2.0 at
-  recall 1.0).  Registered tau stays 0.85 (fixture band — both flag
-  branches run at every test SF); production tau 0.55 pinned
-  two-sided in tests/test_similarity_paths.py.
+- **The retrain policy is derived from a measured curve — and it is
+  TWO-threshold** (the drift-sweep table below,
+  `tools/drift_threshold_sweep.py`): mode MIGRATION is absorbed by
+  argmax-consistent filing (blending the append batch toward an
+  existing centroid moves NOTHING — drift stays 0.91-0.94, recall
+  flat: the sweep's first finding); a NOVEL mode's harmful band is
+  drift 0.62-0.74, where retraining a half-formed mode trades recall
+  away (sf1: 0.98→0.74); below ~0.55 retraining pays (scan
+  0.54→0.27, probes 5.0→2.0 at recall 1.0) — but ONLY admit-wide:
+  refitting just the sub-0.55 subset collapses recall 1.0→0.62 (the
+  refit centroid suppresses the probe escalation that was covering
+  the other stale cell — caught by the r11 self-review's re-measure).
+  Production policy: TRIGGER at min drift < 0.55, ADMIT the full
+  registered 0.85 flag set; pinned two-sided in
+  tests/test_similarity_paths.py.  Registered tau stays 0.85
+  (fixture band — both flag branches run at every test SF).
 - **The post-dedup mixing composition inherits the rebuild's cost
   and nothing more.**  `post_dedup_mixing_weights` (the n^0.7 rule
   over kept tokens) reads **1.16 s sf0.1 → 1.7× at sf1 / 1.1× at
@@ -901,7 +906,7 @@ def _render_frontier(frontier_rows) -> list[str]:
 def _render_drift(drift_rows) -> list[str]:
     from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
         _IVF_DRIFT_TAU,
-        _IVF_DRIFT_TAU_SCALED,
+        _IVF_DRIFT_TRIGGER_SCALED,
     )
 
     out = [
@@ -930,13 +935,22 @@ def _render_drift(drift_rows) -> list[str]:
         f"Operating points: registered/fixture tau = {_IVF_DRIFT_TAU}",
         "(inside the fixture's natural 0.81-0.91 band so both flag",
         "branches run at every test SF — the fixture cannot express",
-        "the novel-mode curve); measured production tau =",
-        f"**{_IVF_DRIFT_TAU_SCALED}** (below the harmful band, inside",
-        "the pure-win band), pinned two-sided in",
-        "tests/test_similarity_paths.py: no point at drift ≥ tau needs",
-        "the retrain (frozen recall holds), and every point at drift",
-        "< tau must show retrain paying (recall within 0.02, scan",
-        "≤ 0.75× frozen).",
+        "the novel-mode curve).  The measured PRODUCTION policy is",
+        f"two-threshold: TRIGGER when min drift < **{_IVF_DRIFT_TRIGGER_SCALED}**,",
+        f"then ADMIT every cell under the registered {_IVF_DRIFT_TAU} flag",
+        "(trigger-low, admit-wide).  Admit-wide is load-bearing:",
+        "admitting only the sub-trigger subset at sf1 lam=0.8",
+        "collapses recall 1.0→0.62 (the confident refit centroid",
+        "suppresses the probe escalation compensating for the other",
+        "stale cell), while the wide admission measures a pure win at",
+        "every triggered point.  Pinned two-sided in",
+        "tests/test_similarity_paths.py: untriggered points hold the",
+        "frozen recall floor (including the harmful 0.62-0.74",
+        "half-formed band — the trigger deliberately does NOT fire",
+        "there); triggered points must show retrain paying (recall",
+        "within 0.02, scan ≤ 0.75× frozen).  The table below is the",
+        "ALWAYS-ACT single-threshold sweep — the policy that",
+        "demonstrates the harmful band by retraining into it.",
         "",
         "| axis | lam | drift min | drift mean | flagged | recall frozen→retrained | scan frozen→retrained | probes frozen→retrained |",
         "|---|---|---|---|---|---|---|---|",
