@@ -3557,3 +3557,159 @@ def ivf_append_refile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"), "i", "cx"
     )
     return _refile_oversized_impl(emb, cells, cent_own, "ivf_append_refile")
+
+
+# --- the per-cycle maintenance DECISION ----------------------------------------
+
+# The decision's registered operating point.  The fixture corpus's
+# drift band (0.81-0.91) cannot express the measured production curve
+# (see the _IVF_DRIFT_TAU / _IVF_DRIFT_TRIGGER_SCALED comment block),
+# so the REGISTERED decision runs trigger == admit == the fixture tau —
+# the degenerate-but-coherent two-threshold instance in which a cycle
+# triggers iff any cell is flagged and admission is the flag itself,
+# exercising every action branch at every test SF.  The PRODUCTION
+# operating point (trigger-low 0.55, admit-wide 0.85 — measured in
+# tools/drift_threshold_sweep.py, pinned two-sided in
+# tests/test_similarity_paths.py) plugs into the same impl via the
+# (trigger, admit) parameters.
+
+
+def _ivf_maintenance_decision_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    trigger: float = _IVF_DRIFT_TAU,
+    admit: float = _IVF_DRIFT_TAU,
+) -> DataFrame:
+    """The decision LADDER parameterized on the two-threshold policy —
+    shared by the registered query (fixture point) and the production-
+    point tests, exactly like `_refile_oversized_impl` parameterizes
+    the refile on its input filing."""
+    from .registry import REGISTRY
+
+    ds = REGISTRY["ivf_codebook_drift_stats"].fn(spark, sf_dir).select(
+        "cell", "codebook_cosine", "retrain_flagged"
+    )
+    fd = REGISTRY["ivf_file_delta"].fn(spark, sf_dir).select(
+        "cell", "n_after", "oversized_after"
+    )
+    bs = REGISTRY["ivf_cell_balance_stats"].fn(spark, sf_dir).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("oversized").alias("occ_oversized"),
+    )
+    j = ds.join(fd, "cell").join(F.broadcast(bs), "cell", "left")
+    wall = Window.partitionBy()
+    total = F.sum("n_after").over(wall)
+    ncells = F.count(F.lit(1)).over(wall)
+    refile_due = (
+        F.col("n_after") * ncells * F.lit(10) > F.lit(_REFILE_NUM) * total
+    )
+    cycle_trigger = F.min("codebook_cosine").over(wall) < F.lit(trigger)
+    x = j.select(
+        "cell",
+        "codebook_cosine",
+        "retrain_flagged",
+        "n_after",
+        "oversized_after",
+        F.coalesce("occ_oversized", F.lit(False)).alias("occ_oversized"),
+        refile_due.alias("refile_due"),
+        cycle_trigger.alias("cycle_trigger"),
+    )
+    action = (
+        F.when(
+            F.col("cycle_trigger") & (F.col("codebook_cosine") < F.lit(admit)),
+            F.lit("retrain"),
+        )
+        .when(F.col("refile_due"), F.lit("refile"))
+        .otherwise(F.lit("wait"))
+    )
+    return x.withColumn("action", action)
+
+
+def _ivf_maintenance_decision_oracle(
+    trigger: float = _IVF_DRIFT_TAU, admit: float = _IVF_DRIFT_TAU
+) -> str:
+    """Compose the decision's oracle from the three COMPONENT oracles
+    verbatim (the `curation_decision_gate` discipline: each component
+    is a standalone WITH…SELECT, legal as a parenthesized CTE body in
+    DuckDB), so the decision can never drift from the signals it
+    gates on."""
+    from .registry import REGISTRY
+
+    ds = REGISTRY["ivf_codebook_drift_stats"].oracle
+    fd = REGISTRY["ivf_file_delta"].oracle
+    bs = REGISTRY["ivf_cell_balance_stats"].oracle
+    return f"""
+WITH ds AS ({ds}),
+fd AS ({fd}),
+bs AS ({bs}),
+x AS (
+    SELECT ds.cell, ds.codebook_cosine, ds.retrain_flagged,
+           fd.n_after, fd.oversized_after,
+           COALESCE(bs.oversized, FALSE) AS occ_oversized,
+           (fd.n_after * count(*) OVER () * 10)
+               > ({_REFILE_NUM} * sum(fd.n_after) OVER ()) AS refile_due,
+           min(ds.codebook_cosine) OVER () < {trigger} AS cycle_trigger
+    FROM ds
+    JOIN fd ON fd.cell = ds.cell
+    LEFT JOIN bs ON bs.cell = ds.cell
+)
+SELECT cell, codebook_cosine, retrain_flagged, n_after, oversized_after,
+       occ_oversized, refile_due, cycle_trigger,
+       CASE WHEN cycle_trigger AND codebook_cosine < {admit} THEN 'retrain'
+            WHEN refile_due THEN 'refile'
+            ELSE 'wait' END AS action
+FROM x
+"""
+
+
+@register(
+    "ivf_maintenance_decision",
+    survey="similarity,S15 (extension: the per-cycle index-maintenance DECISION)",
+    oracle=_ivf_maintenance_decision_oracle(),
+)
+def ivf_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-cycle index-maintenance VERDICT — the one maintenance
+    surface that had no registered consumer-facing table (r11 verdict
+    #1): a production ingestion loop doesn't read three signal tables
+    and a test pin, it reads ONE decision row per cell saying what to
+    do this cycle.  Composed BY CALLING the registered signals —
+    `ivf_codebook_drift_stats` (staleness), `ivf_file_delta`
+    (post-append occupancy), `ivf_cell_balance_stats` (standing-index
+    occupancy baseline) — and its oracle is composed verbatim from
+    their oracles (`curation_decision_gate`'s discipline), so decision
+    and signals cannot drift.
+
+    Priority-ordered action per cell:
+
+    - `retrain`  — the two-threshold retrain policy: the CYCLE
+      triggers when the worst per-cell drift crosses the trigger
+      (min codebook_cosine < trigger, a window min over the O(cells)
+      frame), and admission is then WIDE (every cell under the admit
+      tau) — the measured trigger-low/admit-wide rule
+      (tools/drift_threshold_sweep.py: subset refits collapse recall
+      1.0→0.62).  Retrain outranks refile: rebalancing against a
+      codebook the same cycle will replace is wasted work, and
+      `ivf_codebook_retrain` refiles the flagged scope anyway.
+    - `refile`   — the 110% maintenance-capacity admission replayed on
+      the POST-APPEND counts (integer-exact: n_after·ncells·10 >
+      11·total) — exactly the set `ivf_append_refile` would split.
+    - `wait`     — otherwise.
+
+    The registered operating point is the fixture tau for BOTH
+    thresholds (see `_ivf_maintenance_decision_impl` — the fixture
+    drift band cannot express the production curve); the production
+    point (0.55/0.85) runs through the same impl in the tests.
+
+    Laws (tests/test_similarity_paths.py): action=='retrain' rows
+    equal the signal's `retrain_flagged` cells exactly (when the cycle
+    triggers); action=='refile' rows equal `ivf_append_refile`'s
+    admission replayed on `ivf_file_delta.n_after` minus
+    retrain-claimed cells; every cell appears exactly once.
+
+    Scale shape: every input is O(cells) metadata (the signals'
+    outputs — the corpus-sized work already happened inside them and
+    is session-shared via `_ivf_post_append_filing`); the joins are
+    cell-keyed over nlist rows, the balance baseline is broadcast, and
+    the two window aggregates run over the same O(cells) frame.  The
+    decision itself costs nothing at any corpus size."""
+    return _ivf_maintenance_decision_impl(spark, sf_dir)

@@ -661,3 +661,76 @@ def test_ivf_append_refile_consumes_append_accounting(spark):
         assert sum(r.n_vecs for r in halves) == fd[c].n_after, c
     n_total = load(spark, SF_SMOKE, "embeddings").count()
     assert sum(r.n_vecs for r in out) == n_total
+
+
+def test_ivf_maintenance_decision_laws(spark):
+    """The decision's cross-query laws — each action code cell-exact
+    to the signal it consumes:
+
+    1. GRAIN — one row per post-append cell, the exact cell set of
+       `ivf_file_delta` (== the drift signal's).
+    2. RETRAIN — at the registered point (trigger == admit == tau) the
+       cycle triggers iff any cell is drift-flagged, and action ==
+       'retrain' exactly on `ivf_codebook_drift_stats`'
+       retrain_flagged cells.
+    3. REFILE — refile_due replays `ivf_append_refile`'s 110%
+       admission on `ivf_file_delta.n_after` cell-exactly, and action
+       == 'refile' exactly on (refile_due − retrain-claimed).
+    4. PASS-THROUGH COLUMNS — codebook_cosine / n_after /
+       oversized_after are bit-identical to their signals; the
+       standing occupancy baseline equals `ivf_cell_balance_stats`'
+       oversized flag wherever the cell exists in the standing filing.
+    5. PRODUCTION POINT — through the same impl at the measured
+       trigger-low/admit-wide thresholds (0.55/0.85) the fixture band
+       (0.81-0.91, SCALE.md) never triggers a cycle, so no cell may
+       read 'retrain' and the refile set is unchanged (the two
+       policies disagree only on the retrain branch, by design).
+    """
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_DRIFT_TAU,
+        _IVF_DRIFT_TRIGGER_SCALED,
+        _ivf_maintenance_decision_impl,
+    )
+
+    dec = {r.cell: r for r in REGISTRY["ivf_maintenance_decision"].fn(spark, SF_SMOKE).collect()}
+    ds = {r.cell: r for r in REGISTRY["ivf_codebook_drift_stats"].fn(spark, SF_SMOKE).collect()}
+    fd = {r.cell: r for r in REGISTRY["ivf_file_delta"].fn(spark, SF_SMOKE).collect()}
+    bs = {r.cell: r for r in REGISTRY["ivf_cell_balance_stats"].fn(spark, SF_SMOKE).collect()}
+
+    # law 1: grain
+    assert set(dec) == set(fd) == set(ds)
+
+    # law 2: retrain == the drift signal, cell-exact
+    flagged = {c for c, r in ds.items() if r.retrain_flagged}
+    trigger_expected = bool(flagged)
+    assert all(r.cycle_trigger == trigger_expected for r in dec.values())
+    assert {c for c, r in dec.items() if r.action == "retrain"} == flagged
+    assert all(dec[c].retrain_flagged == ds[c].retrain_flagged for c in dec)
+
+    # law 3: refile == the append-refile admission minus retrain claims
+    total = sum(r.n_after for r in fd.values())
+    ncells = len(fd)
+    due = {c for c, r in fd.items() if r.n_after * ncells * 10 > 11 * total}
+    assert {c for c, r in dec.items() if r.refile_due} == due
+    assert {c for c, r in dec.items() if r.action == "refile"} == due - flagged
+    # every action branch must be live at fixture scale
+    assert {r.action for r in dec.values()} == {"retrain", "refile", "wait"}
+
+    # law 4: pass-through columns bit-identical to their signals
+    for c, r in dec.items():
+        assert r.codebook_cosine == ds[c].codebook_cosine, c
+        assert r.n_after == fd[c].n_after and r.oversized_after == fd[c].oversized_after, c
+        if c in bs:
+            assert r.occ_oversized == bs[c].oversized, c
+
+    # law 5: the production point through the same impl
+    prod = {
+        r.cell: r
+        for r in _ivf_maintenance_decision_impl(
+            spark, SF_SMOKE, _IVF_DRIFT_TRIGGER_SCALED, _IVF_DRIFT_TAU
+        ).collect()
+    }
+    assert set(prod) == set(dec)
+    assert not any(r.cycle_trigger for r in prod.values())
+    assert not any(r.action == "retrain" for r in prod.values())
+    assert {c for c, r in prod.items() if r.action == "refile"} == due
