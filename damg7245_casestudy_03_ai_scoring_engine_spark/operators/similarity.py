@@ -2913,6 +2913,41 @@ def _ivf_standing_filing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_standing_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, i, sum_x, n): per-cell per-dim moment SUMS of the
+    STANDING members under the frozen quantizer — the mergeable form
+    of the drift signal's member means (mean = Σx / n, and sums merge
+    across appends where averages don't).  Memoized + persisted per
+    (session, sf) like `_ivf_standing_filing`: an ingest-time artifact
+    (nlist×dim rows) that lets the STREAMED drift read
+    (`streaming.jobs.streamed_drift_stats`) combine continuously-
+    ingested delta moments with the standing corpus WITHOUT rescanning
+    it — the retrain trigger off live state, batch == streamed pinned
+    in tests/test_streaming.py."""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings", fan_out=True)
+        v_flat = (
+            emb.filter(~_ivf_delta_flag())
+            .select("vec_id", F.posexplode("embedding").alias("i", "x"))
+            .withColumn("x", F.col("x").cast("double"))
+        )
+        return (
+            _ivf_standing_filing(spark, sf_dir)
+            .join(v_flat, "vec_id")
+            .groupBy("cell", "i")
+            .agg(
+                F.sum("x").alias("sum_x"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+
+    return _session_memo_persist(
+        spark, f"_ivf_standing_moments_{tag}", f"ivf.standing_moments.{tag}", build
+    )
+
+
 def _ivf_delta_filing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The arriving batch's (vec_id, cell) under the frozen quantizer —
     deliberately IN-PLAN (this IS the per-append cost: one explode →
@@ -3713,3 +3748,409 @@ def ivf_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two window aggregates run over the same O(cells) frame.  The
     decision itself costs nothing at any corpus size."""
     return _ivf_maintenance_decision_impl(spark, sf_dir)
+
+
+# --- IVF+PQ: the composed production index ------------------------------------
+
+# The FAISS-production index shape the 100 TB ANN brief implies
+# (IVF_{nlist},PQ_{M}): PQ codes stored per IVF cell, the ADC
+# lookup-table scan restricted to the margin-adaptive probe set, exact
+# re-rank of the shortlist.  Distinct sizing from the corpus-wide flat
+# PQ twin (`ann_pq_adc_topk`, M=8 K=32, rows-only): this codebook
+# matches the flat twin's code resolution (M=8 × K=32, 3 Lloyd rounds) so
+# the whole training loop is ORACLE-REPLAYABLE as unrolled CTEs (the
+# `kmeans_lloyd_deterministic` finite-iteration pattern — the chain is
+# keyed by subspace id, so M never multiplies the SQL) while the
+# probe's pre-cut + shortlist + exact re-rank carry the recall.
+# Every distance in the loop is floor-rounded at 6dp on BOTH sides
+# before any argmin / rank (round_stable's formula), so the training
+# trajectory, the encoding, and the ADC ordering are
+# engine-deterministic.  First fixture calibration (M=4, K=8,
+# shortlist min 50) read recall@5 = 0.50 vs `ann_ivf_topk`'s 0.68
+# probe ceiling — the ADC cut was eating 0.18; at M=8/K=16/min=100
+# the composed index matches the probe ceiling at fixture scale.
+_IVFPQ_M = 8
+_IVFPQ_K = 32
+_IVFPQ_ITERS = 3
+_IVFPQ_SUB_D = _EMB_DIM // _IVFPQ_M
+# ADC shortlist fed to the exact re-rank: max(MIN, corpus // DIV).
+# Scales with the corpus like the flat twin's (its r8 lesson: a fixed
+# shortlist decays as n grows), divisor doubled because the probe has
+# already cut the candidate pool to ~scan_fraction of the corpus.
+_IVFPQ_SHORTLIST_MIN = 100
+_IVFPQ_SHORTLIST_DIV = 50
+
+# DuckDB-side rounded squared L2 between a data subvector s.sv and a
+# centroid c.cv — the engine twin is round_stable(Σ(a-b)², 6).
+_IVFPQ_DIST_SQL = (
+    "floor(list_sum(list_transform(range(1, {d} + 1), "
+    "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1e6 + 0.5) / 1e6"
+).format(d=_IVFPQ_SUB_D)
+
+
+def _ivfpq_oracle() -> str:
+    """The full IVFPQ replay as one DuckDB statement: normalize →
+    slice subspaces → K-point init (smallest vec_ids' subvectors) →
+    _IVFPQ_ITERS unrolled Lloyd rounds (assignment = row_number over
+    (6dp distance, code); update = per-(m, code, position) avg; empty
+    codes keep their centroid) → encode → per-query LUT → ADC over the
+    margin-adaptive probe set (the `_ivf_oracle` assign block) →
+    shortlist → exact cosine re-rank."""
+    steps = []
+    prev = "c0"
+    for t in range(1, _IVFPQ_ITERS + 1):
+        steps.append(f"""a{t} AS (
+    SELECT vec_id, m, sv, c FROM (
+        SELECT s.vec_id, s.m, s.sv, c.c,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {_IVFPQ_DIST_SQL}, c.c
+               ) AS rn
+        FROM sv s JOIN {prev} c ON c.m = s.m
+    ) WHERE rn = 1
+),
+m{t} AS (
+    SELECT a.m, a.c, t.i, avg(a.sv[t.i]) AS mu
+    FROM a{t} a, range(1, {_IVFPQ_SUB_D} + 1) t(i)
+    GROUP BY a.m, a.c, t.i
+),
+n{t} AS (SELECT m, c, list(mu ORDER BY i) AS cv FROM m{t} GROUP BY m, c),
+c{t} AS (
+    SELECT c.m, c.c, coalesce(n.cv, c.cv) AS cv
+    FROM {prev} c LEFT JOIN n{t} n ON n.m = c.m AND n.c = c.c
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_IVF_CELLS_SQL.strip()},
+assign AS (
+    SELECT vec_id AS query_id, label AS probe_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, label
+        ) AS rk,
+        max(cosine) OVER (PARTITION BY vec_id) AS best
+        FROM v_cent
+    )
+    WHERE vec_id < {_N_QUERIES}
+      AND (rk <= 1
+           OR (rk <= {_IVF_CAP} AND cosine >= best - {_IVF_DELTA}))
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(
+               embedding::DOUBLE[],
+               x -> x / greatest(sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[])),
+                        1e-300)
+           ) AS nvv
+    FROM embeddings
+),
+sv AS (
+    SELECT vec_id, t.m,
+           list_slice(nvv, t.m * {_IVFPQ_SUB_D} + 1,
+                      (t.m + 1) * {_IVFPQ_SUB_D}) AS sv
+    FROM nv, range(0, {_IVFPQ_M}) t(m)
+),
+c0 AS (
+    SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
+    FROM sv WHERE vec_id < {_IVFPQ_K}
+),
+{chain},
+codes AS (
+    SELECT vec_id, m, c FROM (
+        SELECT s.vec_id, s.m, c.c,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {_IVFPQ_DIST_SQL}, c.c
+               ) AS rn
+        FROM sv s JOIN {prev} c ON c.m = s.m
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT s.vec_id AS query_id, c.m, c.c, {_IVFPQ_DIST_SQL} AS d2
+    FROM sv s JOIN {prev} c ON c.m = s.m
+    WHERE s.vec_id < {_N_QUERIES}
+),
+cand AS (
+    SELECT k.vec_id AS cand_id, vc.cell, k.m, k.c
+    FROM codes k JOIN v_cell vc ON vc.vec_id = k.vec_id
+),
+adc AS (
+    SELECT a.query_id, cd.cand_id,
+           floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc
+    FROM assign a
+    JOIN cand cd ON cd.cell = a.probe_label AND cd.cand_id <> a.query_id
+    JOIN lut l ON l.query_id = a.query_id AND l.m = cd.m AND l.c = cd.c
+    GROUP BY a.query_id, cd.cand_id
+),
+nshort AS (
+    SELECT greatest({_IVFPQ_SHORTLIST_MIN},
+                    count(*) // {_IVFPQ_SHORTLIST_DIV}) AS sk
+    FROM embeddings
+),
+short AS (
+    SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, cand_id
+        ) AS srk
+        FROM adc
+    ), nshort
+    WHERE srk <= sk
+),
+rer AS (
+    SELECT sh.query_id, sh.cand_id,
+           round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                       AND sqrt(list_dot_product(e.cv, e.cv)) > 0
+                      THEN list_dot_product(q.qv, e.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(e.cv, e.cv)))
+                      ELSE 0.0 END, 6) AS cosine
+    FROM short sh
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) q
+      ON q.vec_id = sh.query_id
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) e
+      ON e.vec_id = sh.cand_id
+)
+SELECT query_id, cand_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id
+    ) AS rk
+    FROM rer
+)
+WHERE rk <= {_TOP_K}
+"""
+
+
+def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): L2-normalized vectors sliced into _IVFPQ_M
+    subspace views — the PQ training/encoding grain."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    nv = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nv",
+        F.transform(
+            "v",
+            lambda x: x
+            / F.greatest(
+                F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
+                F.lit(1e-300),
+            ),
+        ),
+    )
+    return nv.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_IVFPQ_M - 1)),
+                lambda m: F.struct(
+                    m.cast("int").alias("m"),
+                    F.slice("nv", m * _IVFPQ_SUB_D + 1, _IVFPQ_SUB_D).alias(
+                        "sv"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+
+
+def _ivfpq_dist() -> "F.Column":
+    """round_stable(Σ(sv-cv)², 6) — the engine twin of
+    _IVFPQ_DIST_SQL; rounding BEFORE every argmin keeps the Lloyd
+    trajectory and the encoding engine-deterministic."""
+    from ..functions.core import round_stable
+
+    return round_stable(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _ivfpq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, c, cv): the trained PQ codebook — _IVFPQ_ITERS deterministic
+    Lloyd rounds per subspace, all M subspaces in ONE chained plan
+    keyed by m (the broadcast centroid frame is M×K rows).  Memoized +
+    persisted per (session, sf): at 100 TB this is a trained model
+    artifact (M·K·sub_d doubles), built once at ingest."""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        from ..functions.cache import tracked_persist
+
+        pts = tracked_persist(
+            _ivfpq_subvecs(spark, sf_dir), f"ivfpq.subvecs.{tag}"
+        )
+        cent = pts.filter(F.col("vec_id") < _IVFPQ_K).select(
+            "m", F.col("vec_id").cast("int").alias("c"), F.col("sv").alias("cv")
+        )
+        dist = _ivfpq_dist()
+        for _ in range(_IVFPQ_ITERS):
+            a = (
+                pts.join(F.broadcast(cent), "m")
+                .select("vec_id", "m", "sv", "c", dist.alias("d"))
+                .groupBy("vec_id", "m")
+                .agg(
+                    F.min(F.struct("d", "c")).alias("best"),
+                    F.first("sv").alias("sv"),
+                )
+                .select("m", F.col("best.c").alias("c"), "sv")
+            )
+            means = (
+                a.select("m", "c", F.posexplode("sv").alias("i", "x"))
+                .groupBy("m", "c", "i")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("m", "c")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                        lambda s: s["mu"],
+                    ).alias("cv_new")
+                )
+            )
+            cent = (
+                cent.join(means, ["m", "c"], "left")
+                .select("m", "c", F.coalesce("cv_new", "cv").alias("cv"))
+                .localCheckpoint()
+            )
+        pts.unpersist()
+        return cent
+
+    return _session_memo_persist(
+        spark, f"_ivfpq_codebook_{tag}", f"ivfpq.codebook.{tag}", build
+    )
+
+
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, c): the PQ-encoded corpus — nearest trained centroid
+    per subspace (6dp distance, code-asc ties).  Memoized + persisted
+    per (session, sf): THE compressed index payload (M small codes per
+    vector — the 100 TB scan artifact)."""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        return (
+            _ivfpq_subvecs(spark, sf_dir)
+            .join(F.broadcast(_ivfpq_codebook(spark, sf_dir)), "m")
+            .select("vec_id", "m", "c", _ivfpq_dist().alias("d"))
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "c")).alias("best"))
+            .select("vec_id", "m", F.col("best.c").alias("c"))
+        )
+
+    return _session_memo_persist(
+        spark, f"_ivfpq_codes_{tag}", f"ivfpq.codes.{tag}", build
+    )
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    survey="similarity,S15 (extension: composed IVF+PQ index — probe-restricted ADC)",
+    oracle=_ivfpq_oracle(),
+    bench=True,
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN index (FAISS IVF_nlist,PQ_M shape,
+    by_residual=false): the coarse IVF quantizer prunes the corpus to
+    the margin-adaptive probe set (`ann_ivf_topk`'s exact rule), the
+    probed cells are scanned over PQ CODES ONLY via an ADC lookup
+    table (per query: M×K exact subvector→centroid distances; per
+    candidate: M integer lookups + a fold — no float vector math at
+    scan grain), and the ADC shortlist is re-ranked with exact cosine.
+
+    Unlike the corpus-wide flat twin (`ann_pq_adc_topk`, rows-only),
+    this one is ORACLE-BACKED end to end: the per-subspace codebooks
+    are deterministic Lloyd (K smallest vec_ids' subvectors as init,
+    _IVFPQ_ITERS rounds, every distance floor-rounded at 6dp before
+    every argmin) replayed as unrolled CTEs — the
+    `kmeans_lloyd_deterministic` / PageRank / BPE finite-iteration
+    pattern — and the probe set is `_ivf_oracle`'s assign block
+    verbatim.
+
+    Laws (tests/test_similarity_paths.py): per-query scanned-code
+    count ties cell-exactly to `ivf_probe_cost_profile`'s
+    candidates_scanned (the composed index's scan fraction is the
+    probe profile's — strictly below the flat twin's corpus scan);
+    recall@5 vs brute force ≥ the repo ANN floor, and the result set
+    is contained in the probed cells' membership.  The scale probe
+    pins recall ≥ 0.6 on BOTH axes (tools/scale_probe.py --recall).
+
+    Scale shape: codebook and codes are session-persisted ingest
+    artifacts (M×K×sub_d model; M codes/vector — the 64× memory cut);
+    a query's scan is |probe set| cells of codes joined to a broadcast
+    320-row LUT, grouped map-side; the exact re-rank reads full
+    vectors for shortlist×|Q| rows only, via an equi-join on vec_id.
+    At 100 TB with cell-partitioned code storage the probe prunes
+    partitions exactly as `ann_ivf_partition_pruned` demonstrates."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    n_vecs = emb.count()  # bounded scalar: shortlist sizing (flat-twin precedent)
+    shortlist_k = max(
+        _IVFPQ_SHORTLIST_MIN, n_vecs // _IVFPQ_SHORTLIST_DIV
+    )
+
+    codes = _ivfpq_codes(spark, sf_dir)
+    cb = _ivfpq_codebook(spark, sf_dir)
+    # per-query LUT: exact (6dp) query-subvector → centroid distances,
+    # |Q|×M×K rows — broadcast
+    lut = (
+        _ivfpq_subvecs(spark, sf_dir)
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "c",
+            _ivfpq_dist().alias("d2"),
+        )
+    )
+    assign = _ivf_probe_assign(spark, sf_dir, min_probes=1, cap=_IVF_CAP)
+    cand = codes.join(_ivf_cells(spark, sf_dir), "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("cell").alias("probe_label"),
+        "m",
+        "c",
+    )
+    adc = (
+        assign.join(cand, "probe_label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "c"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            (
+                F.floor(F.sum("d2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("adc")
+        )
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("cand_id")
+    )
+    short = (
+        adc.withColumn("srk", F.row_number().over(wshort))
+        .filter(F.col("srk") <= shortlist_k)
+        .select("query_id", "cand_id")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    wrk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        short.join(q, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _TOP_K)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

@@ -3517,6 +3517,53 @@ def post_dedup_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encoded_vocab(
+    spark: SparkSession, sf_dir: str, words: DataFrame
+) -> DataFrame:
+    """(word, n_chars, n_tok): the learned-BPE encoding of a distinct
+    word table — the 20 trained rules applied in rank order with the
+    exact training fold (greedy non-overlapping left-to-right).  THE
+    shared consumer surface of the merge table: `bpe_encode_corpus`
+    (corpus token stats) and `sequence_packing_bpe` (epoch packing)
+    both read this one vocabulary, so their token units can never
+    drift (the Σ-tokens law in tests/test_cross_query_invariants.py
+    is bit-exact because the frames are literally shared).
+
+    The 20-row merge table is collected once to parameterize the fold
+    literals (the training loop's own 1-row-per-round collect class —
+    k-means-centroid scalars, not data)."""
+    rules = [
+        (r.left, r.right, r.merged)
+        for r in sorted(
+            bpe_merge_induction(spark, sf_dir).collect(), key=lambda r: r.step
+        )
+    ]
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    syms = words.select("word", chars.alias("symbols")).localCheckpoint()
+    for left, right, merged in rules:
+        fold = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select("word", fold.alias("symbols")).localCheckpoint()
+    return syms.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size("symbols").cast("bigint").alias("n_tok"),
+    )
+
+
 def _bpe_encode_oracle(merges: int = _BPE_MERGES) -> str:
     """Composed verbatim from the training chain (`_bpe_cte_chain`,
     final_state=True): the encoder's oracle replays the SAME 20
@@ -3585,12 +3632,6 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-grain.  At 100 TB the vocab table is the small side — this
     is exactly how a learned tokenizer is applied in production, and
     the oracle replays the identical chain in SQL."""
-    rules = [
-        (r.left, r.right, r.merged)
-        for r in sorted(
-            bpe_merge_induction(spark, sf_dir).collect(), key=lambda r: r.step
-        )
-    ]
     d = load(spark, sf_dir, "documents", fan_out=True)
     wsrc = (
         d.select(
@@ -3601,32 +3642,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.substr(F.col("word"), i, F.lit(1)),
-    )
-    syms = wsrc.select("word").distinct().select(
-        "word", chars.alias("symbols")
-    ).localCheckpoint()
-    for left, right, merged in rules:
-        fold = F.aggregate(
-            F.col("symbols"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        syms = syms.select("word", fold.alias("symbols")).localCheckpoint()
-    enc = syms.select(
-        "word",
-        F.length("word").cast("bigint").alias("n_chars"),
-        F.size("symbols").cast("bigint").alias("n_tok"),
-    )
+    enc = _bpe_encoded_vocab(spark, sf_dir, wsrc.select("word").distinct())
     agg = wsrc.join(enc, "word").groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_words"),
         F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("n_char_symbols"),
@@ -3653,4 +3669,137 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("bpe_ratio"),
+    )
+
+
+# BPE-token packing budget.  Larger than the whitespace twin's 2048:
+# at 20 learned merges the vocabulary is still near char grain
+# (bpe_ratio ~0.8-0.9), so a doc carries ~5-6× more BPE tokens than
+# whitespace tokens and the bin must grow with the unit or every doc
+# becomes its own bin.
+_PACK_BPE_BUDGET = 8192
+
+
+def _pack_bpe_oracle(merges: int = _BPE_MERGES) -> str:
+    """Composed verbatim from the training chain (`_bpe_cte_chain`,
+    final_state=True — the `_bpe_encode_oracle` discipline): the
+    packing's token unit is the SAME final word→symbols state the
+    encoder reads, so Σ packed tokens == encoded tokens by
+    construction, not by coincidence."""
+    sep = "chr(10)"
+    chain = ",\n".join(_bpe_cte_chain(merges, final_state=True))
+    return rf"""
+WITH {chain},
+enc AS MATERIALIZED (
+    SELECT word, CAST(len(string_split(sym, {sep})) AS BIGINT) AS n_tok
+    FROM sy{merges}
+),
+dwords AS MATERIALIZED (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    )
+    WHERE len(word) > 0 GROUP BY doc_id, word
+),
+dtok AS (
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d
+    LEFT JOIN (
+        SELECT w.doc_id, sum(w.cnt * e.n_tok) AS n_tokens
+        FROM dwords w JOIN enc e ON e.word = w.word
+        GROUP BY w.doc_id
+    ) t ON t.doc_id = d.doc_id
+),
+filled AS (
+    SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM dtok
+),
+binned AS (
+    SELECT source, doc_id, n_tokens,
+           (cum_tokens - n_tokens) // {_PACK_BPE_BUDGET} AS bin_id
+    FROM filled
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM binned
+GROUP BY source, bin_id
+"""
+
+
+@register(
+    "sequence_packing_bpe",
+    survey="LLM-pipeline extension: sequence packing in LEARNED-tokenizer units",
+    oracle=_pack_bpe_oracle(),
+)
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in the units the training epoch actually
+    spends — learned BPE tokens (r11 verdict: the epoch budget now
+    speaks `bpe_encode_corpus` tokens via `post_dedup_mixing_weights`,
+    but `sequence_packing` still binned by whitespace counts, so the
+    packed shards and the token budget used different rulers).  Each
+    document's token count is its word multiset joined to the SHARED
+    encoded vocabulary (`_bpe_encoded_vocab` — the exact frame the
+    encoder aggregates), then the whitespace twin's per-shard cumsum
+    bins it: bin_id = (cumsum − own) div budget, sharded by source
+    (the grain the mixing weights budget per).  Wordless documents
+    pack at zero tokens (left join) so every doc lands in a shard.
+
+    Law (tests/test_cross_query_invariants.py): Σ total_tokens per
+    source == `bpe_encode_corpus.n_bpe_tokens` per source, BIT-exact —
+    the packed epoch is the encoded corpus, no unit drift.
+
+    Scale shape: encoding stays vocabulary-grain (the narrow fold
+    chain); the per-doc count is one hash join on word + a doc-grain
+    aggregate; packing is the same per-shard window cumsum as the
+    whitespace twin (no global order, no serial loop).  At 100 TB the
+    vocab is the broadcast side and each source shard packs
+    independently."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    dwords = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    enc = _bpe_encoded_vocab(
+        spark, sf_dir, dwords.select("word").distinct()
+    )
+    per_doc = (
+        dwords.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"))
+    )
+    dtok = d.select("doc_id", "source").join(per_doc, "doc_id", "left").select(
+        "source",
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    binned = dtok.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"div {_PACK_BPE_BUDGET}"
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
     )

@@ -855,3 +855,98 @@ def merge_inverted_file(index_dir: str, sf_dir: str):
         )
 
     return upsert
+
+
+def merge_cell_moments(index_dir: str, sf_dir: str):
+    """foreachBatch body: file one micro-batch by the frozen quantizer
+    (the `merge_inverted_file` discipline) and merge its per-(cell,
+    dim) MOMENT SUMS — Σx and member count — into a parquet gold table.
+
+    This is the piece that closes the streaming drift edge (r11
+    verdict #5): `merge_inverted_file` accumulates per-cell COUNTS,
+    which answer the occupancy question but not the staleness one —
+    the drift signal needs the current member MEANS, and a mean is not
+    mergeable across micro-batches while its (Σx, n) moments are.
+    Per-batch cost stays O(batch × nlist × dim) for the filing plus
+    one map-side-combinable (cell, i) aggregate over the batch; the
+    gold table is nlist×dim rows.  At 100 TB: `MERGE INTO moments ...
+    UPDATE SET sum_x = sum_x + src.sum_x, n = n + src.n`."""
+    from ..operators.similarity import _ivf_file_by_frozen
+
+    merge = _merge_parquet_gold(index_dir, ["cell", "i"], ["sum_x", "n"])
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v_flat = batch_df.select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
+        ).withColumn("x", F.col("x").cast("double"))
+        merge(
+            _ivf_file_by_frozen(spark, sf_dir, batch_df)
+            .join(v_flat, "vec_id")
+            .groupBy("cell", "i")
+            .agg(
+                F.sum("x").alias("sum_x"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            ),
+            batch_id,
+        )
+
+    return upsert
+
+
+def streamed_drift_stats(spark: SparkSession, index_dir: str, sf_dir: str) -> DataFrame:
+    """Serving view: `ivf_codebook_drift_stats` computed from
+    CONTINUOUSLY-INGESTED state — the streamed moments gold merged
+    with the standing ingest artifact (`_ivf_standing_moments`), so
+    the retrain trigger works off live appends without rescanning
+    either the standing corpus or the replayed stream.  Post-append
+    member mean per (cell, dim) = (Σx_standing + Σx_streamed) /
+    (n_standing + n_streamed); the cosine against the frozen codebook
+    and the tau flag are the signal's own arithmetic (`_cosine_agg`,
+    `_IVF_DRIFT_TAU`), so the drain law — streamed == batch after the
+    same file drop, cell-exact — is pinned in tests/test_streaming.py
+    (the `user_lifetime_stats` drain-law discipline)."""
+    from ..operators.similarity import (
+        _IVF_DRIFT_TAU,
+        _cosine_agg,
+        _ivf_frozen_quantizer,
+        _ivf_standing_moments,
+    )
+
+    streamed = spark.read.parquet(index_dir).select(
+        "cell", "i", "sum_x", "n", F.lit(True).alias("is_delta")
+    )
+    standing = _ivf_standing_moments(spark, sf_dir).select(
+        "cell", "i", "sum_x", "n", F.lit(False).alias("is_delta")
+    )
+    both = standing.unionByName(streamed)
+    means = both.groupBy("cell", "i").agg(
+        (F.sum("sum_x") / F.sum("n")).alias("mx")
+    )
+    cent = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    drift = (
+        means.join(F.broadcast(cent), ["cell", "i"])
+        .groupBy("cell")
+        .agg(_cosine_agg("mx", "cx").alias("codebook_cosine"))
+    )
+    # per-cell counts ride dim 0 of the same moments (every member
+    # contributes one value per dim, so n is constant across i)
+    memb = (
+        both.filter(F.col("i") == 0)
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("is_delta"), F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_added"),
+        )
+    )
+    return memb.join(drift, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_members",
+        "n_added",
+        "codebook_cosine",
+        (F.col("codebook_cosine") < F.lit(_IVF_DRIFT_TAU)).alias("retrain_flagged"),
+    )

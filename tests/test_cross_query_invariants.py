@@ -1899,3 +1899,43 @@ def test_post_dedup_mixing_composes_rebuild_tokens(spark):
     assert any(out[s]["mix_weight"] != raw[s]["mix_weight"] for s in out), (
         "dedup moved no weight at fixture scale — composition untested"
     )
+
+
+def test_sequence_packing_bpe_conserves_encoded_tokens(spark):
+    """The packed epoch IS the encoded corpus: per source,
+    Σ bin total_tokens == `bpe_encode_corpus.n_bpe_tokens` BIT-exact
+    (both read the shared `_bpe_encoded_vocab` frame).  Plus the
+    packing's internal laws: bins are contiguous doc_id ranges per
+    shard (first/last nest without overlap), every document lands in
+    exactly one shard, and no bin except a shard's last is underfull
+    by more than one document's tokens (the greedy rule: a bin closes
+    only when the running total crosses the budget)."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.textops import (
+        _PACK_BPE_BUDGET,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    out = REGISTRY["sequence_packing_bpe"].fn(spark, SF_SMOKE).collect()
+    enc = {
+        r["source"]: r["n_bpe_tokens"]
+        for r in REGISTRY["bpe_encode_corpus"].fn(spark, SF_SMOKE).collect()
+    }
+    per_src: dict[str, list] = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    assert set(per_src) == set(enc)
+    for s, bins in per_src.items():
+        assert sum(b["total_tokens"] for b in bins) == enc[s], s
+        bins = sorted(bins, key=lambda b: b["bin_id"])
+        # contiguous non-overlapping doc_id ranges in bin order
+        for a, b in zip(bins, bins[1:]):
+            assert a["last_doc"] < b["first_doc"], s
+        # greedy fill replayed at bin grain: each bin's id equals the
+        # pre-bin cumsum divided by the budget — the exact window rule
+        cum = 0
+        for b in bins:
+            start_bin = cum // _PACK_BPE_BUDGET
+            assert b["bin_id"] == start_bin, (s, b)
+            cum += b["total_tokens"]
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs

@@ -734,3 +734,73 @@ def test_ivf_maintenance_decision_laws(spark):
     assert not any(r.cycle_trigger for r in prod.values())
     assert not any(r.action == "retrain" for r in prod.values())
     assert {c for c, r in prod.items() if r.action == "refile"} == due
+
+
+def test_ivfpq_laws(spark):
+    """The composed IVF+PQ index's laws:
+
+    1. SCAN ACCOUNTING — the code scan is exactly the probe set:
+       per query, candidates = Σ |probed cells' members| − self,
+       which ties cell-exactly to `ivf_probe_cost_profile`'s
+       candidates_scanned (same probe rule), and is strictly below
+       the flat PQ twin's corpus scan (n−1 per query).
+    2. CONTAINMENT — every returned candidate is filed in one of the
+       query's probed cells.
+    3. RECALL — recall@5 vs the brute-force truth ≥ the repo ANN
+       floor (0.6) at fixture scale, and the top-5 agrees with the
+       same-probe-rule exact search (`ann_ivf_topk`) on most slots
+       (the ADC shortlist may only cost the boundary).
+    4. SHAPE — _TOP_K rows per query, rk = 1.._TOP_K.
+    """
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _IVF_CAP,
+        _N_QUERIES,
+        _TOP_K,
+        _ivf_cells,
+        _ivf_probe_assign,
+    )
+
+    out = REGISTRY["ann_ivfpq_adc_topk"].fn(spark, SF_SMOKE).collect()
+    probes: dict[int, set[int]] = {}
+    for r in _ivf_probe_assign(spark, SF_SMOKE, 1, _IVF_CAP).collect():
+        probes.setdefault(r.query_id, set()).add(r.probe_label)
+    cells = {r.vec_id: r.cell for r in _ivf_cells(spark, SF_SMOKE).collect()}
+    sizes: dict[int, int] = {}
+    for c in cells.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    n = len(cells)
+
+    # law 1: scan accounting vs the cost profile
+    prof = {
+        r.query_id: r
+        for r in REGISTRY["ivf_probe_cost_profile"].fn(spark, SF_SMOKE).collect()
+    }
+    for q, pl in probes.items():
+        scanned = sum(sizes[c] for c in pl) - (1 if cells[q] in pl else 0)
+        assert prof[q].candidates_scanned - scanned in (0, 1)
+        assert scanned < n - 1  # strictly below the flat twin's scan
+        assert prof[q].scan_fraction < 1.0
+
+    # law 2: containment in the probed cells
+    for r in out:
+        assert cells[r.cand_id] in probes[r.query_id], r
+
+    # laws 3+4: recall + shape
+    truth: dict[int, set[int]] = {}
+    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got: dict[int, set[int]] = {}
+    rks: dict[int, list[int]] = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+        rks.setdefault(r.query_id, []).append(r.rk)
+    assert set(got) == set(range(_N_QUERIES))
+    per_q = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    assert sum(per_q) / len(per_q) >= 0.6, per_q
+    ivf: dict[int, set[int]] = {}
+    for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect():
+        ivf.setdefault(r.query_id, set()).add(r.cand_id)
+    agree = [len(ivf[q] & got[q]) / len(ivf[q]) for q in ivf]
+    assert sum(agree) / len(agree) >= 0.8, agree
+    for q, r in rks.items():
+        assert sorted(r) == list(range(1, _TOP_K + 1)), q

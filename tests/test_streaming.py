@@ -810,3 +810,54 @@ def test_gold_merge_recovers_mid_commit_crash(spark, tmp_path):
     merge(b2, 2)
     again = {r.k: r.n for r in spark.read.parquet(gold).collect()}
     assert again == got
+
+
+def test_streamed_drift_equals_batch_drift_after_drain(spark, tmp_path):
+    """The streaming drift edge closed (r11 verdict #5): the delta
+    split streamed as THREE micro-batches through `merge_cell_moments`
+    (frozen-quantizer filing + per-(cell, dim) moment-sum merge), then
+    read through `streamed_drift_stats` (streamed moments + the
+    standing ingest artifact), must equal the BATCH
+    `ivf_codebook_drift_stats` after the same file drop — cell-exact
+    on counts, 6dp-exact on the cosine, flag-exact on the retrain
+    trigger.  So the retrain decision works off continuously-ingested
+    state, not a batch rescan."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _ivf_delta_flag,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        merge_cell_moments,
+        read_embedding_stream,
+        streamed_drift_stats,
+    )
+
+    src = str(tmp_path / "arriving_moments")
+    delta = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(_ivf_delta_flag())
+        .select("vec_id", "label", "embedding")
+    )
+    delta.repartition(3).write.parquet(src)
+
+    index_dir = str(tmp_path / "cell_moments")
+    q = (
+        read_embedding_stream(spark, src)
+        .writeStream.foreachBatch(merge_cell_moments(index_dir, SF_SMOKE))
+        .option("checkpointLocation", str(tmp_path / "ckpt_moments"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.cell: (r.n_members, r.n_added, r.codebook_cosine, r.retrain_flagged)
+        for r in streamed_drift_stats(spark, index_dir, SF_SMOKE).collect()
+    }
+    want = {
+        r.cell: (r.n_members, r.n_added, r.codebook_cosine, r.retrain_flagged)
+        for r in REGISTRY["ivf_codebook_drift_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())  # the stream really added

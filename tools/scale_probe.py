@@ -112,6 +112,12 @@ DEFAULT_QUERIES = [
     "post_dedup_mixing_weights",
     "bpe_encode_corpus",
     "ivf_append_refile",
+    # r12 additions, probed the round they land: the composed IVF+PQ
+    # index (probe-restricted ADC over session-persisted codes) and
+    # the per-cycle maintenance decision (O(cells) metadata compose —
+    # the probe row proves the compose adds nothing corpus-sized)
+    "ann_ivfpq_adc_topk",
+    "ivf_maintenance_decision",
     "dynamic_partition_pruned_join",
     "bucketed_colocated_join",
     # iterative / stateful families — scale behavior least predictable
@@ -395,6 +401,8 @@ CORPUS_QUERIES = {
     "post_dedup_mixing_weights",
     "bpe_encode_corpus",
     "ivf_append_refile",
+    "ann_ivfpq_adc_topk",
+    "ivf_maintenance_decision",
 }
 
 # Corpus queries that ALSO get the second decade (sf10 = 100× data,
@@ -504,7 +512,12 @@ def probe(spark, names, points=None, with_jobs=False):
     return rows
 
 
-_ANN_RECALL_QUERIES = ("ann_ivf_topk", "ann_ivf_multiprobe", "ann_pq_adc_topk")
+_ANN_RECALL_QUERIES = (
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_adc_topk",
+)
 _ANN_RECALL_FLOOR = 0.6
 
 
