@@ -49,7 +49,11 @@ _IVF_MULTI_CAP = 6  # …and its escalation cap
 @register(
     "ann_topk_bruteforce",
     survey="similarity (extension)",
-    bench=True,
+    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
+    # ann_topk_vectorized keeps the brute-force family benched — the
+    # Arrow kernel is the path whose health the wall can't see
+    # elsewhere, while this JVM fold rides every recall probe as the
+    # truth oracle anyway.
     oracle=f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -2581,7 +2585,12 @@ _REFILE_NUM = 11
 # `ivf_append_refile`, the append's oversized_after consumer).  Both
 # blocks define cent_flat/v_flat/v_cent/v_cell with identical columns,
 # so the action is literally the same SQL over either signal.
-_IVF_REFILE_BODY_SQL = f"""own AS (
+# r12: the ADMISSION CTE is a parameter (default: the 110% rule) so
+# the maintenance executor can run the IDENTICAL split SQL over the
+# decision's refile set — the constant below stays byte-identical to
+# its r10/r11 form.
+def _ivf_refile_body_sql(admission: str) -> str:
+    return f"""own AS (
     SELECT c.vec_id, c.cell, v.cosine
     FROM v_cell c JOIN v_cent v ON v.vec_id = c.vec_id AND v.label = c.cell
 ),
@@ -2594,8 +2603,7 @@ tot AS (
     FROM v_cell
 ),
 refile AS (
-    SELECT s.cell FROM sizes s, tot t
-    WHERE s.n_c * t.ncells * 10 > {_REFILE_NUM} * t.total
+    {admission}
 ),
 halves AS (
     SELECT o.vec_id, o.cell,
@@ -2653,6 +2661,12 @@ SELECT new_cell, parent_cell, was_split, n_vecs,
        (n_vecs * count(*) OVER ()) > (2 * sum(n_vecs) OVER ()) AS oversized
 FROM g
 """
+
+
+_IVF_REFILE_ADMISSION_110 = f"""SELECT s.cell FROM sizes s, tot t
+    WHERE s.n_c * t.ncells * 10 > {_REFILE_NUM} * t.total"""
+
+_IVF_REFILE_BODY_SQL = _ivf_refile_body_sql(_IVF_REFILE_ADMISSION_110)
 
 _IVF_REFILE_ORACLE = f"""
 WITH {_IVF_CELLS_SQL.strip()},
@@ -2714,13 +2728,22 @@ def ivf_refile_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _refile_oversized_impl(
-    emb: DataFrame, cells: DataFrame, cent_own: DataFrame, tag: str
+    emb: DataFrame,
+    cells: DataFrame,
+    cent_own: DataFrame,
+    tag: str,
+    admission: DataFrame | None = None,
 ) -> DataFrame:
     """The refile ACTION parameterized on its input filing + quantizer
     — shared verbatim (like its oracle body, `_IVF_REFILE_BODY_SQL`)
     by `ivf_refile_oversized` (standing full-corpus filing, the
     balance-stats consumer) and `ivf_append_refile` (frozen-quantizer
-    post-append filing, the append's oversized_after consumer)."""
+    post-append filing, the append's oversized_after consumer).
+    r12: `admission` optionally overrides the 110% rule with an
+    explicit cell set — `ivf_maintenance_execute` passes the
+    decision's refile cells so the executor splits EXACTLY what the
+    decision said (same parameterization as the SQL twin,
+    `_ivf_refile_body_sql`)."""
     from ..functions.cache import tracked_persist
 
     sizes = cells.groupBy("cell").agg(
@@ -2737,6 +2760,8 @@ def _refile_oversized_impl(
             > F.lit(_REFILE_NUM) * F.col("total")
         )
         .select("cell")
+        if admission is None
+        else admission.select("cell")
     )
     v_flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
@@ -3106,9 +3131,10 @@ FROM counts
     "ivf_file_delta",
     survey="similarity,S15,S16 (extension: incremental vector-index filing)",
     oracle=_IVF_FILE_DELTA_ORACLE,
-    # bench headliner since r11: a production loop runs the append
-    # continuously — its wall belongs in the ledger (r10 verdict #4)
-    bench=True,
+    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
+    # ivf_refile_oversized stays as the maintenance family's bench
+    # representative (the deepest plan); this query's scale claim is
+    # carried by the per-round probe rows (SCALE.md) and the plan pin.
 )
 def ivf_file_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF filing — the vector index's continuous-ingestion
@@ -3260,9 +3286,9 @@ FROM memb m JOIN drift d ON d.cell = m.cell
     "ivf_codebook_drift_stats",
     survey="similarity,S15 (extension: codebook staleness — the retrain signal)",
     oracle=_IVF_DRIFT_ORACLE,
-    # bench headliner since r11 (r10 verdict #4): at ~1.9 s standalone
-    # sf0.1 this was more expensive than 30 of the 33 r10 headliners
-    bench=True,
+    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
+    # one maintenance representative stays benched
+    # (ivf_refile_oversized); probe rows + plan pins carry the rest.
 )
 def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook-staleness audit — the RETRAIN signal that closes the
@@ -3317,15 +3343,12 @@ def ivf_codebook_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_RETRAIN_ORACLE = f"""
-WITH {_IVF_DELTA_CELLS_SQL.strip()},
-memb AS (
-    SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_before
-    FROM v_cell GROUP BY cell
-),
-{_IVF_DRIFT_CORE_SQL},
-flagged AS (SELECT cell FROM drift WHERE codebook_cosine < {_IVF_DRIFT_TAU}),
-new_cent AS (
+# The retrain's flagged-scope refile as a named CTE block (r12
+# extraction for `ivf_maintenance_execute` — shared VERBATIM with
+# `_IVF_RETRAIN_ORACLE`, which stays byte-identical): refit centroids
+# = flagged cells' current means, flagged members refiled among them.
+# Expects cur/drift/flagged/v_cell/v_flat in scope.
+_IVF_RETRAIN_REFILE_SQL = """new_cent AS (
     SELECT cell, i, mx AS cx FROM cur
     WHERE cell IN (SELECT cell FROM flagged)
 ),
@@ -3354,7 +3377,17 @@ refiled AS (
         FROM resc
     )
     WHERE rk = 1
+)"""
+
+_IVF_RETRAIN_ORACLE = f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+memb AS (
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_before
+    FROM v_cell GROUP BY cell
 ),
+{_IVF_DRIFT_CORE_SQL},
+flagged AS (SELECT cell FROM drift WHERE codebook_cosine < {_IVF_DRIFT_TAU}),
+{_IVF_RETRAIN_REFILE_SQL},
 after_means AS (
     SELECT r.cell, v.i, avg(v.x) AS mx
     FROM refiled r JOIN v_flat v ON v.vec_id = r.vec_id
@@ -3402,7 +3435,9 @@ FROM united
     "ivf_codebook_retrain",
     survey="similarity,S15 (extension: the retrain ACTION — codebook refit + refile)",
     oracle=_IVF_RETRAIN_ORACLE,
-    bench=True,
+    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
+    # one maintenance representative stays benched
+    # (ivf_refile_oversized); probe rows + plan pins carry the rest.
 )
 def ivf_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrain ACTION — consumer of `ivf_codebook_drift_stats`'
@@ -4154,3 +4189,146 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+# --- the maintenance decision EXECUTED ----------------------------------------
+
+
+def _ivf_maintenance_execute_oracle() -> str:
+    """Composed from the shared SQL pieces VERBATIM: the filing + drift
+    core (`_IVF_DELTA_CELLS_SQL` / `_IVF_DRIFT_CORE_SQL` — the
+    decision's own admission arithmetic), the retrain's flagged-scope
+    refile (`_IVF_RETRAIN_REFILE_SQL`, byte-shared with
+    `_IVF_RETRAIN_ORACLE`), and the FAISS split body
+    (`_ivf_refile_body_sql`, the exact `ivf_refile_oversized` /
+    `ivf_append_refile` algorithm) with its admission parameter set to
+    the decision's refile cells (due − retrain-claimed).  The inner
+    split subquery's CTE names shadow the outer retrain block's —
+    DuckDB scopes a parenthesized WITH locally — so both branches run
+    the canonical SQL unmodified."""
+    split_body = _ivf_refile_body_sql(
+        "SELECT cell FROM due WHERE cell NOT IN (SELECT cell FROM flagged)"
+    )
+    return f"""
+WITH {_IVF_DELTA_CELLS_SQL.strip()},
+memb AS (
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_after
+    FROM v_cell GROUP BY cell
+),
+{_IVF_DRIFT_CORE_SQL},
+flagged AS (SELECT cell FROM drift WHERE codebook_cosine < {_IVF_DRIFT_TAU}),
+due AS (
+    SELECT m.cell FROM memb m,
+         (SELECT CAST(count(*) AS BIGINT) AS ncells,
+                 CAST(sum(n_after) AS BIGINT) AS total FROM memb) t
+    WHERE m.n_after * t.ncells * 10 > {_REFILE_NUM} * t.total
+),
+{_IVF_RETRAIN_REFILE_SQL},
+retrain_rows AS (
+    SELECT CAST(f.cell AS BIGINT) * 10 AS new_cell,
+           CAST(f.cell AS BIGINT) AS parent_cell,
+           'retrain' AS action,
+           CAST(COALESCE(an.n, 0) AS BIGINT) AS n_vecs
+    FROM flagged f
+    LEFT JOIN (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n FROM refiled GROUP BY cell
+    ) an ON an.cell = f.cell
+),
+refile_rows AS (
+    SELECT new_cell, parent_cell, 'refile' AS action, n_vecs
+    FROM (
+        WITH {split_body}
+    ) t
+    WHERE t.was_split
+),
+wait_rows AS (
+    SELECT m.cell * 10 AS new_cell, m.cell AS parent_cell,
+           'wait' AS action, m.n_after AS n_vecs
+    FROM memb m
+    WHERE m.cell NOT IN (SELECT cell FROM flagged)
+      AND m.cell NOT IN (SELECT cell FROM due)
+)
+SELECT * FROM retrain_rows
+UNION ALL SELECT * FROM refile_rows
+UNION ALL SELECT * FROM wait_rows
+"""
+
+
+@register(
+    "ivf_maintenance_execute",
+    survey="similarity,S15,S16 (extension: the maintenance decision EXECUTED)",
+    oracle=_ivf_maintenance_execute_oracle(),
+)
+def ivf_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision's EXECUTOR — one maintenance cycle applied to the
+    post-append inverted file, closing the loop the repo discipline
+    demands (every signal a consumer, every decision an executor):
+    `ivf_maintenance_decision` says retrain / refile / wait per cell,
+    and this query DOES it, by calling the registered actions on the
+    decision's exact cell sets —
+
+    - retrain cells → `ivf_codebook_retrain`'s retrained audit rows
+      (refit to member means + flagged-scope refile), reported at
+      their ×10 unsplit ids with the post-retrain membership;
+    - refile cells → the FAISS split (`_refile_oversized_impl` with
+      the decision's refile set as the admission — the same code path
+      as `ivf_refile_oversized` / `ivf_append_refile`, now
+      parameterized instead of recomputing the 110% rule);
+    - wait cells → pass through with their post-append counts.
+
+    Output: one row per FINAL cell in the refile's ×10 id space
+    (parent·10 for unsplit, parent·10+1+half for split halves) with
+    the action lineage and membership — the post-cycle inverted file's
+    occupancy table.
+
+    Laws (tests/test_similarity_paths.py): each branch's parent set
+    equals the decision's action set cell-exactly; retrain rows equal
+    the retrain action's retrained (cell, n_after) rows; split halves
+    conserve their parent's post-append membership; wait rows pass
+    n_after through; Σ n_vecs == corpus.
+
+    Scale shape: strictly the union of its components' shapes — the
+    decision is O(cells) metadata, the retrain touches flagged-scope
+    members, the split touches decision-refile-scope members, and all
+    three read the session-shared post-append frames.  Nothing rescans
+    the unflagged, un-crowded corpus."""
+    from .registry import REGISTRY
+
+    dec = REGISTRY["ivf_maintenance_decision"].fn(spark, sf_dir).select(
+        "cell", "action", "n_after"
+    )
+    rt = (
+        REGISTRY["ivf_codebook_retrain"].fn(spark, sf_dir)
+        .filter(F.col("retrained"))
+        .select(
+            (F.col("cell") * 10).cast("bigint").alias("new_cell"),
+            F.col("cell").cast("bigint").alias("parent_cell"),
+            F.lit("retrain").alias("action"),
+            F.col("n_after").cast("bigint").alias("n_vecs"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    cells = _ivf_post_append_filing(spark, sf_dir).select("vec_id", "cell")
+    cent_own = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    admission = dec.filter(F.col("action") == "refile").select("cell")
+    rf = (
+        _refile_oversized_impl(
+            emb, cells, cent_own, "ivf_exec", admission=admission
+        )
+        .filter(F.col("was_split"))
+        .select(
+            "new_cell",
+            "parent_cell",
+            F.lit("refile").alias("action"),
+            "n_vecs",
+        )
+    )
+    wt = dec.filter(F.col("action") == "wait").select(
+        (F.col("cell") * 10).cast("bigint").alias("new_cell"),
+        F.col("cell").cast("bigint").alias("parent_cell"),
+        F.lit("wait").alias("action"),
+        F.col("n_after").cast("bigint").alias("n_vecs"),
+    )
+    return rt.unionByName(rf).unionByName(wt)

@@ -3290,8 +3290,12 @@ def _dup_cluster_histogram_oracle() -> str:
     from .registry import REGISTRY
 
     clusters = REGISTRY["dedup_clusters"].oracle
+    # clusters is referenced TWICE below (sizes + the singleton
+    # anti-join) — without MATERIALIZED, DuckDB may re-expand the
+    # recursive cluster resolution once per reference (the documented
+    # _bpe_oracle footgun; r12 audit, r11 verdict #7)
     return f"""
-WITH clusters AS (SELECT * FROM ({clusters}) c0),
+WITH clusters AS MATERIALIZED (SELECT * FROM ({clusters}) c0),
 sizes AS (SELECT DISTINCT comp_id, n_members FROM clusters),
 clustered AS (
     SELECT CAST(n_members AS BIGINT) AS cluster_size,
@@ -3359,7 +3363,10 @@ def _near_dup_corpus_rebuild_oracle() -> str:
     consumes."""
     return rf"""
 WITH kb AS (SELECT * FROM ({_near_dup_keep_best_oracle()}) k0 WHERE keep),
-j AS (
+-- j is referenced TWICE (s + the final SELECT): MATERIALIZED or the
+-- whole survivorship subtree (recursive cluster resolution included)
+-- evaluates once per reference (r12 audit, r11 verdict #7)
+j AS MATERIALIZED (
     SELECT kb.doc_id, kb.comp_id, d.source, kb.quality,
            CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS INT)
                AS n_tokens
@@ -3433,14 +3440,18 @@ def _post_dedup_mixing_oracle() -> str:
     discipline: a composition query's oracle is built FROM its
     components' oracles, so it can never drift from what it claims to
     consume."""
+    # src/q carry the ENTIRE rebuild subtree and q is referenced
+    # twice (tot + the final SELECT) — MATERIALIZED halves the deepest
+    # composed oracle in the repo (measured: the r11 sf0.1 parity run
+    # took ~35 min on this query; see tools/exact_parity.py SF notes)
     return rf"""
-WITH src AS (
+WITH src AS MATERIALIZED (
     SELECT DISTINCT source,
            source_kept_docs AS kept_docs,
            source_kept_tokens AS kept_tokens
     FROM ({_near_dup_corpus_rebuild_oracle()}) rebuilt
 ),
-q AS (
+q AS MATERIALIZED (
     SELECT source, kept_docs, kept_tokens,
            CAST(floor(pow(kept_tokens, {_MIX_ALPHA}) * 1e6 + 0.5) AS BIGINT) AS qw
     FROM src

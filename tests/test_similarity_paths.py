@@ -804,3 +804,57 @@ def test_ivfpq_laws(spark):
     assert sum(agree) / len(agree) >= 0.8, agree
     for q, r in rks.items():
         assert sorted(r) == list(range(1, _TOP_K + 1)), q
+
+
+def test_ivf_maintenance_execute_laws(spark):
+    """The executor's cross-query laws — each branch cell-exact to
+    what the decision ordered and to the action it delegates to:
+
+    1. BRANCH SETS — retrain/refile/wait parent sets equal the
+       decision's action sets exactly.
+    2. RETRAIN DELEGATION — retrain rows equal `ivf_codebook_retrain`'s
+       retrained (cell, n_after) rows.
+    3. SPLIT CONSERVATION — each split parent's halves sum to its
+       post-append membership (`ivf_maintenance_decision.n_after`),
+       at parent·10+1+half ids.
+    4. WAIT PASS-THROUGH — wait rows carry n_after unchanged at
+       parent·10 ids.
+    5. GLOBAL CONSERVATION — Σ n_vecs == corpus size (a cycle never
+       loses or invents members).
+    """
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+
+    out = REGISTRY["ivf_maintenance_execute"].fn(spark, SF_SMOKE).collect()
+    dec = {r.cell: r for r in REGISTRY["ivf_maintenance_decision"].fn(spark, SF_SMOKE).collect()}
+    rt = {
+        r.cell: r.n_after
+        for r in REGISTRY["ivf_codebook_retrain"].fn(spark, SF_SMOKE).collect()
+        if r.retrained
+    }
+
+    by_action: dict[str, list] = {}
+    for r in out:
+        by_action.setdefault(r.action, []).append(r)
+    want = {a: {c for c, d in dec.items() if d.action == a} for a in ("retrain", "refile", "wait")}
+    assert {r.parent_cell for r in by_action.get("retrain", [])} == want["retrain"]
+    assert {r.parent_cell for r in by_action.get("refile", [])} == want["refile"]
+    assert {r.parent_cell for r in by_action.get("wait", [])} == want["wait"]
+    assert all(want.values()), "every action branch must be live at fixture scale"
+
+    # law 2: retrain delegation
+    assert {(r.parent_cell, r.n_vecs) for r in by_action["retrain"]} == set(rt.items())
+    assert all(r.new_cell == r.parent_cell * 10 for r in by_action["retrain"])
+
+    # law 3: split conservation at x10+1+half ids
+    for c in want["refile"]:
+        halves = [r for r in by_action["refile"] if r.parent_cell == c]
+        assert {r.new_cell for r in halves} <= {c * 10 + 1, c * 10 + 2}, c
+        assert sum(r.n_vecs for r in halves) == dec[c].n_after, c
+
+    # law 4: wait pass-through
+    for r in by_action["wait"]:
+        assert r.new_cell == r.parent_cell * 10 and r.n_vecs == dec[r.parent_cell].n_after
+
+    # law 5: global conservation
+    n_total = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == n_total

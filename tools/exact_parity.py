@@ -4,6 +4,32 @@ count — reproduces the driver's value-hash gate locally.
 
 Usage: python tools/exact_parity.py [--sf DIR] [--parts N] q1 [q2 ...]
        python tools/exact_parity.py --window   # driver's 50-query window
+
+Per-query SF guidance (r12, r11 verdict #7) — the DuckDB side
+dominates for composed/recursive oracles, so budget sf0.1 runs
+per-query, not per-batch:
+
+- Full sweep: sf0.001 minutes, sf0.01 ~20 min, sf0.1 ~3 h (the
+  recursive-CTE compositions dominate).  Rotate a BATCH of untouched
+  queries through sf0.1 per round; always run the round-touched names.
+- The near-dup composed family (`near_dup_keep_best`,
+  `near_dup_corpus_rebuild`, `dup_cluster_size_histogram`,
+  `post_dedup_mixing_weights`) nests the WITH RECURSIVE cluster
+  resolution.  r11 measured ~35 min at sf0.1 for
+  post_dedup_mixing_weights; the r12 `AS MATERIALIZED` audit (every
+  multiply-referenced CTE in the chain — the documented _bpe_oracle
+  re-expansion footgun) brought it to one recursion pass per query,
+  measured 572 / 655 / 651 s (histogram / rebuild / mixing) at sf0.1.
+  The ~9.5-min WITH RECURSIVE resolution is the inherent floor —
+  WAIVER: the two deepest compositions run ~11 min/query at sf0.1,
+  just over the 10-min budget, all of it the single recursion.  If a
+  composed oracle regresses well past that, check for a newly
+  multiply-referenced CTE before blaming data volume.
+- The BPE chain (`bpe_merge_induction`, `bpe_encode_corpus`,
+  `sequence_packing_bpe`) is 20 unrolled MATERIALIZED rounds —
+  DuckDB-side cost is vocabulary-driven (~1-2 min at sf0.1), safe in
+  a batch.
+- Everything else is fine in batches at any test SF.
 """
 
 from __future__ import annotations
