@@ -3644,28 +3644,18 @@ def ivf_append_refile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (trigger, admit) parameters.
 
 
-def _ivf_maintenance_decision_impl(
-    spark: SparkSession,
-    sf_dir: str,
-    trigger: float = _IVF_DRIFT_TAU,
-    admit: float = _IVF_DRIFT_TAU,
+def _maintenance_decision_from_frames(
+    ds: DataFrame, fd: DataFrame, bs: DataFrame, trigger: float, admit: float
 ) -> DataFrame:
-    """The decision LADDER parameterized on the two-threshold policy —
-    shared by the registered query (fixture point) and the production-
-    point tests, exactly like `_refile_oversized_impl` parameterizes
-    the refile on its input filing."""
-    from .registry import REGISTRY
+    """The decision LADDER over its three signal FRAMES — factored out
+    (r12) so the streamed read-side
+    (`streaming.jobs.streamed_maintenance_decision`) can run the
+    IDENTICAL ladder over continuously-ingested state and be law-pinned
+    cell-exact against the registered batch decision.
 
-    ds = REGISTRY["ivf_codebook_drift_stats"].fn(spark, sf_dir).select(
-        "cell", "codebook_cosine", "retrain_flagged"
-    )
-    fd = REGISTRY["ivf_file_delta"].fn(spark, sf_dir).select(
-        "cell", "n_after", "oversized_after"
-    )
-    bs = REGISTRY["ivf_cell_balance_stats"].fn(spark, sf_dir).select(
-        F.col("cell").cast("bigint").alias("cell"),
-        F.col("oversized").alias("occ_oversized"),
-    )
+    ds: (cell, codebook_cosine, retrain_flagged);
+    fd: (cell, n_after, oversized_after);
+    bs: (cell, occ_oversized) — the standing-occupancy baseline."""
     j = ds.join(fd, "cell").join(F.broadcast(bs), "cell", "left")
     wall = Window.partitionBy()
     total = F.sum("n_after").over(wall)
@@ -3693,6 +3683,31 @@ def _ivf_maintenance_decision_impl(
         .otherwise(F.lit("wait"))
     )
     return x.withColumn("action", action)
+
+
+def _ivf_maintenance_decision_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    trigger: float = _IVF_DRIFT_TAU,
+    admit: float = _IVF_DRIFT_TAU,
+) -> DataFrame:
+    """The batch decision: the shared ladder over the REGISTERED
+    signals — used by the registered query (fixture point) and the
+    production-point tests, exactly like `_refile_oversized_impl`
+    parameterizes the refile on its input filing."""
+    from .registry import REGISTRY
+
+    ds = REGISTRY["ivf_codebook_drift_stats"].fn(spark, sf_dir).select(
+        "cell", "codebook_cosine", "retrain_flagged"
+    )
+    fd = REGISTRY["ivf_file_delta"].fn(spark, sf_dir).select(
+        "cell", "n_after", "oversized_after"
+    )
+    bs = REGISTRY["ivf_cell_balance_stats"].fn(spark, sf_dir).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("oversized").alias("occ_oversized"),
+    )
+    return _maintenance_decision_from_frames(ds, fd, bs, trigger, admit)
 
 
 def _ivf_maintenance_decision_oracle(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -949,4 +949,53 @@ def streamed_drift_stats(spark: SparkSession, index_dir: str, sf_dir: str) -> Da
         "n_added",
         "codebook_cosine",
         (F.col("codebook_cosine") < F.lit(_IVF_DRIFT_TAU)).alias("retrain_flagged"),
+    )
+
+
+def streamed_maintenance_decision(
+    spark: SparkSession, index_dir: str, sf_dir: str
+) -> DataFrame:
+    """Serving view: `ivf_maintenance_decision` computed from
+    CONTINUOUSLY-INGESTED state — the whole signal→decision loop off
+    the streamed moments gold, no batch rescan anywhere:
+
+    - staleness: `streamed_drift_stats` (streamed moments + the
+      standing artifact);
+    - post-append occupancy: the SAME frame's member counts, with
+      `ivf_file_delta`'s integer-exact 2× alarm replayed on them;
+    - standing-occupancy baseline: `ivf_cell_balance_stats` (an
+      index-generation artifact, not stream state);
+    - the ladder itself: `_maintenance_decision_from_frames` — the
+      IDENTICAL code the registered batch decision runs, so the two
+      can only differ through their inputs, and the drain law
+      (tests/test_streaming.py) pins those cell-exact.
+
+    At 100 TB this is the query a maintenance scheduler polls between
+    micro-batches: O(cells) reads over two gold tables and one
+    broadcast artifact."""
+    from ..operators.registry import REGISTRY
+    from ..operators.similarity import (
+        _IVF_DRIFT_TAU,
+        _maintenance_decision_from_frames,
+    )
+
+    sds = streamed_drift_stats(spark, index_dir, sf_dir)
+    ds = sds.select("cell", "codebook_cosine", "retrain_flagged")
+    wall = Window.partitionBy()
+    fd = sds.select(
+        "cell", F.col("n_members").cast("bigint").alias("n_after")
+    ).select(
+        "cell",
+        "n_after",
+        (
+            (F.col("n_after") * F.count(F.lit(1)).over(wall))
+            > (F.lit(2) * F.sum("n_after").over(wall))
+        ).alias("oversized_after"),
+    )
+    bs = REGISTRY["ivf_cell_balance_stats"].fn(spark, sf_dir).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("oversized").alias("occ_oversized"),
+    )
+    return _maintenance_decision_from_frames(
+        ds, fd, bs, _IVF_DRIFT_TAU, _IVF_DRIFT_TAU
     )

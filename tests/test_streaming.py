@@ -861,3 +861,56 @@ def test_streamed_drift_equals_batch_drift_after_drain(spark, tmp_path):
     }
     assert got == want
     assert any(v[1] > 0 for v in got.values())  # the stream really added
+
+
+def test_streamed_maintenance_decision_equals_batch(spark, tmp_path):
+    """The WHOLE maintenance loop off streamed state: after the same
+    3-micro-batch drain, `streamed_maintenance_decision` (streamed
+    drift + streamed occupancy + the standing balance artifact,
+    through the SHARED decision ladder) equals the registered batch
+    `ivf_maintenance_decision` on every column — the retrain/refile/
+    wait verdict a scheduler polls between micro-batches needs no
+    batch rescan."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators import REGISTRY
+    from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+        _ivf_delta_flag,
+    )
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import load
+    from damg7245_casestudy_03_ai_scoring_engine_spark.streaming.jobs import (
+        merge_cell_moments,
+        read_embedding_stream,
+        streamed_maintenance_decision,
+    )
+
+    src = str(tmp_path / "arriving_dec")
+    (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(_ivf_delta_flag())
+        .select("vec_id", "label", "embedding")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    index_dir = str(tmp_path / "dec_moments")
+    q = (
+        read_embedding_stream(spark, src)
+        .writeStream.foreachBatch(merge_cell_moments(index_dir, SF_SMOKE))
+        .option("checkpointLocation", str(tmp_path / "ckpt_dec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = (
+        "codebook_cosine", "retrain_flagged", "n_after", "oversized_after",
+        "occ_oversized", "refile_due", "cycle_trigger", "action",
+    )
+    got = {
+        r.cell: tuple(getattr(r, c) for c in cols)
+        for r in streamed_maintenance_decision(spark, index_dir, SF_SMOKE).collect()
+    }
+    want = {
+        r.cell: tuple(getattr(r, c) for c in cols)
+        for r in REGISTRY["ivf_maintenance_decision"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert {v[-1] for v in got.values()} == {"retrain", "refile", "wait"}

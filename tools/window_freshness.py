@@ -154,11 +154,17 @@ def print_rotation(window: list[str]) -> None:
     for rnd, q in rows:
         tag = "IN-WINDOW" if q in in_window else ""
         print(f"  r{rnd:<2d} {q:45s} {tag}")
-    tail = [q for rnd, q in rows if rnd <= 4]
+    # Self-advancing staleness horizon (r12; was a hardcoded <=r4):
+    # the tail is everything last driver-green more than 7 rounds
+    # before the newest CORRECTNESS file — r11's ledger yields <=r4,
+    # r12's will yield <=r5, so the drained-to-zero target walks
+    # forward one round per round instead of trivially staying 0.
+    horizon = max((rnd for rnd, _ in rows), default=0) - 7
+    tail = [q for rnd, q in rows if rnd <= horizon]
     covered = sum(1 for q in tail if q in in_window)
     print(
-        f"\n<=r4 tail: {len(tail)} queries; {covered} windowed this round "
-        f"-> projected tail after this window: {len(tail) - covered}"
+        f"\n<=r{horizon} tail: {len(tail)} queries; {covered} windowed this "
+        f"round -> projected tail after this window: {len(tail) - covered}"
     )
 
 
