@@ -186,8 +186,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned within HLL error bounds against exact COUNT(DISTINCT) in
 # pytest (tests/test_rows_only.py), and its exact-twin queries
 # (`column_profile`, `audience_overlap_daily`) are hash-green.  The
-# other 13 rows-only queries are justified line-by-line in
-# REGISTRY.md's header.
+# other 12 rows-only queries are justified line-by-line in
+# REGISTRY.md's header (13 until r13: `ann_topk_vectorized` was
+# oracle-converted onto the shared brute-force truth — r12 verdict #6).
 _PRIORITY = (
     # spine
     "org_air_flagship",
@@ -240,7 +241,9 @@ _PRIORITY = (
     "time_window_census",
     "unigram_ll_quality",
     "versioned_snapshot_diff",
-    # ...and the first 23 of the r5 tail
+    # ...and the first 17 of the r5 tail (6 slots of the originally
+    # planned 23 were displaced by the two late-r12 implicated blocks
+    # above; the 9 r5 stragglers named in the header go to r13)
     "ab_test_chi2",
     "auc_value_score",
     "bfs_hop_distance",

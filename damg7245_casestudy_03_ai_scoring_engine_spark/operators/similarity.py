@@ -46,15 +46,13 @@ _IVF_MULTI_MIN = 2  # ann_ivf_multiprobe: guaranteed probe depth…
 _IVF_MULTI_CAP = 6  # …and its escalation cap
 
 
-@register(
-    "ann_topk_bruteforce",
-    survey="similarity (extension)",
-    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
-    # ann_topk_vectorized keeps the brute-force family benched — the
-    # Arrow kernel is the path whose health the wall can't see
-    # elsewhere, while this JVM fold rides every recall probe as the
-    # truth oracle anyway.
-    oracle=f"""
+# Shared by ann_topk_bruteforce (JVM fold) and — since r13 —
+# ann_topk_vectorized (Arrow/numpy kernel): both compute the same
+# 6dp-rounded cosine top-k under the same (cosine DESC, cand_id ASC)
+# total order, so one truth oracle serves both (r12 verdict #6; the
+# kernel now rounds BEFORE its local selection so the per-batch cut
+# uses the global ranking order).
+_ANN_BRUTE_ORACLE = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
     FROM embeddings WHERE vec_id < {_N_QUERIES}
@@ -81,7 +79,18 @@ FROM (
     FROM scored
 )
 WHERE rk <= {_TOP_K}
-""",
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    survey="similarity (extension)",
+    # bench flag retired r12 (wall-budget rotation, r11 verdict #6):
+    # ann_topk_vectorized keeps the brute-force family benched — the
+    # Arrow kernel is the path whose health the wall can't see
+    # elsewhere, while this JVM fold rides every recall probe as the
+    # truth oracle anyway.
+    oracle=_ANN_BRUTE_ORACLE,
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors.
@@ -1007,10 +1016,16 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_vectorized",
     survey="similarity (extension: Arrow/numpy fast path)",
     bench=True,
-    # rows-only: numpy's SIMD/pairwise summation differs from the
-    # sequential fold in the last ulp, so 6dp-rounded scores can
-    # straddle a rounding boundary vs the SQL oracle; equivalence to
-    # the JVM brute force is pinned in tests/test_similarity_paths.py
+    # oracle-backed since r13 (r12 verdict #6; was rows-only): the
+    # kernel rounds scores to 6dp with the round_stable formula BEFORE
+    # its local per-batch selection, so local top-k under
+    # (rounded DESC, cand_id ASC) composes exactly with the global
+    # window and the JVM brute-force truth oracle applies verbatim.
+    # numpy/BLAS ulp differences vs the SQL fold are absorbed by the
+    # 6dp rounding — the same argument the whole cosine family rests
+    # on (equivalence to the JVM path stays pinned in
+    # tests/test_similarity_paths.py).
+    oracle=_ANN_BRUTE_ORACLE,
 )
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k via an Arrow-batched numpy kernel —
@@ -1052,20 +1067,25 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             S = qn @ Cn.T  # |Q| × batch
+            # round_stable at 6dp BEFORE selection: the local cut must
+            # use the SAME total order (rounded DESC, cand_id ASC) as
+            # the global window, or a rounded tie straddling the cut
+            # could drop the smaller cand_id the ranking would keep
+            Sr = np.floor(S * 1e6 + 0.5) / 1e6
             cand_ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
             out = {"query_id": [], "cand_id": [], "cand_label": [], "cosine": []}
             # local top-k per query within this batch
             k = min(_TOP_K + 1, S.shape[1])  # +1 in case self is present
-            idx = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            order = np.lexsort((cand_ids[None, :].repeat(len(qi), 0), -Sr), axis=1)
             for row, q_id in enumerate(qi):
-                for j in idx[row]:
+                for j in order[row, :k]:
                     if cand_ids[j] == q_id:
                         continue
                     out["query_id"].append(q_id)
                     out["cand_id"].append(int(cand_ids[j]))
                     out["cand_label"].append(int(labels[j]))
-                    out["cosine"].append(round(float(S[row, j]), 6))
+                    out["cosine"].append(float(Sr[row, j]))
             yield pd.DataFrame(out)
 
     local = emb.select("vec_id", "label", "embedding").mapInPandas(
@@ -3356,7 +3376,7 @@ fm AS (
     SELECT vec_id, cell FROM v_cell
     WHERE cell IN (SELECT cell FROM flagged)
 ),
-resc AS (
+rt_resc AS (
     SELECT f.vec_id, nc.cell AS cand_cell,
            round(CASE WHEN sqrt(sum(v.x * v.x)) > 0
                        AND sqrt(sum(nc.cx * nc.cx)) > 0
@@ -3368,13 +3388,13 @@ resc AS (
     JOIN new_cent nc ON nc.i = v.i
     GROUP BY f.vec_id, nc.cell
 ),
-refiled AS (
+rt_refiled AS (
     SELECT vec_id, cand_cell AS cell
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY cosine DESC, cand_cell
         ) AS rk
-        FROM resc
+        FROM rt_resc
     )
     WHERE rk = 1
 )"""
@@ -3390,7 +3410,7 @@ flagged AS (SELECT cell FROM drift WHERE codebook_cosine < {_IVF_DRIFT_TAU}),
 {_IVF_RETRAIN_REFILE_SQL},
 after_means AS (
     SELECT r.cell, v.i, avg(v.x) AS mx
-    FROM refiled r JOIN v_flat v ON v.vec_id = r.vec_id
+    FROM rt_refiled r JOIN v_flat v ON v.vec_id = r.vec_id
     GROUP BY r.cell, v.i
 ),
 after_cos AS (
@@ -3404,7 +3424,7 @@ after_cos AS (
     GROUP BY nc.cell
 ),
 after_n AS (
-    SELECT cell, CAST(count(*) AS BIGINT) AS n FROM refiled GROUP BY cell
+    SELECT cell, CAST(count(*) AS BIGINT) AS n FROM rt_refiled GROUP BY cell
 ),
 united AS (
     SELECT CAST(f.cell AS BIGINT) AS cell, TRUE AS retrained,
@@ -3805,10 +3825,10 @@ def ivf_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The FAISS-production index shape the 100 TB ANN brief implies
 # (IVF_{nlist},PQ_{M}): PQ codes stored per IVF cell, the ADC
 # lookup-table scan restricted to the margin-adaptive probe set, exact
-# re-rank of the shortlist.  Distinct sizing from the corpus-wide flat
-# PQ twin (`ann_pq_adc_topk`, M=8 K=32, rows-only): this codebook
-# matches the flat twin's code resolution (M=8 × K=32, 3 Lloyd rounds) so
-# the whole training loop is ORACLE-REPLAYABLE as unrolled CTEs (the
+# re-rank of the shortlist.  The codebook trains/encodes RESIDUALS
+# against the raw coarse-centroid mean (by_residual=true, the FAISS
+# production default; r13).  The whole training loop is
+# ORACLE-REPLAYABLE as unrolled CTEs (the
 # `kmeans_lloyd_deterministic` finite-iteration pattern — the chain is
 # keyed by subspace id, so M never multiplies the SQL) while the
 # probe's pre-cut + shortlist + exact re-rank carry the recall.
@@ -3817,9 +3837,15 @@ def ivf_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trajectory, the encoding, and the ADC ordering are
 # engine-deterministic.  First fixture calibration (M=4, K=8,
 # shortlist min 50) read recall@5 = 0.50 vs `ann_ivf_topk`'s 0.68
-# probe ceiling — the ADC cut was eating 0.18; at M=8/K=16/min=100
-# the composed index matches the probe ceiling at fixture scale.
-_IVFPQ_M = 8
+# probe ceiling — the ADC cut was eating 0.18.  r12 shipped M=8/K=32
+# (sf1i recall 0.68, the family's thinnest floor margin); the r13
+# operating-point sweep (numpy replay of the exact quantizer/probe/
+# shortlist rule on both 20k axes, SCALE.md findings) measured
+# M=16/K=32 at sf1i 0.78 vs 0.68 (sf1 1.0 at every point, M=8/K=64
+# WORSE at 0.64 — finer subspaces beat more centroids at fixed code
+# budget), so the registered point is PQ16x5: sub_d=4, 16 codes per
+# vector, still a 16x memory cut over the 64-dim float vector.
+_IVFPQ_M = 16
 _IVFPQ_K = 32
 _IVFPQ_ITERS = 3
 _IVFPQ_SUB_D = _EMB_DIM // _IVFPQ_M
@@ -3839,13 +3865,18 @@ _IVFPQ_DIST_SQL = (
 
 
 def _ivfpq_oracle() -> str:
-    """The full IVFPQ replay as one DuckDB statement: normalize →
-    slice subspaces → K-point init (smallest vec_ids' subvectors) →
-    _IVFPQ_ITERS unrolled Lloyd rounds (assignment = row_number over
-    (6dp distance, code); update = per-(m, code, position) avg; empty
-    codes keep their centroid) → encode → per-query LUT → ADC over the
-    margin-adaptive probe set (the `_ivf_oracle` assign block) →
-    shortlist → exact cosine re-rank."""
+    """The full RESIDUAL IVFPQ replay as one DuckDB statement:
+    normalize → subtract the assigned cell's coarse centroid (the
+    raw quantizer mean — by_residual=true, the FAISS default) → slice
+    the RESIDUAL into subspaces → K-point init (smallest vec_ids'
+    residual subvectors) → _IVFPQ_ITERS unrolled Lloyd rounds
+    (assignment = row_number over (6dp distance, code); update =
+    per-(m, code, position) avg; empty codes keep their centroid) →
+    encode → per-(query, probed-cell) LUT (the query's residual is
+    RELATIVE TO EACH PROBED CELL — that is what residual encoding
+    changes at search time) → ADC over the margin-adaptive probe set
+    (the `_ivf_oracle` assign block) → shortlist → exact cosine
+    re-rank."""
     steps = []
     prev = "c0"
     for t in range(1, _IVFPQ_ITERS + 1):
@@ -3886,7 +3917,7 @@ assign AS (
       AND (rk <= 1
            OR (rk <= {_IVF_CAP} AND cosine >= best - {_IVF_DELTA}))
 ),
-nv AS (
+nv AS MATERIALIZED (
     SELECT vec_id,
            list_transform(
                embedding::DOUBLE[],
@@ -3896,11 +3927,23 @@ nv AS (
            ) AS nvv
     FROM embeddings
 ),
-sv AS (
+ncent AS MATERIALIZED (
+    SELECT label, list(cx ORDER BY i) AS ncv
+    FROM cent_flat GROUP BY label
+),
+rv AS (
+    SELECT n.vec_id,
+           list_transform(range(1, {_EMB_DIM} + 1),
+                          i -> n.nvv[i] - c.ncv[i]) AS rvv
+    FROM nv n
+    JOIN v_cell vc ON vc.vec_id = n.vec_id
+    JOIN ncent c ON c.label = vc.cell
+),
+sv AS MATERIALIZED (
     SELECT vec_id, t.m,
-           list_slice(nvv, t.m * {_IVFPQ_SUB_D} + 1,
+           list_slice(rvv, t.m * {_IVFPQ_SUB_D} + 1,
                       (t.m + 1) * {_IVFPQ_SUB_D}) AS sv
-    FROM nv, range(0, {_IVFPQ_M}) t(m)
+    FROM rv, range(0, {_IVFPQ_M}) t(m)
 ),
 c0 AS (
     SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
@@ -3917,10 +3960,21 @@ codes AS (
         FROM sv s JOIN {prev} c ON c.m = s.m
     ) WHERE rn = 1
 ),
+qsv AS (
+    SELECT a.query_id, a.probe_label, t.m,
+           list_slice(
+               list_transform(range(1, {_EMB_DIM} + 1),
+                              i -> n.nvv[i] - c.ncv[i]),
+               t.m * {_IVFPQ_SUB_D} + 1, (t.m + 1) * {_IVFPQ_SUB_D}
+           ) AS sv
+    FROM assign a
+    JOIN nv n ON n.vec_id = a.query_id
+    JOIN ncent c ON c.label = a.probe_label
+    CROSS JOIN range(0, {_IVFPQ_M}) t(m)
+),
 lut AS (
-    SELECT s.vec_id AS query_id, c.m, c.c, {_IVFPQ_DIST_SQL} AS d2
-    FROM sv s JOIN {prev} c ON c.m = s.m
-    WHERE s.vec_id < {_N_QUERIES}
+    SELECT s.query_id, s.probe_label, c.m, c.c, {_IVFPQ_DIST_SQL} AS d2
+    FROM qsv s JOIN {prev} c ON c.m = s.m
 ),
 cand AS (
     SELECT k.vec_id AS cand_id, vc.cell, k.m, k.c
@@ -3931,7 +3985,9 @@ adc AS (
            floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc
     FROM assign a
     JOIN cand cd ON cd.cell = a.probe_label AND cd.cand_id <> a.query_id
-    JOIN lut l ON l.query_id = a.query_id AND l.m = cd.m AND l.c = cd.c
+    JOIN lut l ON l.query_id = a.query_id
+             AND l.probe_label = a.probe_label
+             AND l.m = cd.m AND l.c = cd.c
     GROUP BY a.query_id, cd.cand_id
 ),
 nshort AS (
@@ -3973,15 +4029,15 @@ WHERE rk <= {_TOP_K}
 """
 
 
-def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, sv): L2-normalized vectors sliced into _IVFPQ_M
-    subspace views — the PQ training/encoding grain."""
+def _ivfpq_nv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nv): L2-normalized double vectors — the shared input
+    grain for residual computation on both the data and query side."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    nv = emb.select(
+    return emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "nv",
+    ).select(
+        "vec_id",
         F.transform(
             "v",
             lambda x: x
@@ -3989,22 +4045,71 @@ def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
                 F.lit(1e-300),
             ),
-        ),
+        ).alias("nv"),
     )
-    return nv.select(
-        "vec_id",
+
+
+def _ivf_ncent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, ncv): the coarse quantizer's centroids as arrays — the
+    residual reference frame (nlist rows, broadcast).  The centroid is
+    the RAW per-label mean exactly as the quantizer stores it (FAISS
+    encodes residuals against the coarse centroid as-is); an earlier
+    r13 draft L2-normalized it first, which INFLATED residual energy
+    ~1.6x on this corpus (loose cells, member-centroid cos ~0.2) and
+    collapsed sf1i recall to 0.40 — measured in the r13 numpy sweep,
+    see SCALE.md findings."""
+    return (
+        _ivf_quantizer(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cx"))),
+                lambda s: s["cx"],
+            ).alias("ncv")
+        )
+    )
+
+
+def _ivfpq_slice(df: DataFrame, *keys: str) -> DataFrame:
+    """Explode an `rv` residual-array column into (keys…, m, sv)
+    subspace views — the PQ training/encoding grain."""
+    return df.select(
+        *keys,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_IVFPQ_M - 1)),
                 lambda m: F.struct(
                     m.cast("int").alias("m"),
-                    F.slice("nv", m * _IVFPQ_SUB_D + 1, _IVFPQ_SUB_D).alias(
+                    F.slice("rv", m * _IVFPQ_SUB_D + 1, _IVFPQ_SUB_D).alias(
                         "sv"
                     ),
                 ),
             )
         ).alias("s"),
-    ).select("vec_id", "s.m", "s.sv")
+    ).select(*keys, "s.m", "s.sv")
+
+
+def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): RESIDUAL subvectors — each vector's normalized
+    form minus its ASSIGNED cell's coarse centroid (the raw quantizer
+    mean, by_residual=true), sliced into _IVFPQ_M subspace views.  Training
+    and encoding both run at this grain, exactly like FAISS IVFPQ's
+    default: the PQ models the within-cell displacement, not the raw
+    position, so codebook capacity is spent where the probe already
+    landed."""
+    nv = _ivfpq_nv(spark, sf_dir)
+    ncent = _ivf_ncent(spark, sf_dir)
+    rv = (
+        nv.join(_ivf_cells(spark, sf_dir), "vec_id")
+        .join(
+            F.broadcast(ncent), F.col("cell") == F.col("label")
+        )
+        .select(
+            "vec_id",
+            F.zip_with("nv", "ncv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    return _ivfpq_slice(rv, "vec_id")
 
 
 def _ivfpq_dist() -> "F.Column":
@@ -4024,11 +4129,12 @@ def _ivfpq_dist() -> "F.Column":
 
 
 def _ivfpq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(m, c, cv): the trained PQ codebook — _IVFPQ_ITERS deterministic
-    Lloyd rounds per subspace, all M subspaces in ONE chained plan
-    keyed by m (the broadcast centroid frame is M×K rows).  Memoized +
-    persisted per (session, sf): at 100 TB this is a trained model
-    artifact (M·K·sub_d doubles), built once at ingest."""
+    """(m, c, cv): the trained PQ codebook over RESIDUAL subvectors
+    (by_residual=true) — _IVFPQ_ITERS deterministic Lloyd rounds per
+    subspace, all M subspaces in ONE chained plan keyed by m (the
+    broadcast centroid frame is M×K rows).  Memoized + persisted per
+    (session, sf): at 100 TB this is a trained model artifact
+    (M·K·sub_d doubles), built once at ingest."""
     tag = _sf_tag_sim(sf_dir)
 
     def build() -> DataFrame:
@@ -4078,8 +4184,9 @@ def _ivfpq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, c): the PQ-encoded corpus — nearest trained centroid
-    per subspace (6dp distance, code-asc ties).  Memoized + persisted
+    """(vec_id, m, c): the PQ-encoded corpus — each vector's RESIDUAL
+    subvector's nearest trained centroid per subspace (6dp distance,
+    code-asc ties).  Memoized + persisted
     per (session, sf): THE compressed index payload (M small codes per
     vector — the 100 TB scan artifact)."""
     tag = _sf_tag_sim(sf_dir)
@@ -4107,12 +4214,18 @@ def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN index (FAISS IVF_nlist,PQ_M shape,
-    by_residual=false): the coarse IVF quantizer prunes the corpus to
-    the margin-adaptive probe set (`ann_ivf_topk`'s exact rule), the
-    probed cells are scanned over PQ CODES ONLY via an ADC lookup
-    table (per query: M×K exact subvector→centroid distances; per
-    candidate: M integer lookups + a fold — no float vector math at
-    scan grain), and the ADC shortlist is re-ranked with exact cosine.
+    by_residual=true — the FAISS default): the coarse IVF quantizer
+    prunes the corpus to the margin-adaptive probe set (`ann_ivf_topk`'s
+    exact rule), the probed cells are scanned over PQ CODES ONLY via an
+    ADC lookup table, and the ADC shortlist is re-ranked with exact
+    cosine.  The PQ trains and encodes on RESIDUALS — each vector's
+    normalized form minus its assigned cell's normalized centroid — so
+    the codebook models the within-cell displacement; at search time
+    the LUT is per-(query, probed cell) (M×K exact residual-subvector →
+    centroid distances per probed cell; per candidate still M integer
+    lookups + a fold — no float vector math at scan grain).  r13: was
+    by_residual=false; residual encoding lifted the decorrelated-axis
+    (sf1i) recall, the thinnest floor margin in the family (SCALE.md).
 
     Unlike the corpus-wide flat twin (`ann_pq_adc_topk`, rows-only),
     this one is ORACLE-BACKED end to end: the per-subspace codebooks
@@ -4146,20 +4259,33 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = _ivfpq_codes(spark, sf_dir)
     cb = _ivfpq_codebook(spark, sf_dir)
-    # per-query LUT: exact (6dp) query-subvector → centroid distances,
-    # |Q|×M×K rows — broadcast
-    lut = (
-        _ivfpq_subvecs(spark, sf_dir)
+    assign = _ivf_probe_assign(spark, sf_dir, min_probes=1, cap=_IVF_CAP)
+    # per-(query, probed-cell) LUT: the query's RESIDUAL relative to
+    # each probed cell's centroid (by_residual=true), scored against
+    # the trained codebook — exact (6dp) subvector→centroid distances,
+    # |assign|×M×K rows — broadcast
+    qrv = (
+        _ivfpq_nv(spark, sf_dir)
         .filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(cb), "m")
+        .withColumnRenamed("vec_id", "query_id")
+        .join(assign, "query_id")
+        .join(
+            F.broadcast(_ivf_ncent(spark, sf_dir)),
+            F.col("probe_label") == F.col("label"),
+        )
         .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "c",
-            _ivfpq_dist().alias("d2"),
+            "query_id",
+            "probe_label",
+            F.zip_with("nv", "ncv", lambda a, b: a - b).alias("rv"),
         )
     )
-    assign = _ivf_probe_assign(spark, sf_dir, min_probes=1, cap=_IVF_CAP)
+    lut = (
+        _ivfpq_slice(qrv, "query_id", "probe_label")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "probe_label", "m", "c", _ivfpq_dist().alias("d2")
+        )
+    )
     cand = codes.join(_ivf_cells(spark, sf_dir), "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("cell").alias("probe_label"),
@@ -4169,7 +4295,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         assign.join(cand, "probe_label")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .join(F.broadcast(lut), ["query_id", "m", "c"])
+        .join(F.broadcast(lut), ["query_id", "probe_label", "m", "c"])
         .groupBy("query_id", "cand_id")
         .agg(
             (
@@ -4217,10 +4343,11 @@ def _ivf_maintenance_execute_oracle() -> str:
     `_IVF_RETRAIN_ORACLE`), and the FAISS split body
     (`_ivf_refile_body_sql`, the exact `ivf_refile_oversized` /
     `ivf_append_refile` algorithm) with its admission parameter set to
-    the decision's refile cells (due − retrain-claimed).  The inner
-    split subquery's CTE names shadow the outer retrain block's —
-    DuckDB scopes a parenthesized WITH locally — so both branches run
-    the canonical SQL unmodified."""
+    the decision's refile cells (due − retrain-claimed).  The retrain
+    block's CTEs carry an rt_ prefix (r13, advisor) so the inner
+    split subquery's names (own/sizes/tot/refile/halves/sub_cent/
+    resc/refiled/kept/final/g) can never collide with the outer
+    scope — no reliance on DuckDB's innermost-first resolution."""
     split_body = _ivf_refile_body_sql(
         "SELECT cell FROM due WHERE cell NOT IN (SELECT cell FROM flagged)"
     )
@@ -4246,7 +4373,7 @@ retrain_rows AS (
            CAST(COALESCE(an.n, 0) AS BIGINT) AS n_vecs
     FROM flagged f
     LEFT JOIN (
-        SELECT cell, CAST(count(*) AS BIGINT) AS n FROM refiled GROUP BY cell
+        SELECT cell, CAST(count(*) AS BIGINT) AS n FROM rt_refiled GROUP BY cell
     ) an ON an.cell = f.cell
 ),
 refile_rows AS (
@@ -4347,3 +4474,74 @@ def ivf_maintenance_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_after").cast("bigint").alias("n_vecs"),
     )
     return rt.unionByName(rf).unionByName(wt)
+
+
+# --- the cycle's FIXPOINT audited ---------------------------------------------
+
+
+def _ivf_post_cycle_audit_oracle() -> str:
+    """Composed VERBATIM from the executor's oracle (the decision
+    discipline: a downstream table can never drift from the state it
+    audits) with the decision's own 110% admission arithmetic replayed
+    on the POST-cycle occupancy."""
+    from .registry import REGISTRY
+
+    ex = REGISTRY["ivf_maintenance_execute"].oracle
+    return f"""
+WITH exec AS ({ex})
+SELECT new_cell, parent_cell, action, n_vecs,
+       (n_vecs * count(*) OVER () * 10)
+           > ({_REFILE_NUM} * sum(n_vecs) OVER ()) AS refile_due_next,
+       ((n_vecs * count(*) OVER () * 10)
+           > ({_REFILE_NUM} * sum(n_vecs) OVER ())
+        AND action <> 'wait') AS executed_reflagged
+FROM exec
+"""
+
+
+@register(
+    "ivf_post_cycle_audit",
+    survey="similarity,S15 (extension: maintenance-cycle fixpoint audit)",
+    oracle=_ivf_post_cycle_audit_oracle(),
+)
+def ivf_post_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop's CONVERGENCE surface (r12 verdict #2):
+    after `ivf_maintenance_execute` applies one cycle, this table
+    replays the decision's refile admission on the post-cycle
+    occupancy — per final cell, does the flag PERSIST?
+
+    The fixpoint law it carries (tests/test_similarity_paths.py::
+    test_ivf_maintenance_cycle_convergence): `executed_reflagged` is
+    FALSE everywhere — no cell the cycle acted on (retrain or split)
+    re-crosses the 110% admission, and retrained cells can never
+    re-trigger the drift arm (refit centroid == member mean →
+    codebook_cosine_after = 1.0; `ivf_codebook_retrain.still_flagged`
+    is the measured witness).  `refile_due_next` MAY be true for WAIT
+    cells: splitting the crowded tier grows ncells, which LOWERS the
+    110%-of-mean bar and exposes the next-most-crowded tier — that is
+    the loop's designed cycle-over-cycle walk toward balance (each
+    exposed cell was under the bar pre-cycle at the old ncells), not a
+    failed fix.  The law pins both directions: executed cells all
+    read wait-equivalent, and every persisting flag is growth-exposed.
+
+    Scale shape: a window pair over the executor's O(cells) output —
+    the audit itself is metadata-grain at any corpus size, like the
+    decision it closes."""
+    from .registry import REGISTRY
+
+    ex = REGISTRY["ivf_maintenance_execute"].fn(spark, sf_dir)
+    wall = Window.partitionBy()
+    due_next = (
+        F.col("n_vecs") * F.count(F.lit(1)).over(wall) * F.lit(10)
+        > F.lit(_REFILE_NUM) * F.sum("n_vecs").over(wall)
+    )
+    return ex.select(
+        "new_cell",
+        "parent_cell",
+        "action",
+        "n_vecs",
+        due_next.alias("refile_due_next"),
+        (due_next & (F.col("action") != F.lit("wait"))).alias(
+            "executed_reflagged"
+        ),
+    )

@@ -3528,21 +3528,49 @@ def post_dedup_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encoded_vocab(
-    spark: SparkSession, sf_dir: str, words: DataFrame
-) -> DataFrame:
-    """(word, n_chars, n_tok): the learned-BPE encoding of a distinct
-    word table — the 20 trained rules applied in rank order with the
-    exact training fold (greedy non-overlapping left-to-right).  THE
-    shared consumer surface of the merge table: `bpe_encode_corpus`
-    (corpus token stats) and `sequence_packing_bpe` (epoch packing)
-    both read this one vocabulary, so their token units can never
-    drift (the Σ-tokens law in tests/test_cross_query_invariants.py
-    is bit-exact because the frames are literally shared).
+def _bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_chars, n_tok): the learned-BPE encoding of the corpus'
+    CANONICAL distinct-word vocabulary — the 20 trained rules applied
+    in rank order with the exact training fold (greedy non-overlapping
+    left-to-right).  THE shared consumer surface of the merge table:
+    `bpe_encode_corpus` (corpus token stats) and `sequence_packing_bpe`
+    (epoch packing) both join this one vocabulary, so their token
+    units can never drift.  Session-memoized + persisted per
+    (session, sf) — r12 advisor: each consumer used to re-run the
+    20-round training collect and rebuild the 21-localCheckpoint fold
+    chain per invocation (the units matched by determinism alone); the
+    memo makes the sharing literal AND saves a training pass whenever
+    both consumers run in one session.  At 100 TB this is a trained
+    tokenizer artifact: vocabulary-grain (distinct words, not corpus
+    rows), encoded once at ingest.
 
     The 20-row merge table is collected once to parameterize the fold
     literals (the training loop's own 1-row-per-round collect class —
     k-means-centroid scalars, not data)."""
+    from .similarity import _session_memo_persist, _sf_tag_sim
+
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        return _bpe_encoded_vocab_build(spark, sf_dir)
+
+    return _session_memo_persist(
+        spark, f"_bpe_encoded_vocab_{tag}", f"bpe.vocab.{tag}", build
+    )
+
+
+def _bpe_encoded_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached vocabulary build behind `_bpe_encoded_vocab`."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
     rules = [
         (r.left, r.right, r.merged)
         for r in sorted(
@@ -3653,7 +3681,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    enc = _bpe_encoded_vocab(spark, sf_dir, wsrc.select("word").distinct())
+    enc = _bpe_encoded_vocab(spark, sf_dir)
     agg = wsrc.join(enc, "word").groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_words"),
         F.sum(F.col("cnt") * F.col("n_chars")).cast("bigint").alias("n_char_symbols"),
@@ -3785,9 +3813,7 @@ def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    enc = _bpe_encoded_vocab(
-        spark, sf_dir, dwords.select("word").distinct()
-    )
+    enc = _bpe_encoded_vocab(spark, sf_dir)
     per_doc = (
         dwords.join(enc, "word")
         .groupBy("doc_id")

@@ -858,3 +858,79 @@ def test_ivf_maintenance_execute_laws(spark):
     # law 5: global conservation
     n_total = load(spark, SF_SMOKE, "embeddings").count()
     assert sum(r.n_vecs for r in out) == n_total
+
+
+def test_ivf_maintenance_cycle_convergence(spark):
+    """The maintenance loop's FIXPOINT law (r12 verdict #2): re-run
+    the decision's arithmetic on the post-cycle state and every
+    EXECUTED cell must read wait.
+
+    1. RETRAIN CONVERGENCE — every retrained cell's
+       codebook_cosine_after is exactly 1.0 (refit centroid == member
+       mean) and still_flagged is False, so the drift arm can never
+       re-trigger on an executed cell; with admit >= trigger, wait
+       cells sit >= admit whenever the cycle fired, so the post-cycle
+       cycle_trigger is structurally False.
+    2. EXECUTED-CELL FIXPOINT — `ivf_post_cycle_audit`'s
+       executed_reflagged is False on every row: no retrained cell
+       and no split half re-crosses the 110% admission.
+    3. SPLIT SHRINK — each split half is strictly smaller than its
+       parent's post-append membership.
+    4. GROWTH-EXPOSED FLAGS ONLY — any cell with refile_due_next is a
+       WAIT cell that was UNDER the admission pre-cycle at the old
+       ncells and crosses only because the split grew ncells (lowering
+       the 110%-of-mean bar): the designed cycle-over-cycle walk, not
+       a failed fix.  At fixture scale the exposed set must be
+       non-empty (the mechanism is live, not vacuous).
+    """
+    audit = REGISTRY["ivf_post_cycle_audit"].fn(spark, SF_SMOKE).collect()
+    dec = {
+        r.cell: r
+        for r in REGISTRY["ivf_maintenance_decision"].fn(spark, SF_SMOKE).collect()
+    }
+    rt = {
+        r.cell: r
+        for r in REGISTRY["ivf_codebook_retrain"].fn(spark, SF_SMOKE).collect()
+        if r.retrained
+    }
+
+    # law 1: retrain convergence
+    assert rt, "retrain branch must be live at fixture scale"
+    for c, r in rt.items():
+        assert r.codebook_cosine_after == 1.0, c
+        assert not r.still_flagged, c
+    triggered = any(d.cycle_trigger for d in dec.values())
+    if triggered:
+        # wait/refile survivors all sit at/above the admit threshold,
+        # so with every executed cell at cosine 1.0 the post-cycle
+        # min can never cross the trigger again
+        from damg7245_casestudy_03_ai_scoring_engine_spark.operators.similarity import (
+            _IVF_DRIFT_TAU,
+        )
+
+        for c, d in dec.items():
+            if d.action != "retrain":
+                assert d.codebook_cosine >= _IVF_DRIFT_TAU, c
+
+    # law 2: executed-cell fixpoint
+    assert all(not r.executed_reflagged for r in audit)
+    assert all(
+        not r.refile_due_next for r in audit if r.action != "wait"
+    )
+
+    # law 3: split shrink
+    for r in audit:
+        if r.action == "refile":
+            assert r.n_vecs < dec[r.parent_cell].n_after, r
+
+    # law 4: persisting flags are growth-exposed wait cells
+    ncells_before = len(dec)
+    total = sum(r.n_vecs for r in audit)
+    exposed = [r for r in audit if r.refile_due_next]
+    assert exposed, "growth-exposure mechanism must be live at fixture scale"
+    for r in exposed:
+        assert r.action == "wait", r
+        # under the admission pre-cycle at the old ncells...
+        assert r.n_vecs * ncells_before * 10 <= 11 * total, r
+        # ...and due only at the grown ncells
+        assert r.n_vecs * len(audit) * 10 > 11 * total, r

@@ -859,6 +859,15 @@ def test_streamed_drift_equals_batch_drift_after_drain(spark, tmp_path):
         r.cell: (r.n_members, r.n_added, r.codebook_cosine, r.retrain_flagged)
         for r in REGISTRY["ivf_codebook_drift_stats"].fn(spark, SF_SMOKE).collect()
     }
+    # NOTE (r12 advisor): the streamed side computes member means as
+    # sum(sum_x)/sum(n) over micro-batch partial sums while the batch
+    # signal averages raw members, so the unrounded cosines differ by
+    # float-associativity ulps.  The exact == below holds because the
+    # 6dp rounding in _cosine_agg absorbs those ulps — a cosine
+    # landing EXACTLY on a .5e-6 boundary could flip one rounded
+    # digit.  Counts and flags are integer/threshold-exact regardless;
+    # if this line ever flakes on the cosine alone, compare
+    # codebook_cosine with a 1e-6 tolerance and keep the rest exact.
     assert got == want
     assert any(v[1] > 0 for v in got.values())  # the stream really added
 
