@@ -999,3 +999,179 @@ def streamed_maintenance_decision(
     return _maintenance_decision_from_frames(
         ds, fd, bs, _IVF_DRIFT_TAU, _IVF_DRIFT_TAU
     )
+
+
+def append_member_filing(filing_dir: str, sf_dir: str):
+    """foreachBatch body: file one micro-batch by the FROZEN quantizer
+    and APPEND the vec-grain membership (vec_id, cell, embedding) to a
+    parquet inverted-file gold — the third streamed index surface,
+    closing the ACTION edge (r12 verdict #3): counts
+    (`merge_inverted_file`) answer occupancy, moments
+    (`merge_cell_moments`) answer staleness, and this membership gold
+    is what the maintenance EXECUTOR reads — a retrain/split touches
+    actual members, so the streamed executor needs the filed vectors,
+    not just their statistics.
+
+    Idempotency: each micro-batch lands in its own `batch=<id>`
+    partition directory with mode=overwrite, so a replay after a
+    crash rewrites the same partition bit-identically (append-only
+    golds don't need the `_last_batch_id` two-phase marker the
+    merging golds use).  At 100 TB this IS the inverted list store:
+    cell-keyed vector files, one append per micro-batch, compacted by
+    the refile/retrain actions."""
+    from ..operators.similarity import _ivf_file_by_frozen
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        (
+            _ivf_file_by_frozen(spark, sf_dir, batch_df)
+            .join(batch_df.select("vec_id", "embedding"), "vec_id")
+            .write.mode("overwrite")
+            .parquet(f"{filing_dir}/batch={batch_id}")
+        )
+
+    return upsert
+
+
+def _streamed_member_state(
+    spark: SparkSession, filing_dir: str, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cells, emb) — the POST-APPEND inverted file assembled from
+    streamed state: standing membership from the persisted ingest
+    artifact (`_ivf_standing_filing`), appended membership from the
+    vec-grain filing gold; embeddings for the appended members come
+    from the gold itself (the inverted list stores its vectors), for
+    standing members from the standing corpus."""
+    from ..operators.similarity import _ivf_delta_flag, _ivf_standing_filing
+    from ..sources.catalog import load
+
+    streamed = spark.read.parquet(filing_dir).select(
+        "vec_id", "cell", "embedding"
+    )
+    cells = (
+        _ivf_standing_filing(spark, sf_dir)
+        .withColumn("is_delta", F.lit(False))
+        .unionByName(
+            streamed.select("vec_id", "cell").withColumn(
+                "is_delta", F.lit(True)
+            )
+        )
+    )
+    standing_emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(~_ivf_delta_flag())
+        .select("vec_id", "embedding")
+    )
+    emb = standing_emb.unionByName(streamed.select("vec_id", "embedding"))
+    return cells, emb
+
+
+def streamed_maintenance_execute(
+    spark: SparkSession, filing_dir: str, moments_dir: str, sf_dir: str
+) -> DataFrame:
+    """`ivf_maintenance_execute` off CONTINUOUSLY-INGESTED state — the
+    action edge of the streamed loop (r12 verdict #3; the decision
+    edge is `streamed_maintenance_decision`): one maintenance cycle
+    applied to the streamed inverted file, no batch rescan of the
+    replayed stream anywhere.
+
+    - the DECISION comes from the streamed moments gold (the shared
+      ladder — `streamed_maintenance_decision`);
+    - RETRAIN refits flagged cells to their member means read from the
+      MERGEABLE moments (Σx/n over standing + streamed sums — the
+      `streamed_drift_stats` arithmetic, ulp-absorbed at the 6dp
+      rounding like the drain law documents) and refiles flagged-cell
+      members among the refit centroids (`ivf_codebook_retrain`'s
+      exact argmax discipline over the membership gold);
+    - REFILE delegates to the SHARED `_refile_oversized_impl` with the
+      streamed decision's refile cells as the admission — the same
+      parameterized code path the batch executor runs;
+    - WAIT rows pass through the streamed decision's counts.
+
+    The drain law (tests/test_streaming.py): after a 3-micro-batch
+    drain through BOTH golds, this equals the one-shot batch
+    `ivf_maintenance_execute` cell-exactly on every column."""
+    from ..operators.similarity import (
+        _cosine_agg,
+        _ivf_frozen_quantizer,
+        _ivf_standing_moments,
+        _refile_oversized_impl,
+    )
+
+    dec = streamed_maintenance_decision(spark, moments_dir, sf_dir).select(
+        "cell", "action", "n_after"
+    )
+    cells, emb = _streamed_member_state(spark, filing_dir, sf_dir)
+    v_flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+
+    # retrain branch: refit = member means from the mergeable moments
+    flagged = dec.filter(F.col("action") == "retrain").select("cell")
+    moments = (
+        _ivf_standing_moments(spark, sf_dir)
+        .select("cell", "i", "sum_x", "n")
+        .unionByName(
+            spark.read.parquet(moments_dir).select("cell", "i", "sum_x", "n")
+        )
+    )
+    new_cent = (
+        moments.join(F.broadcast(flagged), "cell")
+        .groupBy("cell", "i")
+        .agg((F.sum("sum_x") / F.sum("n")).alias("mx"))
+        .select(F.col("cell").alias("cand_cell"), "i", F.col("mx").alias("cx"))
+    )
+    mem_flat = (
+        cells.select("vec_id", "cell")
+        .join(F.broadcast(flagged), "cell")
+        .join(v_flat, "vec_id")
+    )
+    resc = (
+        mem_flat.select("vec_id", "i", "x")
+        .join(F.broadcast(new_cent), "i")
+        .groupBy("vec_id", "cand_cell")
+        .agg(_cosine_agg("x", "cx").alias("cosine"))
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("cand_cell")
+    )
+    rt = (
+        resc.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("cand_cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_retrained"))
+        .join(flagged, "cell", "right")
+        .select(
+            (F.col("cell") * 10).cast("bigint").alias("new_cell"),
+            F.col("cell").cast("bigint").alias("parent_cell"),
+            F.lit("retrain").alias("action"),
+            F.coalesce("n_retrained", F.lit(0)).cast("bigint").alias("n_vecs"),
+        )
+    )
+
+    # refile branch: the shared parameterized split
+    admission = dec.filter(F.col("action") == "refile").select("cell")
+    cent_own = _ivf_frozen_quantizer(spark, sf_dir).select(
+        F.col("label").alias("cell"), "i", "cx"
+    )
+    rf = (
+        _refile_oversized_impl(
+            emb, cells.select("vec_id", "cell"), cent_own, "ivf_sexec",
+            admission=admission,
+        )
+        .filter(F.col("was_split"))
+        .select(
+            "new_cell",
+            "parent_cell",
+            F.lit("refile").alias("action"),
+            "n_vecs",
+        )
+    )
+
+    wt = dec.filter(F.col("action") == "wait").select(
+        (F.col("cell") * 10).cast("bigint").alias("new_cell"),
+        F.col("cell").cast("bigint").alias("parent_cell"),
+        F.lit("wait").alias("action"),
+        F.col("n_after").cast("bigint").alias("n_vecs"),
+    )
+    return rt.unionByName(rf).unionByName(wt)
