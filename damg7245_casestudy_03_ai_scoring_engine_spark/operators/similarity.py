@@ -337,28 +337,46 @@ def _ivf_probe_assign(
     quantizer arithmetic used for filing — margin-adaptive: the top
     `min_probes` cells always, plus cells scoring within _IVF_DELTA
     of the query's best cell, up to `cap` (see the constant block for
-    the measured recall rationale)."""
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    q_scores = _ivf_cell_scores(
-        emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding"),
-        _ivf_quantizer(spark, sf_dir),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
-    best = F.max("cosine").over(Window.partitionBy("vec_id"))
-    return (
-        q_scores.withColumn("rk", F.row_number().over(w))
-        .withColumn("best", best)
-        .filter(
-            (F.col("rk") <= min_probes)
-            | (
-                (F.col("rk") <= cap)
-                & (F.col("cosine") >= F.col("best") - _IVF_DELTA)
+    the measured recall rationale).
+
+    Memoized + persisted per (session, sf, min_probes, cap) — r13,
+    guide §2.4: the frame is O(queries·cap) rows but its subtree
+    (query scan → quantizer scores → two windows) was re-evaluated
+    per consumer, and `ann_ivfpq_adc_topk` alone plans it TWICE per
+    run (once inside the broadcast LUT subplan, once on the probe
+    side).  At 100 TB the probe set is serving-path metadata computed
+    once per query batch, not once per plan branch."""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings", fan_out=True)
+        q_scores = _ivf_cell_scores(
+            emb.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding"),
+            _ivf_quantizer(spark, sf_dir),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("label"))
+        best = F.max("cosine").over(Window.partitionBy("vec_id"))
+        return (
+            q_scores.withColumn("rk", F.row_number().over(w))
+            .withColumn("best", best)
+            .filter(
+                (F.col("rk") <= min_probes)
+                | (
+                    (F.col("rk") <= cap)
+                    & (F.col("cosine") >= F.col("best") - _IVF_DELTA)
+                )
+            )
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("probe_label"),
             )
         )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("probe_label"),
-        )
+
+    return _session_memo_persist(
+        spark,
+        f"_ivf_probe_assign_{tag}_{min_probes}_{cap}",
+        f"ivf.probes.{tag}.{min_probes}.{cap}",
+        build,
     )
 
 
@@ -383,6 +401,11 @@ def _ivf_search(
             F.col("embedding").alias("cv"),
         )
     )
+    # (query_id, cand_id) is unique by construction — the filing holds
+    # exactly one cell per vector and the probe set one row per
+    # (query, cell) — so no distinct: a dedup here would shuffle the
+    # whole scored candidate set for nothing (r13, guide §2.4; verified
+    # join-rows == distinct-rows at the widest probe params).
     scored = (
         assign.join(q, "query_id")
         .join(cand, "probe_label")
@@ -392,7 +415,6 @@ def _ivf_search(
             "cand_id",
             F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -1465,7 +1487,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     d = len(emb.select("embedding").first()[0])
     sub_d = d // _PQ_M
-    n_vecs = emb.count()
+    # parquet-footer count (r13: was emb.count(), a full-scan job per run)
+    n_vecs = _emb_count(spark, sf_dir)
     shortlist_k = max(_PQ_SHORTLIST_MIN, n_vecs // _PQ_SHORTLIST_DIV)
 
     nv = emb.select(
@@ -2766,15 +2789,18 @@ def _refile_oversized_impl(
     `_ivf_refile_body_sql`)."""
     from ..functions.cache import tracked_persist
 
-    sizes = cells.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c")
-    )
-    tot = cells.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total"),
-        F.countDistinct("cell").cast("bigint").alias("ncells"),
-    )
+    # Admission totals from ONE pass over the filing: total = Σ n_c and
+    # ncells = row count of the per-cell sizes, via a single-partition
+    # window over the O(cells) frame — r13 (guide §2.4): the old shape
+    # re-scanned `cells` a second time for a global agg and broadcast it
+    # back through a crossJoin (two jobs per run for numbers the sizes
+    # frame already contains).
+    wall_cells = Window.partitionBy()
     refile = (
-        sizes.crossJoin(F.broadcast(tot))
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .withColumn("total", F.sum("n_c").over(wall_cells))
+        .withColumn("ncells", F.count(F.lit(1)).over(wall_cells))
         .filter(
             F.col("n_c") * F.col("ncells") * F.lit(10)
             > F.lit(_REFILE_NUM) * F.col("total")
@@ -2806,13 +2832,20 @@ def _refile_oversized_impl(
         .groupBy("vec_id", "cell")
         .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
+    # n_c for the rank-split comes from a count window over the same
+    # cell partitioning the rank window already establishes — no
+    # broadcast re-join of the sizes frame (r13, guide §2.4; `own`
+    # holds EVERY member of each flagged cell, so the window count
+    # equals the filing's per-cell size by construction).
     wrank = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    wcell = Window.partitionBy("cell")
     halves = (
-        own.join(F.broadcast(sizes), "cell")
-        .withColumn(
+        own.withColumn(
             "half",
             F.when(
-                F.lit(2) * F.row_number().over(wrank) <= F.col("n_c"), F.lit(0)
+                F.lit(2) * F.row_number().over(wrank)
+                <= F.count(F.lit(1)).over(wcell),
+                F.lit(0),
             ).otherwise(F.lit(1)),
         )
         .select("vec_id", "cell", "half")
@@ -4057,16 +4090,28 @@ def _ivf_ncent(spark: SparkSession, sf_dir: str) -> DataFrame:
     r13 draft L2-normalized it first, which INFLATED residual energy
     ~1.6x on this corpus (loose cells, member-centroid cos ~0.2) and
     collapsed sf1i recall to 0.40 — measured in the r13 numpy sweep,
-    see SCALE.md findings."""
-    return (
-        _ivf_quantizer(spark, sf_dir)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "cx"))),
-                lambda s: s["cx"],
-            ).alias("ncv")
+    see SCALE.md findings.
+
+    Memoized + persisted per (session, sf) — r13, guide §2.4: nlist
+    rows, but previously re-aggregated from the quantizer by every
+    consumer action (subvec build + the per-run query-residual side of
+    `ann_ivfpq_adc_topk`)."""
+    tag = _sf_tag_sim(sf_dir)
+
+    def build() -> DataFrame:
+        return (
+            _ivf_quantizer(spark, sf_dir)
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cx"))),
+                    lambda s: s["cx"],
+                ).alias("ncv")
+            )
         )
+
+    return _session_memo_persist(
+        spark, f"_ivf_ncent_{tag}", f"ivf.ncent.{tag}", build
     )
 
 
@@ -4184,11 +4229,13 @@ def _ivfpq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, c): the PQ-encoded corpus — each vector's RESIDUAL
-    subvector's nearest trained centroid per subspace (6dp distance,
-    code-asc ties).  Memoized + persisted
-    per (session, sf): THE compressed index payload (M small codes per
-    vector — the 100 TB scan artifact)."""
+    """(vec_id, cell, m, c): the PQ-encoded corpus — each vector's
+    RESIDUAL subvector's nearest trained centroid per subspace (6dp
+    distance, code-asc ties), keyed by its IVF cell.  Memoized +
+    persisted per (session, sf): THE compressed index payload (M small
+    codes per vector, stored BY CELL — the 100 TB scan artifact is
+    cell-partitioned code storage, so the cell key lives in the build,
+    not in a per-run join; r13, guide §2.4)."""
     tag = _sf_tag_sim(sf_dir)
 
     def build() -> DataFrame:
@@ -4199,6 +4246,8 @@ def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "m")
             .agg(F.min(F.struct("d", "c")).alias("best"))
             .select("vec_id", "m", F.col("best.c").alias("c"))
+            .join(_ivf_cells(spark, sf_dir), "vec_id")
+            .select("vec_id", "cell", "m", "c")
         )
 
     return _session_memo_persist(
@@ -4252,7 +4301,9 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB with cell-partitioned code storage the probe prunes
     partitions exactly as `ann_ivf_partition_pruned` demonstrates."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    n_vecs = emb.count()  # bounded scalar: shortlist sizing (flat-twin precedent)
+    # bounded scalar for shortlist sizing — parquet-footer count (r13:
+    # was emb.count(), a full corpus-scan job per run; guide §5)
+    n_vecs = _emb_count(spark, sf_dir)
     shortlist_k = max(
         _IVFPQ_SHORTLIST_MIN, n_vecs // _IVFPQ_SHORTLIST_DIV
     )
@@ -4286,7 +4337,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "probe_label", "m", "c", _ivfpq_dist().alias("d2")
         )
     )
-    cand = codes.join(_ivf_cells(spark, sf_dir), "vec_id").select(
+    cand = codes.select(
         F.col("vec_id").alias("cand_id"),
         F.col("cell").alias("probe_label"),
         "m",

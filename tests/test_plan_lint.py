@@ -42,9 +42,6 @@ BNLJ_OK = {
     "retrieval_eval_rank_metrics",
     # 1-row broadcast corpus-total attach (scan_fraction denominator)
     "ivf_probe_cost_profile",
-    # 1-row broadcast (total, ncells) attach for the 110% refile
-    # admission — same corpus-total pattern as ivf_probe_cost_profile
-    "ivf_refile_oversized",
     # source-pair matrix: broadcast inequality join of the ~20-row
     # per-source size table with itself (s(s-1)/2 pairs by design —
     # source count, never corpus size, bounds the build side)
@@ -84,10 +81,9 @@ BNLJ_OK = {
     "spatial_nn_expanding_ring",
     "target_encoding_smoothed",
     "temperature_mixing_weights",
-    # the refile's 1-row (total, ncells) admission attach, over the
-    # post-append filing (r11 — shared _refile_oversized_impl; the
-    # standing twin ivf_refile_oversized is allowlisted below/above)
-    "ivf_append_refile",
+    # r13: ivf_refile_oversized / ivf_append_refile dropped off this
+    # list — the (total, ncells) admission attach is now a window over
+    # the O(cells) sizes frame, no crossJoin-broadcast (guide §2.4)
     # same 1-row decimal-normalizer attach as its raw twin above,
     # over the kept corpus (r11)
     "post_dedup_mixing_weights",
