@@ -11,7 +11,7 @@ session timezone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load
@@ -1534,29 +1534,60 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale twin: `rolling_active_users_hll` answers the same question
     from mergeable per-day sketches without re-touching the activity
     grain.
+
+    r13 shape (guide §2.3 — shuffle fewer bytes): the former plan
+    exploded every (day, user) activity ×7 and count-distinct-ed the
+    expansion.  A user counts toward window w iff w lies in the union
+    of that user's [day, day+6] intervals, so the per-window distinct
+    count is a sweep-line: merge each user's active days into runs
+    (a gap > 6 days starts a new run — fixed-length interval union,
+    the `cross_doc_dup_spans` closed form), emit +1 at each run start
+    and −1 one past each run end, sum deltas per day, and prefix-sum
+    over the day axis.  Exchanges carry one delta pair per run
+    boundary instead of 7 rows per activity, and no distinct
+    aggregation remains; the final cumsum is a single-partition window
+    over the tiny per-day delta frame (days, not events).  Pure
+    integer arithmetic — result-identical to the explode form.
     """
     from ..functions.cache import tracked_persist
 
     du = tracked_persist(
         load(spark, sf_dir, "events", fan_out=True)
         .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .repartition("user_id")
         .distinct(),
         "rolling_active_users.day_user",
     )
     days = du.select("day_idx").distinct()
-    contrib = du.select(
-        "day_idx",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    wu = Window.partitionBy("user_id").orderBy("day_idx")
+    runs = du.select(
         "user_id",
-    ).select((F.col("day_idx") + F.col("o")).alias("window_day"), "user_id")
-    return (
-        contrib.join(
-            days.withColumnRenamed("day_idx", "window_day"),
-            "window_day",
-            "left_semi",
+        "day_idx",
+        (F.col("day_idx") - F.lag("day_idx").over(wu) > 6).alias("starts"),
+        (F.lead("day_idx").over(wu) - F.col("day_idx") > 6).alias("ends"),
+    )
+    deltas = (
+        runs.filter(F.coalesce(F.col("starts"), F.lit(True)))
+        .select(F.col("day_idx").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            runs.filter(F.coalesce(F.col("ends"), F.lit(True))).select(
+                (F.col("day_idx") + F.lit(7)).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
         )
-        .groupBy("window_day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_7d"))
+        # zero-delta seed rows: the cumsum must be EVALUATED at every
+        # observed day, including mid-run days that are no run boundary
+        .unionAll(days.select(F.col("day_idx").alias("d"), F.lit(0).alias("delta")))
+    )
+    wday = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    active = (
+        deltas.groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+        .withColumn("n_active_7d", F.sum("net").over(wday).cast("bigint"))
+        .select(F.col("d").alias("window_day"), "n_active_7d")
+    )
+    return active.join(
+        days.withColumnRenamed("day_idx", "window_day"), "window_day", "left_semi"
     )
 
 

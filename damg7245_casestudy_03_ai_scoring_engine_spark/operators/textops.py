@@ -6,7 +6,7 @@ The LLM-data-pipeline extension set; all native column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import tracked_persist
@@ -1684,21 +1684,32 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     flagged = grams.join(dup, "gram")
-    # One grouped pass computes BOTH stats: positions are unique per
-    # (doc, gram instance), so n_dup_grams == countDistinct(pos) on
-    # the exploded frame — no second aggregation or join needed.
+    # Interval-union coverage WITHOUT the 8x position explode (r13,
+    # guide §2.3 "shuffle fewer bytes"): the duplicated spans are all
+    # exactly _SPAN_N tokens long, so the size of their union has the
+    # closed form Σ min(_SPAN_N, pos_i − pos_{i−1}) over the doc's
+    # sorted span starts (first span contributes _SPAN_N; a gap ≥
+    # _SPAN_N means disjoint, < _SPAN_N means the overlap is shared).
+    # Integer-exact equal to the old countDistinct over the exploded
+    # positions, but the exchange now carries one row per flagged gram
+    # instead of 8 exploded positions expanded ×2 by the double
+    # countDistinct.  (pos is unique per doc — one gram per position —
+    # so n_dup_grams is a plain count.)
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
     cov = (
-        flagged.select(
-            "doc_id",
-            "pos",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_N - 1))
-            ).alias("p"),
+        flagged.withColumn(
+            "inc",
+            F.least(
+                F.lit(_SPAN_N),
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(wpos), F.lit(_SPAN_N)
+                ),
+            ),
         )
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("p").alias("covered_tokens"),
-            F.countDistinct("pos").alias("n_dup_grams"),
+            F.sum("inc").alias("covered_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
         )
     )
     covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")

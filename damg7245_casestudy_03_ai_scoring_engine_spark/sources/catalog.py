@@ -34,6 +34,18 @@ TABLES = (
 # supplier/part grow slowly relative to the fact tables).
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
+# Schema memo per (SparkSession id, parquet path): `spark.read.parquet`
+# runs a 1-task schema-inference job against the footer on EVERY call,
+# so a bench pass over N queries × M tables × R reps paid N·M·R footer
+# jobs (stage-probe r13: TPC-H Q5 ran SIX 1-task `parquet at` stages
+# per run, one per table).  Inferring once per session and passing the
+# explicit schema afterwards removes those jobs; pure metadata, not a
+# result cache — at 100 TB the catalog (Delta/Iceberg/metastore) serves
+# the schema the same way (guide §6: listing/planning is driver-side
+# overhead to amortize).  Keyed by session id so a new session (new
+# confs, e.g. nanosAsLong) re-infers.
+_SCHEMA_MEMO: dict[tuple[str, str], "T.StructType"] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> DataFrame:
     """Read one test table.
@@ -55,7 +67,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> 
         # normalized to the same int64-ns contract below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    memo_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_MEMO.get(memo_key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[memo_key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_events_ts(df, source_path=path)
     if fan_out:
