@@ -42,8 +42,9 @@ def main() -> None:
     # warm run sees the same data; the timed pass then reports
     # steady-state engine throughput — what a long-lived cluster
     # delivers — rather than one-time JIT/plan-compilation cost.
-    for spec in bench_specs.values():
+    for name, spec in bench_specs.items():
         try:
+            spark.sparkContext.setJobDescription(f"warmup:{name}")
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a warm-up failure must never sink the bench run
@@ -82,7 +83,12 @@ def main() -> None:
         for name, spec in bench_specs.items():
             runs: list[float] = []
             try:
-                for _ in range(3):
+                for _rep in range(3):
+                    # guide §1.5: label jobs so a UI/event-log trace of a
+                    # bench run maps back to (query, pass, rep)
+                    spark.sparkContext.setJobDescription(
+                        f"bench:{name}:p{_pass + 1}r{_rep + 1}"
+                    )
                     t0 = time.perf_counter()
                     df = spec.fn(spark, sf_dir)
                     df.write.format("noop").mode("overwrite").save()

@@ -189,15 +189,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mh = hashed.select("doc_id", sig.alias("sig"))
     b = F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
-    bands = mh.select("doc_id", b, "sig").select(
-        "doc_id",
-        "b",
-        F.concat_ws(
-            "|",
-            F.element_at("sig", F.col("b") * 3 + 1).cast("string"),
-            F.element_at("sig", F.col("b") * 3 + 2).cast("string"),
-            F.element_at("sig", F.col("b") * 3 + 3).cast("string"),
-        ).alias("band_hash"),
+    # Persisted (r13, guide §2.4): both sides of the band-bucket
+    # self-join consume this frame, and without materialization each
+    # side re-derives the k=9 minhash permutations over every shingle
+    # list from the cached `hashed` silver — the signature pass ran
+    # twice per invocation.
+    bands = tracked_persist(
+        mh.select("doc_id", b, "sig").select(
+            "doc_id",
+            "b",
+            F.concat_ws(
+                "|",
+                F.element_at("sig", F.col("b") * 3 + 1).cast("string"),
+                F.element_at("sig", F.col("b") * 3 + 2).cast("string"),
+                F.element_at("sig", F.col("b") * 3 + 3).cast("string"),
+            ).alias("band_hash"),
+        ),
+        "dedup_minhash_lsh.bands",
     )
     left = bands.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc_b"), "b", "band_hash")

@@ -224,6 +224,12 @@ def brand_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
+    # Persisted (r13, guide §5): three consumers — the n_orders scalar
+    # and BOTH sides of the co-occurrence self-join — otherwise each
+    # re-run the lineitem scan + broadcast join + distinct.  The okey
+    # grain is already distinct, so n_orders needs no second distinct
+    # pass, just a countDistinct over the persisted silver.
+    baskets = tracked_persist(baskets, "brand_triangle_counts.baskets")
     n_orders = baskets.select("okey").distinct().count()
     import math
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cache import tracked_persist
-from ..sources.catalog import load
+from ..sources.catalog import load, read_parquet_memo
 from ..sources.scratch import scratch_dir
 from .registry import register
 
@@ -162,7 +162,7 @@ def _month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         setattr(spark, key, path)
-    return spark.read.parquet(getattr(spark, key))
+    return read_parquet_memo(spark, getattr(spark, key))
 
 
 @register(
@@ -270,7 +270,7 @@ def _zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         setattr(spark, key, path)
-    return spark.read.parquet(getattr(spark, key))
+    return read_parquet_memo(spark, getattr(spark, key))
 
 
 @register(

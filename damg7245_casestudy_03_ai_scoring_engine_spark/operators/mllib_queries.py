@@ -382,6 +382,12 @@ def fpgrowth_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("okey")
         .agg(F.array_sort(F.collect_set("brand")).alias("items"))
     )
+    # Persisted (r13, guide §5): the FP-Growth fit and the n_orders
+    # scalar both materialize this frame — without the persist the
+    # lineitem⋈part + distinct + collect_set pipeline runs twice.
+    from ..functions.cache import tracked_persist
+
+    baskets = tracked_persist(baskets, "fpgrowth.baskets")
     model = FPGrowth(
         itemsCol="items", minSupport=_FP_MIN_SUPPORT, minConfidence=0.1
     ).fit(baskets)

@@ -2184,23 +2184,23 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = o.sparkSession.createDataFrame(
         [(d, p) for d, p in _BENFORD.items()], "d int, p double"
     )
-    n_tot = digits.count()
+    # n_tot rides as a 1-row broadcast agg over the ≤9-row obs frame
+    # (Σ n over every digit group == the row count) instead of an
+    # eager digits.count() — r13, guide §1.2: the count was a second
+    # full scan of orders per run; this mirrors the oracle's own
+    # `tot AS (SELECT sum(n) FROM obs)` shape.
+    tot = obs.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    ratio = F.coalesce(F.col("n"), F.lit(0)) / F.col("n_tot").cast("double")
     out = (
         expected.alias("e")
         .join(obs.alias("o"), "d", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("d").alias("digit"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
-            F.round(
-                F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(n_tot)), 6
-            ).alias("observed"),
+            F.round(ratio, 6).alias("observed"),
             F.col("p").alias("expected"),
-            F.round(
-                F.abs(
-                    F.coalesce(F.col("n"), F.lit(0)) / F.lit(float(n_tot)) - F.col("p")
-                ),
-                6,
-            ).alias("abs_dev"),
+            F.round(F.abs(ratio - F.col("p")), 6).alias("abs_dev"),
         )
     )
     return out

@@ -314,9 +314,17 @@ def pca_one_factor_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scoring import config as C
     from ..scoring.demo_domain import dimension_scores
 
+    from ..functions.cache import tracked_persist
+
     ds = dimension_scores(spark, sf_dir).select("company_id", "dimension", "score")
     dims = list(C.DIMENSIONS)
-    pivoted = ds.groupBy("company_id").pivot("dimension", dims).agg(F.max("score"))
+    # Persisted (r13, guide §5): the stats-collect below and the final
+    # η projection both consume this pivot — without it the whole
+    # dimension_scores DAG + pivot ran twice per invocation.
+    pivoted = tracked_persist(
+        ds.groupBy("company_id").pivot("dimension", dims).agg(F.max("score")),
+        "pca_one_factor.pivoted",
+    )
 
     # Distributed moments + pairwise correlations (one aggregation).
     aggs = []
@@ -394,9 +402,17 @@ def sem_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic LCG pick (17k+31r+7) mod n so Spark and the DuckDB
     oracle draw identical resamples; the reference's seed-42 numpy
     stream serves the same reproducibility goal."""
+    from ..functions.cache import tracked_persist
+
     t = sem_training_rows(spark, sf_dir).select("scored_date", "run_id", "composite")
     w = Window.orderBy(F.desc("scored_date"), F.desc("run_id"))
-    capped = t.withColumn("idx", F.row_number().over(w).cast("bigint") - 1)
+    # Persisted (r13, guide §5): three consumers — the n scalar, the
+    # crossJoin index frame and the broadcast composite lookup — each
+    # otherwise re-ran the whole sem_training_rows DAG + global window.
+    capped = tracked_persist(
+        t.withColumn("idx", F.row_number().over(w).cast("bigint") - 1),
+        "sem_bootstrap.capped",
+    )
     n = capped.count()
     reps = spark.range(400).select(F.col("id").alias("k"))
     picks = reps.crossJoin(capped.select("idx")).select(

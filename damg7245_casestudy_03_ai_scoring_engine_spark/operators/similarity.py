@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
-from ..sources.catalog import load
+from ..sources.catalog import load, read_parquet_memo
 from .registry import register
 
 _N_QUERIES = 10
@@ -734,8 +734,15 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive pair LISTING (and the oracle anchor), while
     `lsh_pairs_topk` — k-bounded output, wider bands — is the bench
     headliner and the shape that survives 100×."""
+    from ..functions.cache import tracked_persist
+
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    codes = _lsh_band_codes(emb, _BAND_BITS)
+    # Persisted for the same both-sides-of-the-self-join reason as
+    # lsh_pairs_topk (r13): without it the signature projection runs
+    # twice per invocation.
+    codes = tracked_persist(
+        _lsh_band_codes(emb, _BAND_BITS), "lsh_cosine_pairs.codes"
+    )
 
     a = codes.select(
         "band", "code", F.col("vec_id").alias("vec_a"),
@@ -949,9 +956,19 @@ def lsh_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-item ranking window (partitioned — no global sort).
     The oracle replays the identical band structure + verify + rank
     in DuckDB."""
+    from ..functions.cache import tracked_persist
+
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     r = _topk_band_bits(_emb_count(spark, sf_dir))
-    codes = _lsh_band_codes(emb, r, n_planes=_TOPK_BANDS * r)
+    # Persisted: BOTH sides of the (band, code) self-join consume this
+    # frame, and their differing projections defeat exchange reuse, so
+    # without materialization the 32-plane × 64-dim band-code
+    # aggregates — the query's dominant per-task compute — run twice
+    # per invocation (r13, guide §2.4 shared subtrees / §5 caching).
+    codes = tracked_persist(
+        _lsh_band_codes(emb, r, n_planes=_TOPK_BANDS * r),
+        "lsh_pairs_topk.codes",
+    )
 
     a = codes.select(
         "band", "code", F.col("vec_id").alias("vec_a"),
@@ -1736,7 +1753,7 @@ def _cell_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         setattr(spark, key, path)
-    return spark.read.parquet(getattr(spark, key))
+    return read_parquet_memo(spark, getattr(spark, key))
 
 
 @register(
@@ -2051,11 +2068,19 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("av", "bv"), 6).alias("cosine"),
         )
     )
+    from ..functions.cache import tracked_persist
+
     w = Window.partitionBy("k").orderBy(F.desc("cosine"), F.asc("nb"))
-    nn = (
+    # Persisted (r13, guide §2.4): the mutuality check self-joins this
+    # frame, and without materialization BOTH join branches re-run the
+    # per-block quadratic cosine pass + argmax window — the expensive
+    # candidate stage executed twice per invocation.  nn is one row
+    # per vector (tiny).
+    nn = tracked_persist(
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("k", "nb", "cosine")
+        .select("k", "nb", "cosine"),
+        "mutual_nn_pairs.nn",
     )
     other = nn.select(F.col("k").alias("yk"), F.col("nb").alias("ynb"))
     return (
@@ -2850,12 +2875,22 @@ def _refile_oversized_impl(
         )
         .select("vec_id", "cell", "half")
     )
-    # (vec_id, cell, half, i, x): each member's dims tagged with its
-    # rank-half — one row per (vec, dim), reused by both stages below
-    hm = halves.join(mem_flat, ["vec_id", "cell"])
-    sub_cent = hm.groupBy("cell", "half", "i").agg(F.avg("x").alias("cx"))
+    # Sub-centroid means: tag each member-dim with its rank-half via a
+    # BROADCAST of the one-row-per-member halves frame (r13, guide
+    # §2.4/§3.1 — the former halves⋈mem_flat hash join shuffled the
+    # flagged-members × dim frame by (vec_id, cell) just to attach a
+    # 1-byte tag; halves is O(flagged members), always broadcastable).
+    sub_cent = (
+        mem_flat.join(F.broadcast(halves), ["vec_id", "cell"])
+        .groupBy("cell", "half", "i")
+        .agg(F.avg("x").alias("cx"))
+    )
+    # Rescore straight off the persisted mem_flat: sub_cent carries two
+    # halves per (cell, i), so the broadcast join alone produces the
+    # (vec, cell, half) scoring grain — the member's own half tag was
+    # never used here.
     resc = (
-        hm.select("vec_id", "cell", "i", "x")
+        mem_flat.select("vec_id", "cell", "i", "x")
         .join(F.broadcast(sub_cent), ["cell", "i"])
         .groupBy("vec_id", "cell", "half")
         .agg(_cosine_agg("x", "cx").alias("cosine"))

@@ -878,11 +878,16 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     uni = d.select(F.explode(ws).alias("w"))
-    n_tot = uni.count()
     bg_counts = bigrams.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     ).filter(F.col("n_xy") >= 5)
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Corpus token total as a 1-row broadcast agg over the unigram
+    # counts (Σ n == uni.count()) instead of an eager uni.count() —
+    # r13, guide §1.2: the count was a SECOND full tokenize+explode
+    # pass over the corpus per run; the distinct-word frame already
+    # holds the total.
+    tot = uni_counts.agg(F.sum("n").cast("bigint").alias("n_tot"))
     u1 = uni_counts.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     u2 = uni_counts.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
     scored = (
@@ -890,11 +895,12 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w2", F.split("bigram", " ").getItem(1))
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
         .select(
             "bigram",
             "n_xy",
             F.round(
-                (F.col("n_xy") * F.lit(n_tot)) / (F.col("n1") * F.col("n2")).cast("double"),
+                (F.col("n_xy") * F.col("n_tot")) / (F.col("n1") * F.col("n2")).cast("double"),
                 6,
             ).alias("lift"),
         )

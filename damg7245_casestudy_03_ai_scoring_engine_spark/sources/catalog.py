@@ -81,6 +81,23 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> 
     return df
 
 
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet` with the session-memoized schema — the same
+    footer-job removal `load()` does, for session-written layout
+    artifacts (bucketed/partitioned/z-ordered scratch tables) that are
+    read back on every run of their consumer queries.  First read
+    infers (one 1-task job) and memoizes; later reads plan with zero
+    jobs.  Partition-discovery columns are part of the inferred schema,
+    so hive-partitioned layouts round-trip unchanged."""
+    memo_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_MEMO.get(memo_key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[memo_key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def _long_ts_ns_multiplier(source_path: str) -> int:
     """When the scan yields a LongType ts, decide what unit the file
     actually stores (driver-side parquet footer read — no Spark job).

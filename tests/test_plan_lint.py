@@ -84,6 +84,12 @@ BNLJ_OK = {
     # r13: ivf_refile_oversized / ivf_append_refile dropped off this
     # list — the (total, ncells) admission attach is now a window over
     # the O(cells) sizes frame, no crossJoin-broadcast (guide §2.4)
+    # r13: n_tot now rides as a 1-row broadcast agg over the ≤9-row
+    # obs frame (was an eager second full scan of orders)
+    "benford_digit_audit",
+    # r13: corpus token total as a 1-row broadcast agg over the unigram
+    # counts (was an eager second tokenize+explode pass)
+    "bigram_collocations",
     # same 1-row decimal-normalizer attach as its raw twin above,
     # over the kept corpus (r11)
     "post_dedup_mixing_weights",
@@ -118,6 +124,11 @@ UNPARTITIONED_RANK_OK = {
     "neyman_stratified_sample",
     "pagerank_top_nodes",
     "popularity_recsys_eval",
+    # r13 sweep-line rewrite: the global cumsum runs over the per-DAY
+    # delta frame (O(observed days) rows after the groupBy — the day
+    # axis, never events), the same bounded-tiny class as
+    # compaction_plan_bins above
+    "rolling_active_users",
     "pr_curve_thresholds",
     "qini_curve_buckets",
     "sem_bootstrap_ci",
