@@ -18,12 +18,43 @@ def _col(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+# r13 (guide §5 driver / §7.3 planning): when callers pass plain column
+# NAMES — every operator call site does — build the expression with ONE
+# F.expr parse instead of the python-side higher-order-function
+# machinery, whose per-call lambda setup costs ~30 ms of py4j traffic;
+# the similarity family constructs a dozen of these per DataFrame
+# build.  The SQL spells the IDENTICAL arithmetic (double casts, 0D
+# init, same fold), so results and canonical plans are unchanged in
+# substance; the Column path stays for expression-valued inputs.
+def _is_name(x: Column | str) -> bool:
+    return isinstance(x, str) and x.isidentifier()
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, 0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
+    if _is_name(a) and _is_name(b):
+        return F.expr(_dot_sql(a, b))
     prod = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def l2_norm(a: Column | str) -> Column:
+    if _is_name(a):
+        return F.expr(_l2_sql(a))
     sq = F.aggregate(
         _col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
     )
@@ -32,5 +63,11 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a,b) with a zero-norm guard (ANSI-safe)."""
+    if _is_name(a) and _is_name(b):
+        na, nb = _l2_sql(a), _l2_sql(b)
+        return F.expr(
+            f"CASE WHEN {na} > 0 AND {nb} > 0 "
+            f"THEN {_dot_sql(a, b)} / ({na} * {nb}) ELSE 0D END"
+        )
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))

@@ -169,23 +169,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² — this is the operator you run at 100 TB, with the band join
     shuffling only (band_idx, band_hash, doc_id)."""
     sh = _shingled_docs(spark, sf_dir)
-    base = F.transform(
-        F.col("shingles"),
-        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % _P,
+    # single-parse F.expr (r13, guide §5/§7.3): identical arithmetic to
+    # the former python-lambda HOF, minus the per-build py4j lambda setup
+    base = F.expr(
+        "transform(shingles, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % {_P})"
     )
     # Persisted: feeds three consumers (band generation + both sides of
     # the jaccard verify); without materialization Catalyst re-derives
     # the whole tokenize->shingle->md5 lineage for each.  At scale the
     # same role is played by checkpointing the signature table.
     hashed = tracked_persist(sh.select("doc_id", "shingles", base.alias("hs")), "dedup_minhash_lsh.hashed")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_K - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: ((2 * s + 1) * h + (17 * s + 7)) % _P,
-            )
-        ),
+    sig = F.expr(
+        f"transform(sequence(0, {_K - 1}), s -> "
+        f"array_min(transform(hs, h -> ((2 * s + 1) * h + (17 * s + 7)) % {_P})))"
     )
     mh = hashed.select("doc_id", sig.alias("sig"))
     b = F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")
@@ -998,9 +995,11 @@ def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for colliding candidates.  Per-batch cost scales with the batch
     and its collision set — independent of corpus size."""
     sh = _shingled_docs(spark, sf_dir)
-    base = F.transform(
-        F.col("shingles"),
-        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % _P,
+    # single-parse F.expr (r13, guide §5/§7.3): identical arithmetic to
+    # the former python-lambda HOF, minus the per-build py4j lambda setup
+    base = F.expr(
+        "transform(shingles, x -> "
+        f"CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % {_P})"
     )
     is_delta = (
         F.conv(
@@ -1019,14 +1018,9 @@ def incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select("doc_id", "shingles", base.alias("hs"), is_delta.alias("is_delta")),
         "incremental_lsh_probe.hashed",
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_K - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: ((2 * s + 1) * h + (17 * s + 7)) % _P,
-            )
-        ),
+    sig = F.expr(
+        f"transform(sequence(0, {_K - 1}), s -> "
+        f"array_min(transform(hs, h -> ((2 * s + 1) * h + (17 * s + 7)) % {_P})))"
     )
     mh = hashed.select("doc_id", "is_delta", sig.alias("sig"))
     b = F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("b")

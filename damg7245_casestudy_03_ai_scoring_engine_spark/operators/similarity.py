@@ -584,6 +584,29 @@ def _plane_weight(p: int, i: int) -> int:
     return int(h[:15], 16) % 2001 - 1000
 
 
+def _lsh_planes_frame(spark: SparkSession, n_planes: int) -> DataFrame:
+    """Session-memoized 1-row frame holding the n_planes×_DIM constant
+    hyperplane weight table as `pl array<array<bigint>>` — the
+    broadcast-attach carrier for `_lsh_band_codes`.  localCheckpoint
+    so every consumer plan sees one tiny leaf instead of a literal
+    forest; the weights are pure md5 math (no data dependency), so the
+    memo is a constant table, not a cached result."""
+    key = f"_lsh_planes_{n_planes}"
+    if not hasattr(spark, key):
+        pl = [
+            [_plane_weight(p, i) for i in range(1, _DIM + 1)]
+            for p in range(n_planes)
+        ]
+        setattr(
+            spark,
+            key,
+            spark.createDataFrame(
+                [(pl,)], "pl array<array<bigint>>"
+            ).localCheckpoint(),
+        )
+    return getattr(spark, key)
+
+
 def _lsh_band_codes(
     emb: DataFrame, band_bits: int, n_planes: int = _N_PLANES
 ) -> DataFrame:
@@ -603,32 +626,32 @@ def _lsh_band_codes(
     )
     quantized = emb.select("vec_id", "embedding", vq.alias("vq"))
 
-    # The 2048 constant plane weights are spliced into SQL strings and
-    # parsed JVM-side in ONE round trip per band: building them as
-    # 2048 individual F.lit Column objects costs ~2 s of py4j traffic
-    # per DataFrame CONSTRUCTION (measured — it dominated the query's
-    # own 0.9 s execution), which matters because the driver/bench
-    # rebuild the DataFrame on every call.
-    def plane_bit_sql(p: int) -> str:
-        ws = ",".join(str(_plane_weight(p, i)) for i in range(1, _DIM + 1))
-        return (
-            f"IF(aggregate(zip_with(vq, array({ws}), (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0, 1, 0)"
-        )
-
+    # The constant plane weights ride as DATA — a session-memoized
+    # 1-row frame crossJoined in (the repo's 1-row broadcast-attach
+    # pattern) — not as in-plan literals.  r13, guide §5/§7.3: the
+    # former per-band spliced-SQL literals put ~n_planes×64 constant
+    # nodes into the logical plan, and because every DataFrame
+    # transformation eagerly re-analyzes its subtree, each downstream
+    # select/join on the codes frame paid ~25 ms of analyzer walk over
+    # that constant forest — ~1 s of driver time per CONSTRUCTION of
+    # the consumer queries (measured via cProfile: 1795 py4j round
+    # trips, 0.93 s socket wait).  As a 1-row array<array<bigint>>
+    # column the plan holds ONE small HOF expression; the arithmetic
+    # (IF(vq·w_p >= 0) bits packed little-endian per band) is
+    # unchanged and bit-identical to the DuckDB planes CTE.
     n_bands = n_planes // band_bits
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("bigint").alias("band"),
-            F.expr(
-                " + ".join(
-                    f"{plane_bit_sql(b * band_bits + j)} * {1 << j}"
-                    for j in range(band_bits)
-                )
-            ).cast("bigint").alias("code"),
-        )
-        for b in range(n_bands)
-    ]
+    planes = _lsh_planes_frame(emb.sparkSession, n_planes)
+    code_expr = F.expr(
+        f"""explode(transform(sequence(0, {n_bands - 1}), b -> struct(
+            CAST(b AS BIGINT) AS band,
+            aggregate(transform(sequence(0, {band_bits - 1}), j ->
+                IF(aggregate(zip_with(vq,
+                                      element_at(pl, b * {band_bits} + j + 1),
+                                      (x, y) -> x * y),
+                             CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0,
+                   shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v) AS code)))"""
+    )
     # vq + its integer norm ride through the band explode so the
     # candidate stage needs no join back to the vector table — one
     # narrow stage straight into the (band, code) shuffle.
@@ -637,12 +660,16 @@ def _lsh_band_codes(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    return quantized.select(
-        "vec_id",
-        "vq",
-        F.sqrt(qdot.cast("double")).alias("qn"),
-        F.explode(F.array(*band_structs)).alias("bc"),
-    ).select("vec_id", "vq", "qn", "bc.band", "bc.code")
+    return (
+        quantized.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "vq",
+            F.sqrt(qdot.cast("double")).alias("qn"),
+            code_expr.alias("bc"),
+        )
+        .select("vec_id", "vq", "qn", "bc.band", "bc.code")
+    )
 
 
 @register(
@@ -4101,18 +4128,17 @@ def _ivfpq_nv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, nv): L2-normalized double vectors — the shared input
     grain for residual computation on both the data and query side."""
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    # single-parse F.expr (r13, guide §5/§7.3): same arithmetic as the
+    # former python-lambda HOF chain (double cast, 0D-seeded sum of
+    # squares, 1e-300 floor), one JVM parse instead of 3 lambda setups
     return emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     ).select(
         "vec_id",
-        F.transform(
-            "v",
-            lambda x: x
-            / F.greatest(
-                F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, b: a + b * b)),
-                F.lit(1e-300),
-            ),
+        F.expr(
+            "transform(v, x -> x / greatest("
+            "sqrt(aggregate(v, 0D, (a, b) -> a + b * b)), 1E-300))"
         ).alias("nv"),
     )
 

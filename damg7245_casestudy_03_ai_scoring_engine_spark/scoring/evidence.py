@@ -66,14 +66,21 @@ def keyword_matches(evidence: DataFrame, keywords) -> DataFrame:
     if isinstance(keywords, DataFrame):
         kw = F.broadcast(keywords)
         return evidence.join(kw, F.col("text").contains(F.col("keyword")))
-    kw_arr = F.array(
-        *[
-            F.struct(F.lit(d).alias("dimension"), F.lit(k).alias("keyword"))
-            for d, k in keywords
-        ]
+    # ONE F.expr parse for the literal taxonomy + containment filter
+    # (r13, guide §5/§7.3): the former per-pair F.lit/F.struct build
+    # cost ~210 py4j round trips per DataFrame construction and the
+    # python-lambda filter another HOF setup; the SQL spells the same
+    # array<struct<dimension,keyword>> literal and the same substring
+    # containment, so the plan and results are unchanged.
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    kw_items = ", ".join(
+        f"named_struct('dimension', {q(d)}, 'keyword', {q(k)})"
+        for d, k in keywords
     )
-    hit = F.explode(
-        F.filter(kw_arr, lambda x: F.col("text").contains(x["keyword"]))
+    hit = F.expr(
+        f"explode(filter(array({kw_items}), x -> contains(text, x.keyword)))"
     ).alias("_m")
     return (
         evidence.select("*", hit)

@@ -78,15 +78,30 @@ def assemble_composite(
     composite + band.  Inputs: vr_scores output, hhi output
     (company_id, hhi, n_items), companies (company_id, sector,
     position_factor)."""
+    # withColumns batches (r13, guide §5 driver / §7.3 planning):
+    # every classic-API DataFrame op eagerly re-analyzes its whole
+    # subtree JVM-side, so a 7-op withColumn chain over the scoring
+    # DAG paid 7 analyzer walks; grouping the independent columns into
+    # dependency levels keeps the same named columns and arithmetic
+    # with 3 walks.  Joins unchanged (inner, company_id) — comp's
+    # columns don't collide with the vr⋈hhi set.
     scored = (
         vr.join(supplier_hhi, "company_id")
-        .withColumn("hhi_factor", hhi_penalty_factor("hhi", "n_items"))
-        .withColumn(
-            "vr_final", clamp(F.col("vr_score") * F.col("hhi_factor"), 0.0, 100.0)
-        )
         .join(comp, "company_id")
-        .withColumn("hr_base", _hr_base_expr(F.col("sector")))
-        .withColumn("hr_final", hr_score("hr_base", "position_factor"))
+        .withColumns(
+            {
+                "hhi_factor": hhi_penalty_factor("hhi", "n_items"),
+                "hr_base": _hr_base_expr(F.col("sector")),
+            }
+        )
+        .withColumns(
+            {
+                "vr_final": clamp(
+                    F.col("vr_score") * F.col("hhi_factor"), 0.0, 100.0
+                ),
+                "hr_final": hr_score("hr_base", "position_factor"),
+            }
+        )
         .withColumn("syn_final", formula_synergy("vr_final", "hr_final"))
         .withColumn(
             "composite_score",

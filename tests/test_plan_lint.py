@@ -87,6 +87,12 @@ BNLJ_OK = {
     # r13: n_tot now rides as a 1-row broadcast agg over the ≤9-row
     # obs frame (was an eager second full scan of orders)
     "benford_digit_audit",
+    # r13: the constant hyperplane-weight table rides as a 1-row
+    # broadcast frame (array<array<bigint>>) instead of an in-plan
+    # literal forest — same 1-row-attach class as the scalar attaches
+    # above; the join side is always exactly one row
+    "lsh_cosine_pairs",
+    "lsh_pairs_topk",
     # r13: corpus token total as a 1-row broadcast agg over the unigram
     # counts (was an eager second tokenize+explode pass)
     "bigram_collocations",

@@ -224,16 +224,29 @@ def test_rolling_window_single_hash_exchange(spark):
 
 
 def test_lsh_planes_build_is_join_free(spark):
-    """The hyperplane constant table derives (p, i) from one range —
-    no nested-loop/cartesian node anywhere; the candidate join is an
-    equi-join on (band, code).  Pinned for both the exhaustive
-    listing and the k-bounded bench headliner, whose ranking window
-    must also be PARTITIONED (per item — no global sort)."""
+    """The hyperplane constant table rides as ONE 1-row broadcast
+    attach (r13: array<array<bigint>> weights-as-data — the in-plan
+    literal forest cost ~1 s of analyzer time per consumer build); no
+    cartesian node anywhere, at most that single bounded nested-loop
+    attach, and the candidate join stays an equi-join on (band, code).
+    Pinned for both the exhaustive listing and the k-bounded bench
+    headliner, whose ranking window must also be PARTITIONED (per
+    item — no global sort)."""
     for name in ("lsh_cosine_pairs", "lsh_pairs_topk"):
         df = _plan(spark, name)
         s = explain_str(df)
         assert "CartesianProduct" not in s, name
-        assert "BroadcastNestedLoopJoin" not in s, name
+        # cold explain inlines the PERSISTED codes subtree once per
+        # consumer branch (self-join sides, verify, directed union),
+        # so the single 1-row attach can print several times; at run
+        # time the persisted frame is one InMemoryRelation and the
+        # attach executes once.  Pin the STRUCTURE: nested-loop nodes
+        # may not outnumber the planes-frame leaves (Scan ExistingRDD
+        # = the localCheckpointed 1-row weight table) — i.e. every
+        # BNLJ is the planes attach, nothing else
+        assert s.count("BroadcastNestedLoopJoin") <= s.count(
+            "Scan ExistingRDD"
+        ), name
         assert "band" in s, name
     assert "windowspecdefinition(item" in explain_str(
         _plan(spark, "lsh_pairs_topk")
