@@ -27,6 +27,45 @@ def clamp(col: Column | str, lo: float, hi: float) -> Column:
     return F.least(F.greatest(_col(col), F.lit(float(lo))), F.lit(float(hi)))
 
 
+# --- single-parse SQL fragment twins (r13, guide §5 driver / §7.3) ---------
+# Each classic-API Column op is a py4j round trip at CONSTRUCTION time,
+# and the scoring DAG builds hundreds of them per invocation; these
+# string builders compose the IDENTICAL arithmetic python-side for ONE
+# F.expr/selectExpr parse.  `!r` on floats emits the shortest
+# round-tripping decimal (bit-exact reparse); the D suffix keeps SQL
+# literals DOUBLE (bare decimals parse as DECIMAL and would change the
+# expression types).  Fragments, not Columns: callers splice them into
+# one top-level parse per output column.
+
+
+def flit(v: float) -> str:
+    """A double literal fragment bit-identical to F.lit(float(v))."""
+    return f"{float(v)!r}D"
+
+
+def clamp_sql(x: str, lo: float, hi: float) -> str:
+    return f"least(greatest({x}, {flit(lo)}), {flit(hi)})"
+
+
+def conf_floor_sql(x: str, floor: float = 0.20) -> str:
+    return f"greatest(coalesce({x}, 0.0D), {flit(floor)})"
+
+
+def round_stable_sql(x: str, scale: int) -> str:
+    p = flit(float(10**scale))
+    return f"floor({x} * {p} + 0.5D) / {p}"
+
+
+def score_band_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} <= 20 THEN 'Nascent' "
+        f"WHEN {x} <= 40 THEN 'Developing' "
+        f"WHEN {x} <= 60 THEN 'Progressing' "
+        f"WHEN {x} <= 80 THEN 'Advanced' "
+        "ELSE 'Leading' END"
+    )
+
+
 def safe_div(num: Column | str, den: Column | str, default: float = 0.0) -> Column:
     """num/den with a default when den is 0 or NULL — reference
     app/scoring/utils.py:7-9.  Guarded so ANSI mode never raises."""

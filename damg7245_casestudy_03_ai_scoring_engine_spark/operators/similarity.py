@@ -2846,24 +2846,24 @@ def _refile_oversized_impl(
     # window over the O(cells) frame — r13 (guide §2.4): the old shape
     # re-scanned `cells` a second time for a global agg and broadcast it
     # back through a crossJoin (two jobs per run for numbers the sizes
-    # frame already contains).
-    wall_cells = Window.partitionBy()
+    # frame already contains).  Built as single-parse expressions
+    # (guide §5/§7.3) — identical arithmetic to the former Column chain.
     refile = (
         cells.groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
-        .withColumn("total", F.sum("n_c").over(wall_cells))
-        .withColumn("ncells", F.count(F.lit(1)).over(wall_cells))
-        .filter(
-            F.col("n_c") * F.col("ncells") * F.lit(10)
-            > F.lit(_REFILE_NUM) * F.col("total")
+        .agg(F.expr("CAST(count(1) AS BIGINT)").alias("n_c"))
+        .selectExpr(
+            "*",
+            "sum(n_c) OVER () AS total",
+            "count(1) OVER () AS ncells",
         )
+        .filter(f"n_c * ncells * 10 > {_REFILE_NUM} * total")
         .select("cell")
         if admission is None
         else admission.select("cell")
     )
-    v_flat = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("double"))
+    v_flat = emb.selectExpr(
+        "vec_id", "posexplode(embedding) AS (i, x)"
+    ).withColumn("x", F.expr("CAST(x AS DOUBLE)"))
     # The split arithmetic touches flagged-cell members ONLY, and their
     # exploded dims are materialized ONCE: mem_flat = filing ⋈ refile ⋈
     # v_flat, persisted (flagged-members × dim — bounded by the flagged
@@ -2889,18 +2889,12 @@ def _refile_oversized_impl(
     # broadcast re-join of the sizes frame (r13, guide §2.4; `own`
     # holds EVERY member of each flagged cell, so the window count
     # equals the filing's per-cell size by construction).
-    wrank = Window.partitionBy("cell").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    wcell = Window.partitionBy("cell")
-    halves = (
-        own.withColumn(
-            "half",
-            F.when(
-                F.lit(2) * F.row_number().over(wrank)
-                <= F.count(F.lit(1)).over(wcell),
-                F.lit(0),
-            ).otherwise(F.lit(1)),
-        )
-        .select("vec_id", "cell", "half")
+    halves = own.selectExpr(
+        "vec_id",
+        "cell",
+        "CASE WHEN 2 * row_number() OVER "
+        "(PARTITION BY cell ORDER BY cosine DESC, vec_id ASC) "
+        "<= count(1) OVER (PARTITION BY cell) THEN 0 ELSE 1 END AS half",
     )
     # Sub-centroid means: tag each member-dim with its rank-half via a
     # BROADCAST of the one-row-per-member halves frame (r13, guide
@@ -2922,43 +2916,39 @@ def _refile_oversized_impl(
         .groupBy("vec_id", "cell", "half")
         .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
-    wbest = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("half"))
     refiled = (
-        resc.withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-        .select(
+        resc.selectExpr(
+            "*",
+            "row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY cosine DESC, half ASC) AS rk",
+        )
+        .filter("rk = 1")
+        .selectExpr(
             "vec_id",
-            (F.col("cell") * 10 + 1 + F.col("half")).cast("bigint").alias("new_cell"),
-            F.col("cell").cast("bigint").alias("parent_cell"),
-            F.lit(True).alias("was_split"),
+            "CAST(cell * 10 + 1 + half AS BIGINT) AS new_cell",
+            "CAST(cell AS BIGINT) AS parent_cell",
+            "TRUE AS was_split",
         )
     )
-    kept = cells.join(F.broadcast(refile), "cell", "left_anti").select(
+    kept = cells.join(F.broadcast(refile), "cell", "left_anti").selectExpr(
         "vec_id",
-        (F.col("cell") * 10).cast("bigint").alias("new_cell"),
-        F.col("cell").cast("bigint").alias("parent_cell"),
-        F.lit(False).alias("was_split"),
+        "CAST(cell * 10 AS BIGINT) AS new_cell",
+        "CAST(cell AS BIGINT) AS parent_cell",
+        "FALSE AS was_split",
     )
     g = (
         refiled.unionByName(kept)
         .groupBy("new_cell", "parent_cell", "was_split")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .agg(F.expr("CAST(count(1) AS BIGINT)").alias("n_vecs"))
     )
-    wall = Window.partitionBy()
-    total = F.sum("n_vecs").over(wall)
-    ncells = F.count(F.lit(1)).over(wall)
-    return g.select(
+    return g.selectExpr(
         "new_cell",
         "parent_cell",
         "was_split",
         "n_vecs",
-        (
-            F.floor(
-                F.col("n_vecs").cast("double") / total * F.lit(1e6) + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("share"),
-        ((F.col("n_vecs") * ncells) > (F.lit(2) * total)).alias("oversized"),
+        "floor(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS share",
+        "(n_vecs * count(1) OVER ()) > (2 * sum(n_vecs) OVER ()) AS oversized",
     )
 
 
@@ -3133,14 +3123,19 @@ def _cosine_agg(a: str, b: str) -> "F.Column":
     block was copy-pasted per stage, so a rounding or zero-norm tweak
     could silently diverge the signal from the action while their
     SQL oracles — which share `_IVF_DRIFT_CORE_SQL` — stayed in
-    agreement)."""
-    na = F.sqrt(F.sum(F.col(a) * F.col(a)))
-    nb = F.sqrt(F.sum(F.col(b) * F.col(b)))
-    return F.round(
-        F.when(
-            (na > 0) & (nb > 0), F.sum(F.col(a) * F.col(b)) / (na * nb)
-        ).otherwise(F.lit(0.0)),
-        6,
+    agreement).
+
+    Single F.expr parse (r13, guide §5/§7.3): every call site passes
+    plain column NAMES, and the former Column chain cost ~30 py4j
+    round trips per stage; the SQL spells the identical arithmetic
+    (repeated sqrt-sum subtrees exactly as the Column version reused
+    its `na`/`nb` objects, int-0 comparisons, 0.0D else, 6dp round)."""
+    na = f"sqrt(sum({a} * {a}))"
+    nb = f"sqrt(sum({b} * {b}))"
+    return F.expr(
+        f"round(CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN sum({a} * {b}) / ({na} * {nb}) "
+        "ELSE 0.0D END, 6)"
     )
 
 

@@ -18,6 +18,25 @@ from ..functions.core import clamp, score_band
 from .config import COMPOSITE_ALPHA, COMPOSITE_BETA
 
 
+def composite_sql(
+    vr: str,
+    hr: str,
+    synergy: str,
+    alpha: float = COMPOSITE_ALPHA,
+    beta: float = COMPOSITE_BETA,
+) -> str:
+    """Single-parse SQL twin of `composite_score` (r13, guide §5):
+    identical weights and grouping; (1-alpha)/(1-beta) are computed
+    python-side exactly as the Column path computes them, then emitted
+    via shortest round-tripping repr (bit-identical literals)."""
+    from ..functions.core import clamp_sql, flit
+
+    core = f"{flit(alpha)} * {vr} + {flit(1.0 - alpha)} * {hr}"
+    return clamp_sql(
+        f"{flit(1.0 - beta)} * ({core}) + {flit(beta)} * {synergy}", 0.0, 100.0
+    )
+
+
 def composite_score(
     vr: Column | str,
     hr: Column | str,
@@ -25,6 +44,8 @@ def composite_score(
     alpha: float = COMPOSITE_ALPHA,
     beta: float = COMPOSITE_BETA,
 ) -> Column:
+    if isinstance(vr, str) and isinstance(hr, str) and isinstance(synergy, str):
+        return F.expr(composite_sql(vr, hr, synergy, alpha, beta))
     vr = F.col(vr) if isinstance(vr, str) else vr
     hr = F.col(hr) if isinstance(hr, str) else hr
     syn = F.col(synergy) if isinstance(synergy, str) else synergy

@@ -186,3 +186,16 @@ def dimension_case(col_expr, mapping: dict[str, float], default: float = 0.0):
     for d, v in it:
         expr = expr.when(col_expr == d, F.lit(v))
     return expr.otherwise(F.lit(default))
+
+
+def dimension_case_sql(col_name: str, mapping: dict[str, float], default: float = 0.0) -> str:
+    """SQL-fragment twin of `dimension_case` — the identical CASE
+    ladder composed python-side for a single F.expr parse (r13, guide
+    §5/§7.3: each `when` link is a py4j round trip and the scoring
+    builders stack 7-branch ladders per column)."""
+    from ..functions.core import flit
+
+    arms = " ".join(
+        f"WHEN {col_name} = '{d}' THEN {flit(v)}" for d, v in mapping.items()
+    )
+    return f"CASE {arms} ELSE {flit(default)} END"

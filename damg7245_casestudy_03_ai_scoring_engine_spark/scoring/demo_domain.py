@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.core import clamp
 from ..sources.catalog import load
 from .config import DEFAULT_DIM_WEIGHTS, DIMENSIONS, dimension_case
 
@@ -42,6 +41,15 @@ def _sector_expr(seg_col):
     return expr.otherwise(F.lit("Services"))
 
 
+def _sector_sql(seg_name: str) -> str:
+    """SQL twin of `_sector_expr` — same CASE ladder, one parse."""
+    arms = " ".join(
+        f"WHEN {seg_name} = '{seg}' THEN '{sec}'"
+        for seg, sec in SEGMENT_SECTOR.items()
+    )
+    return f"CASE {arms} ELSE 'Services' END"
+
+
 def _dimension_expr(linenumber_col):
     m = linenumber_col % 7
     expr = F.when(m == 0, F.lit(DIMENSIONS[0]))
@@ -50,13 +58,26 @@ def _dimension_expr(linenumber_col):
     return expr.otherwise(F.lit(DIMENSIONS[0]))
 
 
+def _dimension_sql(linenumber_name: str) -> str:
+    """SQL twin of `_dimension_expr` — same CASE ladder (the `% 7`
+    subtree repeats per arm exactly as the Column version repeats the
+    shared `m` expression), one parse."""
+    arms = " ".join(
+        f"WHEN {linenumber_name} % 7 = {i} THEN '{DIMENSIONS[i]}'"
+        for i in range(7)
+    )
+    return f"CASE {arms} ELSE '{DIMENSIONS[0]}' END"
+
+
 def companies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """company_id, sector, position_factor."""
+    # selectExpr single parse (r13, guide §5/§7.3): identical columns
+    # and arithmetic as the former Column-chain build.
     c = load(spark, sf_dir, "customer")
-    return c.select(
-        F.col("c_custkey").alias("company_id"),
-        _sector_expr(F.col("c_mktsegment")).alias("sector"),
-        clamp(F.col("c_acctbal") / 10000.0, -1.0, 1.0).alias("position_factor"),
+    return c.selectExpr(
+        "c_custkey AS company_id",
+        f"{_sector_sql('c_mktsegment')} AS sector",
+        "least(greatest(c_acctbal / 10000.0D, -1.0D), 1.0D) AS position_factor",
     )
 
 
@@ -67,17 +88,12 @@ def evidence_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("company_id"),
-            _dimension_expr(F.col("l_linenumber")).alias("dimension"),
-            ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 101)
-            .cast("double")
-            .alias("score_raw"),
-            ((F.col("l_orderkey") % 10).cast("double") / 10.0).alias("conf_raw"),
-            F.col("l_suppkey").alias("supp_key"),
-        )
+    return li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "o_custkey AS company_id",
+        f"{_dimension_sql('l_linenumber')} AS dimension",
+        "CAST((l_partkey * 7 + l_suppkey) % 101 AS DOUBLE) AS score_raw",
+        "CAST(l_orderkey % 10 AS DOUBLE) / 10.0D AS conf_raw",
+        "l_suppkey AS supp_key",
     )
 
 

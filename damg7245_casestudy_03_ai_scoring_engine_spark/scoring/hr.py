@@ -19,6 +19,11 @@ from ..functions.core import clamp
 
 
 def hr_score(hr_base: Column | str, pf: Column | str) -> Column:
+    if isinstance(hr_base, str) and isinstance(pf, str):
+        # single-parse twin (r13, guide §5): identical arithmetic
+        from ..functions.core import clamp_sql
+
+        return F.expr(clamp_sql(f"{hr_base} * (1.0D + 0.15D * {pf})", 0.0, 100.0))
     hr_base = F.col(hr_base) if isinstance(hr_base, str) else hr_base
     pf = F.col(pf) if isinstance(pf, str) else pf
     return clamp(hr_base * (F.lit(1.0) + 0.15 * pf), 0.0, 100.0)

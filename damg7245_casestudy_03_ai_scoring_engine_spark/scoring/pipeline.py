@@ -15,8 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cache import tracked_persist
-from ..functions.core import clamp, round_stable
-from .composite import composite_score, with_score_band
+from ..functions.core import clamp_sql, flit, round_stable_sql, score_band_sql
+from .composite import composite_sql
 from .config import DEFAULT_HR_BASE, SECTOR_HR_BASE
 from .demo_domain import companies, dimension_scores_from, evidence_rows
 from .hr import hr_score
@@ -32,6 +32,15 @@ def _hr_base_expr(sector_col):
     for s, v in it:
         expr = expr.when(sector_col == s, F.lit(v))
     return expr.otherwise(F.lit(DEFAULT_HR_BASE))
+
+
+def _hr_base_sql(sector_name: str) -> str:
+    """SQL twin of `_hr_base_expr` — same CASE ladder, one parse."""
+    arms = " ".join(
+        f"WHEN {sector_name} = '{s}' THEN {flit(v)}"
+        for s, v in SECTOR_HR_BASE.items()
+    )
+    return f"CASE {arms} ELSE {flit(DEFAULT_HR_BASE)} END"
 
 
 def score_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,12 +87,14 @@ def assemble_composite(
     composite + band.  Inputs: vr_scores output, hhi output
     (company_id, hhi, n_items), companies (company_id, sector,
     position_factor)."""
-    # withColumns batches (r13, guide §5 driver / §7.3 planning):
-    # every classic-API DataFrame op eagerly re-analyzes its whole
-    # subtree JVM-side, so a 7-op withColumn chain over the scoring
-    # DAG paid 7 analyzer walks; grouping the independent columns into
-    # dependency levels keeps the same named columns and arithmetic
-    # with 3 walks.  Joins unchanged (inner, company_id) — comp's
+    # withColumns batches of single-parse expressions (r13, guide §5
+    # driver / §7.3 planning): every classic-API DataFrame op eagerly
+    # re-analyzes its whole subtree JVM-side and every Column operator
+    # is a py4j round trip, so the former 7-op withColumn chain of
+    # Column ladders paid 7 analyzer walks plus ~100 round trips;
+    # grouped into dependency levels with each column ONE F.expr parse
+    # (the helpers' single-parse twins), same named columns, same
+    # arithmetic.  Joins unchanged (inner, company_id) — comp's
     # columns don't collide with the vr⋈hhi set.
     scored = (
         vr.join(supplier_hhi, "company_id")
@@ -91,13 +102,13 @@ def assemble_composite(
         .withColumns(
             {
                 "hhi_factor": hhi_penalty_factor("hhi", "n_items"),
-                "hr_base": _hr_base_expr(F.col("sector")),
+                "hr_base": F.expr(_hr_base_sql("sector")),
             }
         )
         .withColumns(
             {
-                "vr_final": clamp(
-                    F.col("vr_score") * F.col("hhi_factor"), 0.0, 100.0
+                "vr_final": F.expr(
+                    clamp_sql("vr_score * hhi_factor", 0.0, 100.0)
                 ),
                 "hr_final": hr_score("hr_base", "position_factor"),
             }
@@ -105,19 +116,23 @@ def assemble_composite(
         .withColumn("syn_final", formula_synergy("vr_final", "hr_final"))
         .withColumn(
             "composite_score",
-            round_stable(composite_score("vr_final", "hr_final", "syn_final"), 4),
+            F.expr(
+                round_stable_sql(
+                    composite_sql("vr_final", "hr_final", "syn_final"), 4
+                )
+            ),
         )
     )
-    out = with_score_band(scored).select(
+    out = scored.selectExpr(
         "company_id",
         "sector",
-        round_stable("vr_final", 4).alias("vr_score"),
-        round_stable("hr_final", 4).alias("hr_score"),
-        round_stable("syn_final", 4).alias("synergy_score"),
+        f"{round_stable_sql('vr_final', 4)} AS vr_score",
+        f"{round_stable_sql('hr_final', 4)} AS hr_score",
+        f"{round_stable_sql('syn_final', 4)} AS synergy_score",
         "composite_score",
-        "score_band",
-        round_stable("hhi", 6).alias("hhi"),
-        F.col("hhi_factor"),
-        F.col("n_items"),
+        f"{score_band_sql('composite_score')} AS score_band",
+        f"{round_stable_sql('hhi', 6)} AS hhi",
+        "hhi_factor",
+        "n_items",
     )
     return out

@@ -84,6 +84,21 @@ def formula_synergy(
 ) -> Column:
     """Formula synergy column: (VR·HR/100)·Alignment·Timing with the
     reference clamps (synergy.py:132-156)."""
+    if (
+        isinstance(vr, str)
+        and isinstance(hr, str)
+        and alignment is None
+        and isinstance(timing, (int, float))
+    ):
+        # single-parse twin (r13, guide §5): same default alignment,
+        # same constant-timing clamp, same grouping as the Column path
+        from ..functions.core import clamp_sql, flit
+
+        align = clamp_sql(f"1.0D - abs({vr} - {hr}) / 100.0D", 0.0, 1.0)
+        t = clamp_sql(flit(float(timing)), 0.8, 1.2)
+        return F.expr(
+            clamp_sql(f"(({vr} * {hr} / 100.0D) * {align}) * {t}", 0.0, 100.0)
+        )
     vr = F.col(vr) if isinstance(vr, str) else vr
     hr = F.col(hr) if isinstance(hr, str) else hr
     if alignment is None:

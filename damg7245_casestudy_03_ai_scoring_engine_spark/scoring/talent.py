@@ -31,12 +31,20 @@ def hhi(items: DataFrame, key: str = "company_id", category: str = "job_function
     Returns: <key>, hhi double, n_items long.
     """
     counts = items.groupBy(key, category).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(key)
-    share = F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    # share via one selectExpr parse (r13, guide §5/§7.3) — the same
+    # window the Column chain built (key/category are plain names at
+    # every call site, per the signature).
     return (
-        counts.withColumn("share", share)
+        counts.selectExpr(
+            "*",
+            "CAST(cnt AS DOUBLE) / sum(cnt) OVER "
+            f"(PARTITION BY {key}) AS share",
+        )
         .groupBy(key)
-        .agg(F.sum(F.pow("share", 2)).alias("hhi"), F.sum("cnt").alias("n_items"))
+        .agg(
+            F.expr("sum(pow(share, 2))").alias("hhi"),
+            F.expr("sum(cnt)").alias("n_items"),
+        )
     )
 
 
@@ -63,6 +71,18 @@ def hhi_penalty_factor(
     hhi_col: Column | str, n_col: Column | str, cfg: dict | None = None
 ) -> Column:
     cfg = cfg or TALENT_PENALTY_CONFIG
+    if isinstance(hhi_col, str) and isinstance(n_col, str):
+        # single-parse twin of the when-ladder below (r13, guide §5)
+        from ..functions.core import flit
+
+        return F.expr(
+            f"CASE WHEN {n_col} < {cfg['min_sample_size']} THEN 1.0D "
+            f"WHEN {hhi_col} >= {flit(cfg['hhi_threshold_severe'])} "
+            f"THEN {flit(cfg['penalty_factor_severe'])} "
+            f"WHEN {hhi_col} >= {flit(cfg['hhi_threshold_mild'])} "
+            f"THEN {flit(cfg['penalty_factor_mild'])} "
+            "ELSE 1.0D END"
+        )
     h = F.col(hhi_col) if isinstance(hhi_col, str) else hhi_col
     n = F.col(n_col) if isinstance(n_col, str) else n_col
     return (

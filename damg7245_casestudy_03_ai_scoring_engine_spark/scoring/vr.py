@@ -18,9 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.core import clamp, conf_floor
+from ..functions.core import clamp_sql, conf_floor_sql
 from .config import CONFIDENCE_FLOOR, DEFAULT_DIM_WEIGHTS
-from .config import dimension_case
+from .config import dimension_case_sql
 
 
 def vr_scores(dimension_scores: DataFrame, *, with_cv_penalty: bool = True) -> DataFrame:
@@ -31,27 +31,36 @@ def vr_scores(dimension_scores: DataFrame, *, with_cv_penalty: bool = True) -> D
 
     Returns: company_id, vr_raw, cv, cv_penalty, vr_score.
     """
-    ds = dimension_scores.select(
+    # Single-parse build (r13, guide §5/§7.3): the same named columns
+    # and arithmetic as the former Column-chain construction, composed
+    # as SQL fragments python-side — one parse per output column
+    # instead of a py4j round trip per operator.
+    ds = dimension_scores.selectExpr(
         "company_id",
         "dimension",
-        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
-        F.coalesce(
-            F.col("weight"), dimension_case(F.col("dimension"), DEFAULT_DIM_WEIGHTS)
-        ).alias("w"),
-        conf_floor("confidence", CONFIDENCE_FLOOR).alias("conf_eff"),
+        "coalesce(score, 0.0D) AS score",
+        "coalesce(weight, "
+        f"{dimension_case_sql('dimension', DEFAULT_DIM_WEIGHTS)}) AS w",
+        f"{conf_floor_sql('confidence', CONFIDENCE_FLOOR)} AS conf_eff",
     )
-    den = F.sum(F.col("w") * F.col("conf_eff"))
-    num = F.sum(F.col("score") * F.col("w") * F.col("conf_eff"))
-    cv = F.when(
-        F.abs(F.avg("score")) > 0, F.stddev_pop("score") / F.abs(F.avg("score"))
-    ).otherwise(F.lit(0.0))
+    vr_raw_sql = clamp_sql(
+        "CASE WHEN sum(w * conf_eff) != 0 "
+        "THEN sum(score * w * conf_eff) / sum(w * conf_eff) "
+        "ELSE 0.0D END",
+        0.0,
+        100.0,
+    )
+    cv_sql = (
+        "CASE WHEN abs(avg(score)) > 0 "
+        "THEN stddev_pop(score) / abs(avg(score)) ELSE 0.0D END"
+    )
     agg = ds.groupBy("company_id").agg(
-        clamp(F.when(den != 0, num / den).otherwise(F.lit(0.0)), 0.0, 100.0).alias("vr_raw"),
-        cv.alias("cv"),
+        F.expr(vr_raw_sql).alias("vr_raw"), F.expr(cv_sql).alias("cv")
     )
     if not with_cv_penalty:
         return agg.withColumn("vr_score", F.col("vr_raw"))
-    pen = clamp(F.lit(1.0) - 0.25 * F.col("cv"), 0.0, 1.0)
-    return agg.withColumn("cv_penalty", pen).withColumn(
-        "vr_score", clamp(F.col("vr_raw") * F.col("cv_penalty"), 0.0, 100.0)
+    return agg.withColumns(
+        {"cv_penalty": F.expr(clamp_sql("1.0D - 0.25D * cv", 0.0, 1.0))}
+    ).withColumn(
+        "vr_score", F.expr(clamp_sql("vr_raw * cv_penalty", 0.0, 100.0))
     )
