@@ -33,7 +33,12 @@ def _tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
 
 
-def _word_shingles3(ws):
+# SQL twin of `_tokens(F.col("text"))` — '\\s+' parses to the same
+# \s+ regex literal under default escapedStringLiterals=false.
+_TOKENS_SQL = r"split(trim(text), '\\s+')"
+
+
+def _word_shingles3_sql(ws: str) -> str:
     """Distinct word-3-gram shingles; whole text if fewer than 3 tokens.
 
     Built from three equal-length (n-2) per-ROW slices zipped
@@ -42,21 +47,27 @@ def _word_shingles3(ws):
     ELEMENT inside the HOF lambda (no CSE inside lambdas), which made
     shingling the dominant cold cost of the whole dedup family —
     3.1 s vs 0.45 s for this form at sf0.1 (6M shingles, measured
-    r4).  Output is element-for-element identical."""
-    n = F.size(ws)
-    a = F.slice(ws, 1, n - 2)  # w_i
-    b = F.slice(ws, 2, n - 2)  # w_{i+1}
-    c = F.slice(ws, 3, n - 2)  # w_{i+2}
-    ab = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
-    grams = F.zip_with(ab, c, lambda xy, z: F.concat_ws(" ", xy, z))
-    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", ws))
+    r4).  r13 (guide §5/§7.3): composed as ONE SQL fragment — the
+    former Column build's two python lambdas cost ~60 ms of py4j
+    setup per construction; the repeated `{ws}` subtree mirrors how
+    the Column version reused one expression object (same plan)."""
+    n = f"size({ws})"
+    a = f"slice({ws}, 1, {n} - 2)"  # w_i
+    b = f"slice({ws}, 2, {n} - 2)"  # w_{i+1}
+    c = f"slice({ws}, 3, {n} - 2)"  # w_{i+2}
+    ab = f"zip_with({a}, {b}, (x, y) -> concat_ws(' ', x, y))"
+    grams = f"zip_with({ab}, {c}, (xy, z) -> concat_ws(' ', xy, z))"
+    return (
+        f"CASE WHEN {n} >= 3 THEN array_distinct({grams}) "
+        f"ELSE array(concat_ws(' ', {ws})) END"
     )
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
-    return d.select("doc_id", _word_shingles3(_tokens(F.col("text"))).alias("shingles"))
+    return d.select(
+        "doc_id", F.expr(_word_shingles3_sql(_TOKENS_SQL)).alias("shingles")
+    )
 
 
 _SHINGLES_SQL = r"""
@@ -321,7 +332,7 @@ def _containment_shingled64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("shingles") > 0)
         .select(
             "doc_id",
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("shingles"),
         ),
         "dedup_containment.shingled64",
     )
@@ -1156,7 +1167,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         d.select(
             "source",
-            F.explode(_word_shingles3(_tokens(F.col("text")))).alias("g"),
+            F.expr(f"explode({_word_shingles3_sql(_TOKENS_SQL)})").alias("g"),
         )
         .distinct()
     )
@@ -1297,7 +1308,7 @@ def source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", fan_out=True).select("source", "text")
     occ = d.select(
         "source",
-        F.explode(_word_shingles3(_tokens(F.col("text")))).alias("g"),
+        F.expr(f"explode({_word_shingles3_sql(_TOKENS_SQL)})").alias("g"),
     )
     h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint") % F.lit(_P)
     mh = (

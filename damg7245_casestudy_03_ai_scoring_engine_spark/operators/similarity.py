@@ -115,12 +115,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOP_K)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    return _topk_ranked(scored, "query_id", "cosine DESC, cand_id ASC", _TOP_K)
 
 
 # Shared by ann_ivf_topk (logical bucketing) and
@@ -252,6 +247,20 @@ def _ivf_cell_scores(vectors: DataFrame, cent_flat: DataFrame) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(_cosine_agg("x", "cx").alias("cosine"))
     )
+
+
+def _topk_ranked(df: DataFrame, part: str, order_sql: str, k: int) -> DataFrame:
+    """The family's rank-filter tail — row_number window, keep rows
+    with rk <= k, rk typed INT — as two single-parse ops (r13, guide
+    §5/§7.3: the former withColumn/filter/withColumn chain cost ~12
+    py4j round trips per use and the ANN family builds it four times
+    per query).  Identical semantics: same window, same filter, same
+    output columns (input columns + rk)."""
+    return df.selectExpr(
+        "*",
+        f"CAST(row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {order_sql}) AS INT) AS rk",
+    ).filter(f"rk <= {k}")
 
 
 def _session_memo_persist(spark: SparkSession, key: str, tag: str, build) -> DataFrame:
@@ -416,12 +425,7 @@ def _ivf_search(
             F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOP_K)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    return _topk_ranked(scored, "query_id", "cosine DESC, cand_id ASC", _TOP_K)
 
 
 @register(
@@ -621,8 +625,8 @@ def _lsh_band_codes(
     sets at scale — `lsh_pairs_topk` derives it from the corpus count
     at plan build (see _topk_band_bits); the md5 plane family extends
     to any p, so wider bands just read further into it."""
-    vq = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    vq = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     )
     quantized = emb.select("vec_id", "embedding", vq.alias("vq"))
 
@@ -655,17 +659,16 @@ def _lsh_band_codes(
     # vq + its integer norm ride through the band explode so the
     # candidate stage needs no join back to the vector table — one
     # narrow stage straight into the (band, code) shuffle.
-    qdot = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("vq"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    qn = F.expr(
+        "sqrt(CAST(aggregate(zip_with(vq, vq, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE))"
     )
     return (
         quantized.crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
             "vq",
-            F.sqrt(qdot.cast("double")).alias("qn"),
+            qn.alias("qn"),
             code_expr.alias("bc"),
         )
         .select("vec_id", "vq", "qn", "bc.band", "bc.code")
@@ -779,15 +782,14 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band", "code", F.col("vec_id").alias("vec_b"),
         F.col("vq").alias("qb"), F.col("qn").alias("qnb"),
     )
-    pair_qdot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
     cand = (
         a.join(b, ["band", "code"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(pair_qdot.cast("double") >= F.lit(0.39) * F.col("qna") * F.col("qnb"))
+        .filter(
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+            " >= 0.39D * qna * qnb"
+        )
         .select("vec_a", "vec_b")
         .distinct()
     )
@@ -1005,15 +1007,14 @@ def lsh_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band", "code", F.col("vec_id").alias("vec_b"),
         F.col("vq").alias("qb"), F.col("qn").alias("qnb"),
     )
-    pair_qdot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
     cand = (
         a.join(b, ["band", "code"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(pair_qdot.cast("double") >= F.lit(0.39) * F.col("qna") * F.col("qnb"))
+        .filter(
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+            " >= 0.39D * qna * qnb"
+        )
         .select("vec_a", "vec_b")
         .distinct()
     )
@@ -1047,13 +1048,9 @@ def lsh_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_b").alias("item"), F.col("vec_a").alias("partner"), "cosine"
         )
     )
-    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("partner"))
-    return (
-        directed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK_PAIRS_K)
-        .withColumn("rk", F.col("rk").cast("int"))
-        .select("item", "partner", "cosine", "rk")
-    )
+    return _topk_ranked(
+        directed, "item", "cosine DESC, partner ASC", _TOPK_PAIRS_K
+    ).select("item", "partner", "cosine", "rk")
 
 
 @register(
@@ -2402,37 +2399,32 @@ def retrieval_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # truth is panel×k rows by construction (10 queries × top-5), so the
     # hit-join must never plan as a shuffle: broadcast the bounded side
+    # single-parse metric expressions (r13, guide §5/§7.3) — identical
+    # arithmetic to the former Column chains (6dp floor-round, double
+    # literals, int-1 hit comparisons)
     j = (
         got.select("query_id", "cand_id", "rk")
         .join(F.broadcast(truth), ["query_id", "cand_id"], "left")
-        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+        .withColumn("hit", F.expr("coalesce(hit, 0)"))
     )
-    wcum = (
-        Window.partitionBy("query_id")
-        .orderBy("rk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = j.selectExpr(
+        "*",
+        "sum(hit) OVER (PARTITION BY query_id ORDER BY rk ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
     )
-    c = j.withColumn("cum", F.sum("hit").over(wcum))
-    k = float(_TOP_K)
-    flr = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    k = f"{float(_TOP_K)!r}D"
+    flr = lambda s: f"floor(({s}) * 1000000.0D + 0.5D) / 1000000.0D"  # noqa: E731
     return c.groupBy("query_id").agg(
-        F.sum("hit").cast("bigint").alias("hits_at_k"),
-        flr(F.sum("hit") / F.lit(k)).alias("recall_at_k"),
-        flr(
-            F.max(
-                F.when(F.col("hit") == 1, F.lit(1.0) / F.col("rk")).otherwise(
-                    F.lit(0.0)
-                )
-            )
+        F.expr("CAST(sum(hit) AS BIGINT)").alias("hits_at_k"),
+        F.expr(flr(f"sum(hit) / {k}")).alias("recall_at_k"),
+        F.expr(
+            flr("max(CASE WHEN hit = 1 THEN 1.0D / rk ELSE 0.0D END)")
         ).alias("mrr"),
-        flr(
-            F.sum(
-                F.when(
-                    F.col("hit") == 1,
-                    F.col("cum").cast("double") / F.col("rk"),
-                ).otherwise(F.lit(0.0))
+        F.expr(
+            flr(
+                "sum(CASE WHEN hit = 1 THEN CAST(cum AS DOUBLE) / rk "
+                f"ELSE 0.0D END) / {k}"
             )
-            / F.lit(k)
         ).alias("ap_at_k"),
     )
 
@@ -2471,20 +2463,13 @@ def ivf_cell_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers; the flag compares integer products
     (n·cells > 2·total), so no float threshold crosses engines."""
     cells = _ivf_cells(spark, sf_dir)
-    g = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
-    wall = Window.partitionBy()
-    total = F.sum("n_vecs").over(wall)
-    ncells = F.count(F.lit(1)).over(wall)
-    return g.select(
+    g = cells.groupBy("cell").agg(F.expr("CAST(count(1) AS BIGINT)").alias("n_vecs"))
+    return g.selectExpr(
         "cell",
         "n_vecs",
-        (
-            F.floor(
-                F.col("n_vecs").cast("double") / total * F.lit(1e6) + F.lit(0.5)
-            )
-            / F.lit(1e6)
-        ).alias("share"),
-        ((F.col("n_vecs") * ncells) > (F.lit(2) * total)).alias("oversized"),
+        "floor(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER () * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS share",
+        "(n_vecs * count(1) OVER ()) > (2 * sum(n_vecs) OVER ()) AS oversized",
     )
 
 
@@ -4173,19 +4158,15 @@ def _ivf_ncent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_slice(df: DataFrame, *keys: str) -> DataFrame:
     """Explode an `rv` residual-array column into (keys…, m, sv)
-    subspace views — the PQ training/encoding grain."""
+    subspace views — the PQ training/encoding grain.  Single-parse
+    (r13, guide §5): same transform/struct/slice arithmetic as the
+    former python-lambda chain."""
     return df.select(
         *keys,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_IVFPQ_M - 1)),
-                lambda m: F.struct(
-                    m.cast("int").alias("m"),
-                    F.slice("rv", m * _IVFPQ_SUB_D + 1, _IVFPQ_SUB_D).alias(
-                        "sv"
-                    ),
-                ),
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {_IVFPQ_M - 1}), "
+            f"m -> struct(CAST(m AS INT) AS m, "
+            f"slice(rv, m * {_IVFPQ_SUB_D} + 1, {_IVFPQ_SUB_D}) AS sv)))"
         ).alias("s"),
     ).select(*keys, "s.m", "s.sv")
 
@@ -4207,7 +4188,7 @@ def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.zip_with("nv", "ncv", lambda a, b: a - b).alias("rv"),
+            F.expr("zip_with(nv, ncv, (a, b) -> a - b)").alias("rv"),
         )
     )
     return _ivfpq_slice(rv, "vec_id")
@@ -4216,16 +4197,11 @@ def _ivfpq_subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_dist() -> "F.Column":
     """round_stable(Σ(sv-cv)², 6) — the engine twin of
     _IVFPQ_DIST_SQL; rounding BEFORE every argmin keeps the Lloyd
-    trajectory and the encoding engine-deterministic."""
-    from ..functions.core import round_stable
-
-    return round_stable(
-        F.aggregate(
-            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    trajectory and the encoding engine-deterministic.  Single parse
+    (r13, guide §5): identical fold/seed/floor-round arithmetic."""
+    return F.expr(
+        "floor(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x) * 1000000.0D + 0.5D) / 1000000.0D"
     )
 
 
@@ -4383,7 +4359,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "probe_label",
-            F.zip_with("nv", "ncv", lambda a, b: a - b).alias("rv"),
+            F.expr("zip_with(nv, ncv, (a, b) -> a - b)").alias("rv"),
         )
     )
     lut = (
@@ -4405,27 +4381,25 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lut), ["query_id", "probe_label", "m", "c"])
         .groupBy("query_id", "cand_id")
         .agg(
-            (
-                F.floor(F.sum("d2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            F.expr(
+                "floor(sum(d2) * 1000000.0D + 0.5D) / 1000000.0D"
             ).alias("adc")
         )
     )
-    wshort = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("cand_id")
-    )
     short = (
-        adc.withColumn("srk", F.row_number().over(wshort))
-        .filter(F.col("srk") <= shortlist_k)
+        adc.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY adc ASC, cand_id ASC) AS srk",
+        )
+        .filter(f"srk <= {shortlist_k}")
         .select("query_id", "cand_id")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    wrk = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
+    rer = (
         short.join(q, "query_id")
         .join(cv, "cand_id")
         .select(
@@ -4433,10 +4407,8 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
         )
-        .withColumn("rk", F.row_number().over(wrk))
-        .filter(F.col("rk") <= _TOP_K)
-        .withColumn("rk", F.col("rk").cast("int"))
     )
+    return _topk_ranked(rer, "query_id", "cosine DESC, cand_id ASC", _TOP_K)
 
 
 # --- the maintenance decision EXECUTED ----------------------------------------
