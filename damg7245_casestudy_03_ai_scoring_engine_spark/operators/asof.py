@@ -26,7 +26,7 @@ to the right row — tag 0 sorts first — matching ASOF's `l.t >= r.t`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load
@@ -59,54 +59,52 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # single-parse build (r13, guide §5/§7.3): the per-column
+    # F.col/alias loops cost a py4j round trip per column per stage;
+    # composed as selectExpr strings (backtick-quoted) the arithmetic,
+    # tags, window and output columns are unchanged.
     payload_cols = [c for c in right.columns if c not in {*on, right_time}]
-    payload_t = F.struct(
-        F.col(right_time).alias("_rt"), *[F.col(c) for c in payload_cols]
-    )
     left_cols = [c for c in left.columns]
+    on_q = [f"`{c}`" for c in on]
 
-    r2 = right.select(
-        *on,
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_tag"),
-        payload_t.alias("_p"),
+    payload_sql = ", ".join([f"`{right_time}` AS _rt", *[f"`{c}`" for c in payload_cols]])
+    r2 = right.selectExpr(
+        *on_q,
+        f"`{right_time}` AS _t",
+        "0 AS _tag",
+        f"struct({payload_sql}) AS _p",
     )
     # align schemas for unionByName: left rows carry a null payload
-    l2 = left.select(
-        *on,
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_tag"),
-        F.lit(None).alias("_p"),
-        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    l2 = left.selectExpr(
+        *on_q,
+        f"`{left_time}` AS _t",
+        "1 AS _tag",
+        "NULL AS _p",
+        *[f"`{c}` AS `_l_{c}`" for c in left_cols],
     )
-    r2 = r2.select(
-        "*", *[F.lit(None).alias(f"_l_{c}") for c in left_cols]
-    )
+    r2 = r2.selectExpr("*", *[f"NULL AS `_l_{c}`" for c in left_cols])
     l2 = l2.select(r2.columns)  # same column order; _p stays typed via union
     u = r2.unionByName(l2, allowMissingColumns=False)
 
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_order, F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("_p", ignorenulls=True).over(w).alias("_match")
-    out = (
-        u.select("*", carried)
-        .filter((F.col("_tag") == 1) & F.col("_match").isNotNull())
-    )
+    t_dir = "ASC" if direction == "backward" else "DESC"
+    out = u.selectExpr(
+        "*",
+        "last(_p, true) OVER (PARTITION BY "
+        + ", ".join(on_q)
+        + f" ORDER BY _t {t_dir}, _tag ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _match",
+    ).filter("_tag = 1 AND _match IS NOT NULL")
     if tolerance is not None:
         gap = (
-            F.col("_t") - F.col("_match._rt")
+            "(_t - _match._rt)"
             if direction == "backward"
-            else F.col("_match._rt") - F.col("_t")
+            else "(_match._rt - _t)"
         )
-        out = out.filter(gap <= F.lit(tolerance))
-    return out.select(
-        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
-        F.col("_match._rt").alias(f"matched_{right_time}"),
-        *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+        out = out.filter(f"{gap} <= {tolerance}")
+    return out.selectExpr(
+        *[f"`_l_{c}` AS `{c}`" for c in left_cols],
+        f"_match._rt AS `matched_{right_time}`",
+        *[f"_match.`{c}` AS `{c}`" for c in payload_cols],
     )
 
 

@@ -41,33 +41,43 @@ DEMO_KEYWORDS: dict[str, tuple[str, ...]] = {
 _SOURCES = list(SOURCE_PROFILES.keys())  # 9 canonical sources, stable order
 
 
-def _source_name_expr(src_col):
-    idx = F.substring(src_col, 4, 10).cast("int") % len(_SOURCES)
-    expr = F.when(idx == 0, F.lit(_SOURCES[0]))
-    for i in range(1, len(_SOURCES)):
-        expr = expr.when(idx == i, F.lit(_SOURCES[i]))
-    return expr.otherwise(F.lit(_SOURCES[0]))
+def _source_name_sql(src_name: str) -> str:
+    """SQL twin of the former 9-arm when-ladder — one parse (r13,
+    guide §5); simple-CASE resolves to the same EqualTo chain."""
+    idx = f"CAST(substring({src_name}, 4, 10) AS INT) % {len(_SOURCES)}"
+    arms = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SOURCES))
+    return f"CASE {idx} {arms} ELSE '{_SOURCES[0]}' END"
 
 
-def _reliability_expr(name_col):
-    it = list(SOURCE_PROFILES.items())
-    expr = F.when(name_col == it[0][0], F.lit(it[0][1][0]))
-    for src, (rel, _w) in it[1:]:
-        expr = expr.when(name_col == src, F.lit(rel))
-    return expr.otherwise(F.lit(0.5))
+def _reliability_sql(name_sql: str) -> str:
+    from ..functions.core import flit
+
+    arms = " ".join(
+        f"WHEN {name_sql} = '{src}' THEN {flit(rel)}"
+        for src, (rel, _w) in SOURCE_PROFILES.items()
+    )
+    return f"CASE {arms} ELSE 0.5D END"
 
 
 def demo_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → evidence rows: evidence_id, company_id, source
-    (canonical), reliability, confidence, text."""
+    (canonical), reliability, confidence, text.  Two selectExpr
+    parses (r13, guide §5/§7.3) — reliability reads the projected
+    `source` column and project-collapse inlines it, yielding the
+    same optimized tree the former nested Column ladders built."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    src = _source_name_expr(F.col("source"))
-    return d.select(
-        F.col("doc_id").alias("evidence_id"),
-        (F.col("doc_id") % 50).alias("company_id"),
-        src.alias("source"),
-        _reliability_expr(src).alias("reliability"),
-        (F.lit(0.5) + (F.col("doc_id") % 5).cast("double") / 10.0).alias("confidence"),
+    return d.selectExpr(
+        "doc_id AS evidence_id",
+        "doc_id % 50 AS company_id",
+        f"{_source_name_sql('source')} AS source",
+        "0.5D + CAST(doc_id % 5 AS DOUBLE) / 10.0D AS confidence",
+        "text",
+    ).selectExpr(
+        "evidence_id",
+        "company_id",
+        "source",
+        f"{_reliability_sql('source')} AS reliability",
+        "confidence",
         "text",
     )
 
@@ -279,16 +289,17 @@ def rubric_dimension_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("evidence_id").alias("n_evidence"),
         F.avg("reliability").alias("avg_rel"),
     )
-    metric = quant_metric(F.col("n_hits"), F.col("n_evidence"), F.col("avg_rel"))
-    withm = agg.withColumn("metric", metric)
+    withm = agg.withColumn(
+        "metric", quant_metric("n_hits", "n_evidence", "avg_rel")
+    )
     return withm.select(
         "company_id",
         "dimension",
         "n_hits",
         "n_evidence",
-        F.round("metric", 6).alias("metric"),
-        F.round(rubric_score(F.col("n_hits"), F.col("metric")), 6).alias("rubric_score"),
-        F.round(rubric_confidence(F.col("n_hits"), F.col("metric")), 6).alias(
+        F.expr("round(metric, 6)").alias("metric"),
+        F.round(rubric_score("n_hits", "metric"), 6).alias("rubric_score"),
+        F.round(rubric_confidence("n_hits", "metric"), 6).alias(
             "rubric_confidence"
         ),
     )

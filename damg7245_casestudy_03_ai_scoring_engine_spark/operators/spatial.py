@@ -64,45 +64,36 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via 9-cell neighbourhood probing.  Each unordered pair is produced
     exactly twice (once per direction) because b's home cell is unique
     and the 9 probe offsets are distinct."""
-    pts = _points(spark, sf_dir).withColumn(
-        "cx", F.expr(f"x div {_RADIUS}")
-    ).withColumn("cy", F.expr(f"y div {_RADIUS}"))
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+    # single-parse build (r13, guide §5/§7.3): same cell math, probe
+    # explode, and int64 distance as the former Column chains
+    pts = _points(spark, sf_dir).selectExpr(
+        "*", f"x div {_RADIUS} AS cx", f"y div {_RADIUS} AS cy"
     )
-    probe = (
-        pts.withColumn("o", F.explode(offsets))
-        .select(
-            F.col("k").alias("ka"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
-            (F.col("cx") + F.col("o.dx")).alias("pcx"),
-            (F.col("cy") + F.col("o.dy")).alias("pcy"),
-        )
+    off_sql = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
     )
-    home = pts.select(
-        F.col("k").alias("kb"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("cx").alias("bcx"),
-        F.col("cy").alias("bcy"),
+    probe = pts.selectExpr("*", f"explode(array({off_sql})) AS o").selectExpr(
+        "k AS ka",
+        "x AS xa",
+        "y AS ya",
+        "cx + o.dx AS pcx",
+        "cy + o.dy AS pcy",
     )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
+    home = pts.selectExpr(
+        "k AS kb", "x AS xb", "y AS yb", "cx AS bcx", "cy AS bcy"
+    )
     return (
-        probe.join(
-            home,
-            (F.col("pcx") == F.col("bcx")) & (F.col("pcy") == F.col("bcy")),
+        probe.join(home, F.expr("pcx = bcx AND pcy = bcy"))
+        .filter("ka != kb")
+        .selectExpr(
+            "ka",
+            "kb",
+            "CAST((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS BIGINT)"
+            " AS dist2",
         )
-        .filter(F.col("ka") != F.col("kb"))
-        .withColumn("dist2", d2.cast("long"))
-        .filter(F.col("dist2") <= F.lit(_R2))
-        .select("ka", "kb", "dist2")
+        .filter(f"dist2 <= {_R2}")
     )
 
 

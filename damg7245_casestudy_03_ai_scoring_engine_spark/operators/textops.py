@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import tracked_persist
-from ..functions.core import clamp, round_stable
+from ..functions.core import clamp, flit, round_stable, round_stable_sql
 from ..functions.text import STOPWORDS_EN, stopword_ratio, token_count, word_tokens
 from ..sources.catalog import load
 from .registry import register
@@ -967,28 +967,20 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train corpus stays a single narrow pass."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     ws = F.split(F.trim("text"), r"\s+")
-    n = F.size("ws")
-    grams_arr = F.when(
-        n >= _DECON_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (_DECON_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("ws", i + j) for j in range(_DECON_N)]
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("ws"))))
-    split = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split-seed-1"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-        < 90,
-        F.lit("train"),
-    ).otherwise(F.lit("eval"))
+    # single-parse gram/split expressions (r13, guide §5/§7.3) —
+    # identical arithmetic to the former python-lambda builds
+    cat = ", ".join(f"element_at(ws, i + {j})" for j in range(_DECON_N))
+    grams_arr = F.expr(
+        f"CASE WHEN size(ws) >= {_DECON_N} THEN array_distinct("
+        f"transform(sequence(1, size(ws) - {_DECON_N - 1}), "
+        f"i -> concat_ws(' ', {cat}))) "
+        "ELSE array(concat_ws(' ', ws)) END"
+    )
+    split = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(concat("
+        "CAST(doc_id AS STRING), '|split-seed-1')), 1, 8), 16, 10) AS BIGINT)"
+        " % 100 < 90 THEN 'train' ELSE 'eval' END"
+    )
     grams = (
         d.select("doc_id", split.alias("split"), ws.alias("ws"))
         .select("doc_id", "split", F.explode(grams_arr).alias("g"))
@@ -1591,6 +1583,20 @@ _SPAN_DF = 2  # duplicated = the span occurs in >= 2 distinct docs
 _SPAN_KEEP = 0.3  # keep docs with <= 30% of tokens inside duplicated spans
 
 
+def _span_grams_expr() -> "F.Column":
+    """(pos, gram) span-hash array over a (ws, n_tokens) row — shared
+    by `cross_doc_dup_spans` and `dedup_span_removal`.  Single F.expr
+    parse (r13, guide §5/§7.3): identical transform/struct/md5/slice
+    arithmetic as the former python-lambda build."""
+    return F.expr(
+        f"CASE WHEN n_tokens >= {_SPAN_N} THEN "
+        f"transform(sequence(1, n_tokens - {_SPAN_N - 1}), i -> "
+        f"struct(CAST(i AS INT) AS pos, "
+        f"md5(array_join(slice(ws, i, {_SPAN_N}), ' ')) AS gram)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gram: STRING>>) END"
+    )
+
+
 @register(
     "cross_doc_dup_spans",
     survey="text-analysis (extension: corpus-duplicate span coverage, Lee et al. 2022 style)",
@@ -1658,18 +1664,7 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", ws.alias("ws")).select(
         "doc_id", "ws", F.size("ws").alias("n_tokens")
     )
-    gp = F.when(
-        F.col("n_tokens") >= _SPAN_N,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(_SPAN_N - 1)),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(F.col("ws"), i, _SPAN_N), " ")).alias(
-                    "gram"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    gp = _span_grams_expr()
     # The span-hash frame feeds BOTH the duplicate-set aggregate and
     # the join-back; persist it PARTITIONED BY gram so the
     # tokenize+md5 narrow stage runs once AND the df-aggregate and the
@@ -1701,39 +1696,29 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of 8 exploded positions expanded ×2 by the double
     # countDistinct.  (pos is unique per doc — one gram per position —
     # so n_dup_grams is a plain count.)
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
     cov = (
-        flagged.withColumn(
-            "inc",
-            F.least(
-                F.lit(_SPAN_N),
-                F.coalesce(
-                    F.col("pos") - F.lag("pos").over(wpos), F.lit(_SPAN_N)
-                ),
-            ),
+        flagged.selectExpr(
+            "*",
+            f"least({_SPAN_N}, coalesce(pos - lag(pos) OVER "
+            f"(PARTITION BY doc_id ORDER BY pos ASC), {_SPAN_N})) AS inc",
         )
         .groupBy("doc_id")
         .agg(
-            F.sum("inc").alias("covered_tokens"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.expr("sum(inc)").alias("covered_tokens"),
+            F.expr("count(1)").alias("n_dup_grams"),
         )
     )
-    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
-    frac = covered / F.col("n_tokens").cast("double")
+    frac = "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
     return (
         base.select("doc_id", "n_tokens")
         .join(cov, "doc_id", "left")
-        .select(
+        .selectExpr(
             "doc_id",
-            F.col("n_tokens").cast("int").alias("n_tokens"),
-            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias(
-                "n_dup_grams"
-            ),
-            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias(
-                "covered_tokens"
-            ),
-            round_stable(frac, 6).alias("covered_frac"),
-            (frac <= F.lit(_SPAN_KEEP)).cast("int").alias("keep"),
+            "CAST(n_tokens AS INT) AS n_tokens",
+            "CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams",
+            "CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens",
+            f"{round_stable_sql(frac, 6)} AS covered_frac",
+            f"CAST({frac} <= {flit(_SPAN_KEEP)} AS INT) AS keep",
         )
     )
 
@@ -2491,18 +2476,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ws", F.size("ws").alias("n_tokens")
     )
     base = tracked_persist(base, "dedup_span_removal.base")
-    gp = F.when(
-        F.col("n_tokens") >= _SPAN_N,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(_SPAN_N - 1)),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(F.col("ws"), i, _SPAN_N), " ")).alias(
-                    "gram"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    gp = _span_grams_expr()
     grams = (
         base.select("doc_id", F.explode(gp).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))

@@ -179,9 +179,27 @@ def weighted_dimension_features(
     )
 
 
-def quant_metric(weighted_signals: Column, evidence_count: Column, reliability: Column) -> Column:
+def quant_metric(
+    weighted_signals: Column | str,
+    evidence_count: Column | str,
+    reliability: Column | str,
+) -> Column:
     """M18: metric = clamp(0.45·ws/30 + 0.35·ev/40 + 0.20·rel, 0, 1)
-    (rubric_scorer.py:245-256)."""
+    (rubric_scorer.py:245-256).  Name inputs take the single-parse
+    twin (r13, guide §5) — identical arithmetic, commutative-multiply
+    literal placement aside."""
+    if all(isinstance(c, str) for c in (weighted_signals, evidence_count, reliability)):
+        from ..functions.core import clamp_sql
+
+        return F.expr(
+            clamp_sql(
+                f"0.45D * {weighted_signals} / 30.0D"
+                f" + 0.35D * {evidence_count} / 40.0D"
+                f" + 0.2D * {reliability}",
+                0.0,
+                1.0,
+            )
+        )
     return clamp(
         0.45 * weighted_signals / 30.0 + 0.35 * evidence_count / 40.0 + 0.20 * reliability,
         0.0,
@@ -189,9 +207,20 @@ def quant_metric(weighted_signals: Column, evidence_count: Column, reliability: 
     )
 
 
-def rubric_score(hits: Column, metric: Column) -> Column:
+def rubric_score(hits: Column | str, metric: Column | str) -> Column:
     """M17 ordered level descent as a when-chain (first satisfied level
-    wins, L5→L1) with in-band interpolation."""
+    wins, L5→L1) with in-band interpolation.  Name inputs take the
+    single-parse CASE twin (r13, guide §5)."""
+    if isinstance(hits, str) and isinstance(metric, str):
+        from ..functions.core import flit
+
+        arms = " ".join(
+            f"WHEN {hits} >= {min_hits} AND {metric} >= {flit(min_metric)} "
+            f"THEN {flit(lo)} + {flit(hi - lo)} * least(1.0D, "
+            f"CAST({hits} AS DOUBLE) / {flit(float(max(min_hits, 1)))})"
+            for _level, min_hits, min_metric, lo, hi in RUBRIC_LEVELS[:-1]
+        )
+        return F.expr(f"CASE {arms} ELSE 10.0D END")
     expr = None
     for level, min_hits, min_metric, lo, hi in RUBRIC_LEVELS[:-1]:
         interp = F.lit(lo) + (hi - lo) * F.least(
@@ -203,6 +232,11 @@ def rubric_score(hits: Column, metric: Column) -> Column:
     return expr.otherwise(F.lit(10.0))
 
 
-def rubric_confidence(hits: Column, metric: Column) -> Column:
+def rubric_confidence(hits: Column | str, metric: Column | str) -> Column:
     """min(0.95, 0.50 + 0.08·hits + 0.30·metric) (rubric_scorer.py:212-218)."""
+    if isinstance(hits, str) and isinstance(metric, str):
+        return F.expr(
+            f"least(0.95D, 0.5D + 0.08D * CAST({hits} AS DOUBLE)"
+            f" + 0.3D * {metric})"
+        )
     return F.least(F.lit(0.95), F.lit(0.50) + 0.08 * hits.cast("double") + 0.30 * metric)
