@@ -622,3 +622,34 @@ def test_bloom_rebuild_decision_at_width_cap(spark):
     d2 = bloom_rebuild_decision(idx, 1024)
     assert d2["rebuild"] is True and d2["next_bits"] > 1024
     assert d2["at_cap"] is False
+
+
+def test_read_parquet_memo_reuses_resolved_frame(spark, tmp_path):
+    """r13: `read_parquet_memo` memoizes the DataFrame itself (keeping
+    its resolved file index — partition discovery is driver-side
+    listing paid per fresh path read), not just the schema.  The memo
+    contract: same (session, path) → the SAME frame object, correct
+    rows including hive partition columns, and no stale-directory
+    hazard because callers only pass write-once scratch paths."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import (
+        read_parquet_memo,
+    )
+
+    path = str(tmp_path / "memo_layout")
+    (
+        spark.range(100)
+        .selectExpr("id", "id % 4 AS part")
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    df1 = read_parquet_memo(spark, path)
+    df2 = read_parquet_memo(spark, path)
+    assert df1 is df2, "second read must reuse the memoized frame"
+    assert set(df1.columns) == {"id", "part"}  # partition column discovered
+    assert df1.count() == 100
+    assert df1.filter("part = 2").count() == 25
+    # a DIFFERENT path must not collide with the memo
+    path2 = str(tmp_path / "memo_layout_b")
+    spark.range(7).write.parquet(path2)
+    assert read_parquet_memo(spark, path2).count() == 7
+    assert read_parquet_memo(spark, path) is df1
