@@ -4602,13 +4602,15 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
-    w = Window.partitionBy("item").orderBy(
-        F.desc("lift_ppm"), F.desc("c_ab"), F.asc("partner")
-    )
+    # single-parse rank tail (r13, guide §5/§7.3): same window, same
+    # filter, same INT rk as the former withColumn/filter/cast chain
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .withColumn("rk", F.col("rk").cast("int"))
+        scored.selectExpr(
+            "*",
+            "CAST(row_number() OVER (PARTITION BY item ORDER BY "
+            "lift_ppm DESC, c_ab DESC, partner ASC) AS INT) AS rk",
+        )
+        .filter("rk <= 3")
         .select("item", "partner", "c_ab", "lift_ppm", "rk")
     )
 

@@ -1559,32 +1559,35 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rolling_active_users.day_user",
     )
     days = du.select("day_idx").distinct()
-    wu = Window.partitionBy("user_id").orderBy("day_idx")
-    runs = du.select(
+    # single-parse build (r13, guide §5/§7.3) — identical run/delta/
+    # cumsum arithmetic as the former Column chains
+    wu = "OVER (PARTITION BY user_id ORDER BY day_idx ASC)"
+    runs = du.selectExpr(
         "user_id",
         "day_idx",
-        (F.col("day_idx") - F.lag("day_idx").over(wu) > 6).alias("starts"),
-        (F.lead("day_idx").over(wu) - F.col("day_idx") > 6).alias("ends"),
+        f"(day_idx - lag(day_idx) {wu}) > 6 AS starts",
+        f"(lead(day_idx) {wu} - day_idx) > 6 AS ends",
     )
     deltas = (
-        runs.filter(F.coalesce(F.col("starts"), F.lit(True)))
-        .select(F.col("day_idx").alias("d"), F.lit(1).alias("delta"))
+        runs.filter("coalesce(starts, true)")
+        .selectExpr("day_idx AS d", "1 AS delta")
         .unionAll(
-            runs.filter(F.coalesce(F.col("ends"), F.lit(True))).select(
-                (F.col("day_idx") + F.lit(7)).alias("d"),
-                F.lit(-1).alias("delta"),
+            runs.filter("coalesce(ends, true)").selectExpr(
+                "day_idx + 7 AS d", "-1 AS delta"
             )
         )
         # zero-delta seed rows: the cumsum must be EVALUATED at every
         # observed day, including mid-run days that are no run boundary
-        .unionAll(days.select(F.col("day_idx").alias("d"), F.lit(0).alias("delta")))
+        .unionAll(days.selectExpr("day_idx AS d", "0 AS delta"))
     )
-    wday = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     active = (
         deltas.groupBy("d")
-        .agg(F.sum("delta").alias("net"))
-        .withColumn("n_active_7d", F.sum("net").over(wday).cast("bigint"))
-        .select(F.col("d").alias("window_day"), "n_active_7d")
+        .agg(F.expr("sum(delta)").alias("net"))
+        .selectExpr(
+            "d AS window_day",
+            "CAST(sum(net) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active_7d",
+        )
     )
     return active.join(
         days.withColumnRenamed("day_idx", "window_day"), "window_day", "left_semi"
