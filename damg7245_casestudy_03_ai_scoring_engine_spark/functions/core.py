@@ -39,8 +39,18 @@ def clamp(col: Column | str, lo: float, hi: float) -> Column:
 
 
 def flit(v: float) -> str:
-    """A double literal fragment bit-identical to F.lit(float(v))."""
-    return f"{float(v)!r}D"
+    """A double literal fragment bit-identical to F.lit(float(v)).
+
+    Non-finite floats would render as invalid SQL ('infD'/'nanD') and
+    surface as an obscure parse error far from the bad config value
+    (these fragments are spliced by many builders) — fail fast here
+    instead (r13 advisor note)."""
+    import math
+
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"flit() requires a finite float, got {v!r}")
+    return f"{v!r}D"
 
 
 def clamp_sql(x: str, lo: float, hi: float) -> str:

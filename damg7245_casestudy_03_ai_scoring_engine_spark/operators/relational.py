@@ -4556,39 +4556,36 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("l_orderkey"),
         "item_cooccurrence.basket",
     )
-    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = basket.groupBy(F.col("l_suppkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("c_i")
+    # single-parse stages (r14, guide §5/§7.3) — identical arithmetic
+    # to the former Column chain (690 round trips/build)
+    n = basket.agg(F.expr("count(DISTINCT l_orderkey)").alias("n_orders"))
+    item = basket.selectExpr("l_suppkey AS item").groupBy("item").agg(
+        F.expr("count(1)").alias("c_i")
     )
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ia"))
-    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("ib"))
+    a = basket.selectExpr("l_orderkey AS k", "l_suppkey AS ia")
+    b = basket.selectExpr("l_orderkey AS k", "l_suppkey AS ib")
     # persisted: the directed union consumes this aggregate TWICE and
     # Spark re-executes unshared subtrees per union branch — without
     # the persist the basket self-join + pair groupBy run double
     pair = tracked_persist(
         a.join(b, "k")
-        .filter(F.col("ia") < F.col("ib"))
+        .filter("ia < ib")
         .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("c_ab")),
+        .agg(F.expr("count(1)").alias("c_ab")),
         "item_cooccurrence.pairs",
     )
-    directed = pair.select(
-        F.col("ia").alias("item"), F.col("ib").alias("partner"), "c_ab"
-    ).unionByName(
-        pair.select(F.col("ib").alias("item"), F.col("ia").alias("partner"), "c_ab")
-    )
+    directed = pair.selectExpr(
+        "ia AS item", "ib AS partner", "c_ab"
+    ).unionByName(pair.selectExpr("ib AS item", "ia AS partner", "c_ab"))
     ci = F.broadcast(item)
     scored = (
         directed.crossJoin(F.broadcast(n))
         .join(ci, "item")
-        .join(
-            ci.select(F.col("item").alias("partner"), F.col("c_i").alias("c_p")),
-            "partner",
-        )
-        .select(
+        .join(ci.selectExpr("item AS partner", "c_i AS c_p"), "partner")
+        .selectExpr(
             "item",
             "partner",
-            F.col("c_ab").cast("bigint").alias("c_ab"),
+            "CAST(c_ab AS BIGINT) AS c_ab",
             # DECIMAL(38,0) carrier for the ppm numerator/denominator:
             # in int64, 1e6·n_orders·c_ab overflows past n≈3e6 baskets
             # (and c_i·c_p past counts ≈3e9), where non-ANSI Spark
@@ -4596,10 +4593,8 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # latent cross-engine divergence.  The QUOTIENT itself is
             # bounded by 1e6·n_orders, so the BIGINT output column is
             # safe for any n below ~9e12 baskets.
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_orders * c_ab)"
-                " div (CAST(c_i AS DECIMAL(38,0)) * c_p) AS BIGINT)"
-            ).alias("lift_ppm"),
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_orders * c_ab)"
+            " div (CAST(c_i AS DECIMAL(38,0)) * c_p) AS BIGINT) AS lift_ppm",
         )
     )
     # single-parse rank tail (r13, guide §5/§7.3): same window, same

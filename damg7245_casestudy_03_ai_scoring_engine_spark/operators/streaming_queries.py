@@ -1553,7 +1553,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     du = tracked_persist(
         load(spark, sf_dir, "events", fan_out=True)
-        .select(F.expr(f"ts div {_DAY_NS}").alias("day_idx"), "user_id")
+        .selectExpr(f"ts div {_DAY_NS} AS day_idx", "user_id")
         .repartition("user_id")
         .distinct(),
         "rolling_active_users.day_user",
@@ -1590,7 +1590,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return active.join(
-        days.withColumnRenamed("day_idx", "window_day"), "window_day", "left_semi"
+        days.selectExpr("day_idx AS window_day"), "window_day", "left_semi"
     )
 
 

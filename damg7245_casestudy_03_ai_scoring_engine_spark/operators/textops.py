@@ -379,41 +379,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes.  N (the corpus size) rides as a broadcast 1-row
     frame INSIDE the same DAG — an eager `d.count()` here cost a
     whole extra scan job per invocation (removed r4)."""
-    from pyspark.sql import Window
-
+    # single-parse build (r14, guide §5/§7.3) — identical stages and
+    # arithmetic as the former Column chain (454 round trips/build)
     d = load(spark, sf_dir, "documents", fan_out=True)
-    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    toks = d.select(
+    n = d.agg(F.expr("CAST(count(1) AS DOUBLE)").alias("n_docs"))
+    toks = d.selectExpr(
         "doc_id", "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        r"explode(split(lower(trim(text)), '\\s+')) AS w",
     )
     base = (
         toks.repartition("w")
         .groupBy("w", "lang")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("tf"),
-            F.countDistinct("doc_id").cast("bigint").alias("dfl"),
+            F.expr("CAST(count(1) AS BIGINT)").alias("tf"),
+            F.expr("CAST(count(DISTINCT doc_id) AS BIGINT)").alias("dfl"),
         )
     )
-    wv = Window.partitionBy("w")
     scored = (
-        base.withColumn("df", F.sum("dfl").over(wv).cast("bigint"))
+        base.selectExpr(
+            "*", "CAST(sum(dfl) OVER (PARTITION BY w) AS BIGINT) AS df"
+        )
         .crossJoin(F.broadcast(n))
-        .select(
+        .selectExpr(
             "lang",
-            F.col("w").alias("term"),
+            "w AS term",
             "tf",
             "df",
-            F.round(
-                F.col("tf") * (F.col("n_docs") / F.col("df")), 6
-            ).alias("score"),
+            "round(tf * (n_docs / df), 6) AS score",
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .withColumn("rk", F.col("rk").cast("int"))
+        scored.selectExpr(
+            "*",
+            "CAST(row_number() OVER (PARTITION BY lang ORDER BY "
+            "score DESC, term ASC) AS INT) AS rk",
+        )
+        .filter("rk <= 5")
     )
 
 

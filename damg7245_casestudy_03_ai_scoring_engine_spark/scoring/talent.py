@@ -32,13 +32,15 @@ def hhi(items: DataFrame, key: str = "company_id", category: str = "job_function
     """
     counts = items.groupBy(key, category).agg(F.count(F.lit(1)).alias("cnt"))
     # share via one selectExpr parse (r13, guide §5/§7.3) — the same
-    # window the Column chain built (key/category are plain names at
-    # every call site, per the signature).
+    # window the Column chain built.  The interpolated identifier is
+    # backtick-quoted (the asof.py discipline) so a non-identifier
+    # column name (spaces, reserved words) that Window.partitionBy(key)
+    # accepted cannot misparse (r13 advisor note).
     return (
         counts.selectExpr(
             "*",
             "CAST(cnt AS DOUBLE) / sum(cnt) OVER "
-            f"(PARTITION BY {key}) AS share",
+            f"(PARTITION BY `{key}`) AS share",
         )
         .groupBy(key)
         .agg(

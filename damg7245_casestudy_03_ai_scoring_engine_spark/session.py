@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the default parser escape mode: SQL-fragment twins of
+        # Column-built regexes (e.g. dedup._TOKENS_SQL's '\\s+') are
+        # only equal to their r"\s+" Column counterparts under
+        # escapedStringLiterals=false; a legacy-parser session would
+        # silently diverge tokenization (r13 advisor note).
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -46,16 +46,75 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 # confs, e.g. nanosAsLong) re-infers.
 _SCHEMA_MEMO: dict[tuple[str, str], "T.StructType"] = {}
 
+# Scan-parallelism memo per (SparkSession id, parquet path): whether the
+# scan itself already fans out (see _scan_fans_out).  Driver-side footer
+# metadata, read once per session per table.
+_FAN_OUT_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def _prune_dead_sessions(app_id: str) -> None:
+    """Drop memo entries owned by other (stopped) sessions so the
+    memos cannot pin DataFrame/py4j object graphs of dead sessions in
+    long-lived multi-session processes (r13 advisor note).  One pass
+    over small dicts; runs only when a foreign key is present."""
+    for memo in (_SCHEMA_MEMO, _DF_MEMO, _FAN_OUT_MEMO):
+        stale = [k for k in memo if k[0] != app_id]
+        for k in stale:
+            memo.pop(k, None)
+
+
+def _scan_fans_out(spark: SparkSession, path: str) -> bool:
+    """True when the parquet scan ALREADY yields at least
+    defaultParallelism effective input splits, so a fan-out
+    repartition would be a gratuitous full shuffle of the base table
+    (guide §2.1/§2.5 — the r13 verdict's top scale risk).
+
+    Parquet effective split granularity is the ROW GROUP: Spark cuts
+    files into byte ranges at `spark.sql.files.maxPartitionBytes`, but
+    only the range containing a row-group start produces rows, so a
+    single-row-group file pins the scan to one task no matter how it
+    is split.  The check is a bounded driver-side footer read (the
+    `_long_ts_ns_multiplier` discipline): ≥ parallelism FILES fans out
+    trivially; otherwise row groups are summed file-by-file with an
+    early stop at the threshold.  At 100 TB a manifest-backed format
+    answers this from table metadata the same way.  On any read error
+    the answer is False (keep the repartition — the safe local
+    posture)."""
+    import glob as _glob
+    import os as _os
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        if _os.path.isdir(path):
+            files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        else:
+            files = [path]
+        if len(files) >= par:
+            return True
+        import pyarrow.parquet as pq
+
+        rg = 0
+        for f in files:
+            rg += pq.ParquetFile(f).metadata.num_row_groups
+            if rg >= par:
+                return True
+        return False
+    except Exception:  # pragma: no cover - footer read is best-effort
+        return False
+
 
 def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> DataFrame:
     """Read one test table.
 
-    fan_out=True repartitions to the cluster's default parallelism —
-    required before expression-heavy narrow stages (shingling,
-    hashing, vector math) because the test parquet files have a
-    SINGLE row group, so the scan itself cannot split and would pin
-    the whole pipeline to one task.  On production multi-file tables
-    the scan fans out naturally and this becomes a no-op choice.
+    fan_out=True requests default-parallelism input splits before
+    expression-heavy narrow stages (shingling, hashing, vector math).
+    The test parquet files have a SINGLE row group, so their scan
+    cannot split and would pin the whole pipeline to one task — for
+    those a round-robin repartition is inserted.  On multi-file /
+    multi-row-group production tables the scan fans out by itself and
+    the repartition is SKIPPED (`_scan_fans_out`) — r14: the previous
+    unconditional `repartition(defaultParallelism)` baked a full
+    base-table shuffle into every consumer plan at scale.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -67,7 +126,10 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> 
         # normalized to the same int64-ns contract below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    memo_key = (spark.sparkContext.applicationId, path)
+    app_id = spark.sparkContext.applicationId
+    memo_key = (app_id, path)
+    if any(k[0] != app_id for k in _SCHEMA_MEMO):
+        _prune_dead_sessions(app_id)
     schema = _SCHEMA_MEMO.get(memo_key)
     if schema is None:
         df = spark.read.parquet(path)
@@ -77,11 +139,31 @@ def load(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> 
     if name == "events":
         df = normalize_events_ts(df, source_path=path)
     if fan_out:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        fans = _FAN_OUT_MEMO.get(memo_key)
+        if fans is None:
+            fans = _scan_fans_out(spark, path)
+            _FAN_OUT_MEMO[memo_key] = fans
+        if not fans:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
-_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DF_MEMO: dict[tuple[str, str], tuple[DataFrame, tuple | None]] = {}
+
+
+def _layout_sig(path: str) -> tuple | None:
+    """Cheap change signature of a layout root: (mtime_ns, size) of the
+    directory entry itself.  Any rewrite of the layout (overwrite
+    recreates the root; a partitioned write adds/removes entries in
+    it) bumps the root mtime, so a changed signature means the memoized
+    file index would be stale."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
@@ -100,15 +182,20 @@ def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     the file list the same way (guide §6: listing is driver overhead
     to amortize; table formats avoid directory listing altogether).
 
-    CONTRACT: callers only pass scratch paths written exactly once per
-    session (all three call sites create a fresh `scratch_dir` and
-    write before the first read) — a path rewritten mid-session must
-    NOT go through this memo or the stale file index would dangle."""
+    The write-once caller contract (all call sites create a fresh
+    `scratch_dir` and write before the first read) is now ENFORCED,
+    not just documented (r13 advisor note): the memo records the
+    layout root's change signature (`_layout_sig`, one os.stat per
+    access) and a rewritten path invalidates the entry — the next
+    access re-resolves the file index instead of serving a stale
+    listing."""
     memo_key = (spark.sparkContext.applicationId, path)
-    df = _DF_MEMO.get(memo_key)
-    if df is None:
-        df = spark.read.parquet(path)
-        _DF_MEMO[memo_key] = df
+    sig = _layout_sig(path)
+    hit = _DF_MEMO.get(memo_key)
+    if hit is not None and hit[1] == sig:
+        return hit[0]
+    df = spark.read.parquet(path)
+    _DF_MEMO[memo_key] = (df, sig)
     return df
 
 

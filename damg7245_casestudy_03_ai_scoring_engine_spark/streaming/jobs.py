@@ -147,28 +147,34 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
     """Per-user 30-min-gap sessions via lag + running sum of
     session-start flags (W5 analytic frames) — one shuffle on
     user_id, then windowed scans; oracle-able ANSI SQL."""
-    from pyspark.sql import Window
-
     # Truncate to µs precision: parquet TIMESTAMP(NANOS) carries sub-µs
     # digits that no TIMESTAMP engine (or the DuckDB oracle) retains.
-    events = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
-    by_user = Window.partitionBy("user_id").orderBy("ts")
-    prev_ts = F.lag("ts").over(by_user)
-    is_new = F.when(
-        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.lit(SESSION_GAP_NS)), 1
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # Single-parse stages (r14, guide §5/§7.3) — identical windows and
+    # arithmetic as the former Column chain (359 round trips/build).
+    wu = "OVER (PARTITION BY user_id ORDER BY ts ASC"
     return (
-        events.select("user_id", "ts", "value", is_new.alias("is_new"))
-        .withColumn("session_id", F.sum("is_new").over(run))
+        events.selectExpr("user_id", "ts - ts % 1000 AS ts", "value")
+        .selectExpr(
+            "user_id",
+            "ts",
+            "value",
+            f"CASE WHEN lag(ts) {wu}) IS NULL "
+            f"OR ts - lag(ts) {wu}) > {SESSION_GAP_NS} "
+            "THEN 1 ELSE 0 END AS is_new",
+        )
+        .selectExpr(
+            "user_id",
+            "ts",
+            "value",
+            f"sum(is_new) {wu} ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS session_id",
+        )
         .groupBy("user_id", "session_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start_ns"),
-            F.max("ts").alias("session_end_ns"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.expr("count(1)").alias("n_events"),
+            F.expr("min(ts)").alias("session_start_ns"),
+            F.expr("max(ts)").alias("session_end_ns"),
+            F.expr("round(sum(value), 4)").alias("value_sum"),
         )
     )
 
@@ -439,24 +445,25 @@ def click_error_pairs(events: DataFrame) -> DataFrame:
     pair for the same user where the error lands within 10 minutes
     AFTER the click — the funnel/attribution interval join.  Executes
     as ONE equi-join on user_id with the time range as a join filter
-    (no time-bucket explosion needed at this selectivity)."""
-    ev = events.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1_000))
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts_ns"),
+    (no time-bucket explosion needed at this selectivity).  Built as
+    single-parse stages (r14, guide §5/§7.3) — identical join and
+    arithmetic as the former Column chain (447 round trips/build)."""
+    ev = events.selectExpr(
+        "user_id", "event_id", "ts - ts % 1000 AS ts", "event_type"
     )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("e_user_id"),
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("error_ts_ns"),
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id", "event_id AS click_id", "ts AS click_ts_ns"
+    )
+    errors = ev.filter("event_type = 'error'").selectExpr(
+        "user_id AS e_user_id", "event_id AS error_id", "ts AS error_ts_ns"
     )
     return (
         clicks.join(
             errors,
-            (F.col("user_id") == F.col("e_user_id"))
-            & (F.col("error_ts_ns") > F.col("click_ts_ns"))
-            & (F.col("error_ts_ns") <= F.col("click_ts_ns") + F.lit(TEN_MIN_NS)),
+            F.expr(
+                "user_id = e_user_id AND error_ts_ns > click_ts_ns "
+                f"AND error_ts_ns <= click_ts_ns + {TEN_MIN_NS}"
+            ),
         )
         .select("user_id", "click_id", "error_id", "click_ts_ns", "error_ts_ns")
     )

@@ -653,3 +653,48 @@ def test_read_parquet_memo_reuses_resolved_frame(spark, tmp_path):
     spark.range(7).write.parquet(path2)
     assert read_parquet_memo(spark, path2).count() == 7
     assert read_parquet_memo(spark, path) is df1
+
+
+def test_read_parquet_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r14 (r13 advisor note): the write-once contract is enforced by a
+    change signature on the layout root — a rewritten path serves a
+    FRESH file index (correct new rows), never the stale memo."""
+    import time
+
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources.catalog import (
+        read_parquet_memo,
+    )
+
+    path = str(tmp_path / "memo_rewrite")
+    spark.range(5).write.parquet(path)
+    df1 = read_parquet_memo(spark, path)
+    assert df1.count() == 5
+    time.sleep(0.05)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.range(9).write.mode("overwrite").parquet(path)
+    df2 = read_parquet_memo(spark, path)
+    assert df2 is not df1, "rewrite must invalidate the memoized frame"
+    assert df2.count() == 9
+    # and the fresh entry memoizes again
+    assert read_parquet_memo(spark, path) is df2
+
+
+def test_fan_out_gate_on_scan_parallelism(spark, tmp_path, monkeypatch):
+    """r14 (the r13 verdict's top scale risk): `load(..., fan_out=True)`
+    repartitions ONLY when the parquet scan cannot already split to
+    defaultParallelism — single-row-group fixtures keep the fan-out;
+    a multi-file table skips the gratuitous base-table shuffle."""
+    from damg7245_casestudy_03_ai_scoring_engine_spark.sources import catalog
+
+    # the real fixture: one file, one row group → the repartition stays
+    fixture = "/root/testdata/sf0.001"
+    df = catalog.load(spark, fixture, "lineitem", fan_out=True)
+    assert "Exchange RoundRobinPartitioning" in df._jdf.queryExecution().toString() or \
+        df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # a multi-file layout with >= defaultParallelism splits → no repartition
+    par = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many_files")
+    spark.range(par * 10).repartition(par).write.parquet(many)
+    assert catalog._scan_fans_out(spark, many) is True
+    # and the single-row-group fixture file does not fan out by itself
+    assert catalog._scan_fans_out(spark, f"{fixture}/lineitem.parquet") is False
