@@ -577,47 +577,56 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact recount of just the candidates yields the true top-10 —
     which is why a plain GROUP BY oracle can check a sketch operator.
 
-    Scale shape: pass 1 is embarrassingly parallel and emits ≤ 64
-    rows per partition; pass 2 recounts with a broadcast semi-join on
-    the tiny candidate list — no full-vocabulary shuffle ever
-    happens.  This is the heavy-hitters plan for a 100 TB corpus
-    whose vocabulary would blow up a naive groupBy."""
-    import pandas as pd
+    Scale shape: pass 1's sketch grain is one row per distinct
+    (partition, token) — already map-side partially aggregated — and
+    the per-partition top-64 is a bounded window; pass 2 recounts with
+    a broadcast semi-join on the tiny candidate list — no
+    full-vocabulary GLOBAL aggregation ever happens.  This is the
+    heavy-hitters plan for a 100 TB corpus whose vocabulary would
+    blow up a naive groupBy.
 
+    r14 (guide §4 — eliminate the Python boundary): pass 1 was a
+    `mapInPandas` value_counts that shipped the ENTIRE token stream
+    JVM→Arrow→Python per run, the last Python node in any headliner
+    plan.  The same Misra-Gries-equivalent sketch runs in pure JVM
+    codegen: exact local counts per (spark_partition_id, token) —
+    pigeonhole over PARTITIONS instead of Arrow batches: at most 63
+    tokens in a partition can exceed N_p/64, so the per-partition
+    top-64 by exact local count is a superset of every token with
+    partition count > N_p/64, and summing over partitions, the merged
+    candidates provably contain every token with global count > N/64.
+    A/B at sf0.1 (same window, min-of-medians): 0.698 s → 0.576 s with
+    ArrowEvalPython/MapInPandas gone from the plan."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    toks = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    toks = d.selectExpr(
+        r"explode(split(lower(trim(text)), '\\s+')) AS token"
     )
 
-    def mg(batches):
-        # Vectorized Misra-Gries equivalent: the per-batch top-64 by
-        # exact local count is a superset of every token with local
-        # count > N_b/64 (at most 63 tokens can clear that bar), so
-        # the pigeonhole completeness guarantee is identical to the
-        # classic decrement-loop summary — but it's one Arrow-batched
-        # value_counts instead of a per-token Python loop (~10x).
-        for pdf in batches:
-            vc = pdf["token"].value_counts()
-            yield pd.DataFrame({"token": vc.iloc[:_MG_CAPACITY].index})
-
+    cands = (
+        toks.selectExpr("spark_partition_id() AS pid", "token")
+        .groupBy("pid", "token")
+        .agg(F.expr("count(1)").alias("c"))
+        .selectExpr(
+            "token",
+            "row_number() OVER (PARTITION BY pid ORDER BY "
+            "c DESC, token ASC) AS rk",
+        )
+        .filter(f"rk <= {_MG_CAPACITY}")
+        .select("token")
+    )
     # left-semi against the (possibly duplicated) candidate stream:
     # the broadcast hash set dedups implicitly, so no .distinct()
     # shuffle barrier is needed and candidate duplicates cannot
     # multiply the recount rows
-    cands = toks.mapInPandas(mg, schema="token string")
     exact = (
         toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.expr("CAST(count(1) AS BIGINT)").alias("n"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _HH_TOP)
-        .withColumn("rk", F.col("rk").cast("int"))
-    )
+    return exact.selectExpr(
+        "*",
+        "CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rk",
+    ).filter(f"rk <= {_HH_TOP}")
 
 
 _PROF_TOP = 20
